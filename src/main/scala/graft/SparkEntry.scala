@@ -1,13 +1,65 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.relational.RelationalQueries
+import graft.text.TextQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator registers here twice: a DataFrame query in
+  * [[queries]] and the equivalent DuckDB SQL in [[oracleSql]] (the driver
+  * hash-compares both at sf0.01). Column names and values are engineered to
+  * match exactly — see RelationalQueries' integer-cents policy.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational surface (SURVEY.md §2.3)
+    "q1_pricing" -> (RelationalQueries.q1Pricing _),
+    "q3_shipping" -> (RelationalQueries.q3Shipping _),
+    "q5_nation_revenue" -> (RelationalQueries.q5NationRevenue _),
+    "top_customers" -> (RelationalQueries.topCustomers _),
+    "order_priority" -> (RelationalQueries.orderPriority _),
+    "part_brand_stats" -> (RelationalQueries.partBrandStats _),
+    "distinct_segments" -> (RelationalQueries.distinctSegments _),
+    "lineitem_topk" -> (RelationalQueries.lineitemTopk _),
+    "nation_balance" -> (RelationalQueries.nationBalance _),
+    "union_order_status" -> (RelationalQueries.unionOrderStatus _),
+    // Reference app workloads (SURVEY.md §2.2) + text analysis
+    "wc" -> (TextQueries.wordCount _),
+    "indexer" -> (TextQueries.invertedIndex _),
+    "file_stats" -> (TextQueries.fileStats _),
+    "doc_count_by_source" -> (TextQueries.docCountBySource _),
+    "token_stats" -> (TextQueries.tokenStats _),
+    "text_quality" -> (TextQueries.textQuality _),
+    "lang_stats" -> (TextQueries.langStats _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" -> RelationalQueries.q1PricingSql,
+    "q3_shipping" -> RelationalQueries.q3ShippingSql,
+    "q5_nation_revenue" -> RelationalQueries.q5NationRevenueSql,
+    "top_customers" -> RelationalQueries.topCustomersSql,
+    "order_priority" -> RelationalQueries.orderPrioritySql,
+    "part_brand_stats" -> RelationalQueries.partBrandStatsSql,
+    "distinct_segments" -> RelationalQueries.distinctSegmentsSql,
+    "lineitem_topk" -> RelationalQueries.lineitemTopkSql,
+    "nation_balance" -> RelationalQueries.nationBalanceSql,
+    "union_order_status" -> RelationalQueries.unionOrderStatusSql,
+    "wc" -> TextQueries.wordCountSql,
+    "indexer" -> TextQueries.invertedIndexSql,
+    "file_stats" -> TextQueries.fileStatsSql,
+    "doc_count_by_source" -> TextQueries.docCountBySourceSql,
+    "token_stats" -> TextQueries.tokenStatsSql,
+    "text_quality" -> TextQueries.textQualitySql,
+    "lang_stats" -> TextQueries.langStatsSql,
+  )
 }

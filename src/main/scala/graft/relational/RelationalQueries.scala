@@ -1,0 +1,246 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator surface over the driver's TPC-H-ish parquet tables.
+  *
+  * The reference's MapReduce model (`/root/reference/src/mr/worker.go:39`) can
+  * express all of these as (map, reduce) pairs — tag-and-join, group-aggregate,
+  * distinct — but ships no relational app. Here they are declared with the
+  * DataFrame API so Catalyst plans them: filters and projections push into the
+  * parquet scan, small dimension tables broadcast, and aggregates run
+  * partial → final (map-side combine) — all properties the reference engine
+  * lacks (SURVEY.md §4.1) and that matter at 100 TB.
+  *
+  * Numeric policy for oracle parity: every money aggregate is computed in
+  * exact integer cents (`round(x*100)::bigint`), summed as a 64-bit integer
+  * (order-independent, overflow-safe to ~9e16 cents), and divided by 100.0
+  * once at the end. The resulting double is bit-identical in any engine, so
+  * results hash-match DuckDB regardless of aggregation order — raw
+  * floating-point sums would not.
+  */
+object RelationalQueries {
+
+  /** `round(col*100)` as exact integer cents. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("bigint")
+
+  /** TPC-H Q1 shape: pricing summary over lineitem (filter → groupBy → agg).
+    * Scan-level: only 7 of 11 lineitem columns are read; the shipdate
+    * predicate pushes into the parquet scan. Partial aggregation means each
+    * of the 32 (or 1000) input partitions ships at most
+    * |returnflag×linestatus| rows through the shuffle. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  def q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: three-way join with selective filters, top-10 revenue.
+    * customer is filtered then broadcast (1/5 of an already-small dim);
+    * orders⋈lineitem shuffles on the join key, which AQE sizes at runtime.
+    * Ties at the limit boundary are broken by l_orderkey so the top-k set is
+    * deterministic. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def q3ShippingSql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: revenue by nation for one region's suppliers.
+    * region(5)⋈nation(25)⋈supplier(tiny) all broadcast into the lineitem
+    * scan — one shuffle total (the final groupBy), no sort-merge of a fact
+    * table against a 5-row dim. */
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def q5NationRevenueSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  /** Top spenders: aggregate the fact table FIRST (150k orders → 15k groups),
+    * then join the small aggregate against customer. Aggregating before the
+    * join keeps the shuffle proportional to |customers|, not |orders|. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total_spend"))
+    spend.join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total_spend"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  def topCustomersSql: String =
+    """SELECT c_custkey, c_name, n_orders, total_spend FROM (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_spend
+      |  FROM orders GROUP BY o_custkey) s
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_spend DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q4 shape: left-semi join (EXISTS) — orders with at least one
+    * line item shipped after the order date, counted by priority. The semi
+    * join short-circuits per key; no lineitem columns survive the join. */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  def orderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Per-brand part statistics — column-pruned scan (4 of 6 columns). */
+  def partBrandStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        (sum(cents(col("p_retailprice"))) / 100.0).as("total_retail"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"))
+
+  def partBrandStatsSql: String =
+    """SELECT p_brand, count(*) AS n_parts,
+      |  CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_retail,
+      |  min(p_size) AS min_size, max(p_size) AS max_size
+      |FROM part GROUP BY p_brand""".stripMargin
+
+  /** Distinct — partial dedup on the map side, tiny shuffle. */
+  def distinctSegments(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_mktsegment")).distinct()
+
+  def distinctSegmentsSql: String =
+    "SELECT DISTINCT c_mktsegment FROM customer"
+
+  /** Global top-k without a global sort: Spark's TakeOrderedAndProject takes
+    * k per partition and merges — O(n) scan, no full shuffle-sort. */
+  def lineitemTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(25)
+
+  def lineitemTopkSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 25""".stripMargin
+
+  /** Customer balances rolled up to nation — broadcast dim join. Average is
+    * derived from the exact integer sum and count (single IEEE division) so
+    * it is reproducible across engines and partitionings. */
+  def nationBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"), sum(cents(col("c_acctbal"))).as("bal_cents"))
+    cust.join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name"),
+        col("n_customers"),
+        (col("bal_cents") / 100.0).as("total_acctbal"),
+        (col("bal_cents") / col("n_customers") / 100.0).as("avg_acctbal"))
+  }
+
+  def nationBalanceSql: String =
+    """SELECT n_name, n_customers,
+      |  bal_cents/100.0 AS total_acctbal,
+      |  bal_cents/n_customers/100.0 AS avg_acctbal
+      |FROM (
+      |  SELECT c_nationkey, count(*) AS n_customers,
+      |    CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+      |  FROM customer GROUP BY c_nationkey) s
+      |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  /** Set operation: union of two filtered order populations, then distinct
+    * count by status — exercises unionAll + distinct aggregation. */
+  def unionOrderStatus(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val big = ord.filter(col("o_totalprice") > 400000.0)
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+    big.unionAll(urgent)
+      .select(col("o_orderkey"), col("o_orderstatus")).distinct()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  def unionOrderStatusSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders FROM (
+      |  SELECT DISTINCT o_orderkey, o_orderstatus FROM (
+      |    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000.0
+      |    UNION ALL
+      |    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT') u) d
+      |GROUP BY o_orderstatus""".stripMargin
+}

@@ -1,0 +1,179 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's application workloads (wc, indexer, file-stats shapes —
+  * `/root/reference/src/mrapps/{wc,indexer,nocrash,early_exit}.go`) re-expressed
+  * as DataFrame queries over the `documents` table, plus the text-analysis
+  * operators a training-data pipeline needs (token stats, quality scoring,
+  * language stats).
+  *
+  * Tokenizer fidelity: the reference splits on non-letter runes
+  * (`unicode.IsLetter` complement, `/root/reference/src/mrapps/wc.go:21-24`),
+  * i.e. Unicode category L*. The Java regex `[^\p{L}]+` matches that spec
+  * exactly (SURVEY.md §7.4.1); `[a-zA-Z]` would not. Case is preserved.
+  *
+  * All expressions here are built-in Catalyst functions (no Scala UDFs), so
+  * they stay inside whole-stage codegen and the per-document work is purely
+  * narrow — embarrassingly parallel at any scale. Only the final group-by
+  * shuffles, with partial aggregation on the map side.
+  */
+object TextQueries {
+
+  /** Letter-run tokenizer per the reference spec; yields no empty tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "[^\\p{L}]+"), t => length(t) > 0)
+
+  /** A1 word count (`/root/reference/src/mrapps/wc.go:19-40`): tokenize every
+    * document, count occurrences per case-sensitive word. */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def wordCountSql: String =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word FROM documents) t
+      |WHERE word <> ''
+      |GROUP BY word""".stripMargin
+
+  /** A2 inverted index (`/root/reference/src/mrapps/indexer.go:20-39`):
+    * word → number of distinct containing documents + the sorted,
+    * comma-joined posting list. `array_distinct` dedups per document on the
+    * map side (mirroring the reference's per-doc `map[string]bool`) so the
+    * shuffle carries each (word, doc) pair once. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("string").as("doc"),
+        explode(array_distinct(tokens(col("text")))).as("word"))
+      .groupBy(col("word"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_set(col("doc")))).as("docs"))
+
+  def invertedIndexSql: String =
+    """SELECT word, count(*) AS n_docs,
+      |  array_to_string(list_sort(list(doc)), ',') AS docs
+      |FROM (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc,
+      |        unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+      |      FROM documents) t
+      |WHERE word <> ''
+      |GROUP BY word""".stripMargin
+
+  /** A3/A4 file-stats shape (`/root/reference/src/mrapps/nocrash.go:26-47`):
+    * each document emits 4 KVs — (a, name), (b, len(name)), (c, content
+    * length), (d, "xyzzy") — and each key's values are sorted and
+    * space-joined, exactly the reference reduce. */
+  def fileStats(spark: SparkSession, dir: String): DataFrame = {
+    val name = concat(lit("doc"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(explode(array(
+        struct(lit("a").as("key"), name.as("value")),
+        struct(lit("b").as("key"), length(name).cast("string").as("value")),
+        struct(lit("c").as("key"), col("n_chars").cast("string").as("value")),
+        struct(lit("d").as("key"), lit("xyzzy").as("value")))).as("kv"))
+      .select(col("kv.key").as("key"), col("kv.value").as("value"))
+      .groupBy(col("key"))
+      .agg(concat_ws(" ", sort_array(collect_list(col("value")))).as("value"))
+  }
+
+  def fileStatsSql: String =
+    """SELECT key, array_to_string(list_sort(list(value)), ' ') AS value FROM (
+      |  SELECT unnest(['a','b','c','d']) AS key,
+      |         unnest(['doc'||doc_id,
+      |                 CAST(length('doc'||doc_id) AS VARCHAR),
+      |                 CAST(n_chars AS VARCHAR),
+      |                 'xyzzy']) AS value
+      |  FROM documents) t
+      |GROUP BY key""".stripMargin
+
+  /** A8 per-file count shape (`/root/reference/src/mrapps/early_exit.go:19-23`):
+    * documents counted per source "file". */
+  def docCountBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  def docCountBySourceSql: String =
+    "SELECT source, count(*) AS n_docs FROM documents GROUP BY source"
+
+  /** Per-document token statistics. Letter count is computed by stripping
+    * non-letters (one regexp pass) rather than materializing token arrays
+    * twice; the average derives from exact ints with one IEEE division. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("bigint").as("n_tokens"),
+        size(array_distinct(toks)).cast("bigint").as("n_distinct"),
+        length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("bigint").as("n_letters"))
+      .withColumn("avg_token_len", col("n_letters") / col("n_tokens"))
+  }
+
+  def tokenStatsSql: String =
+    """SELECT doc_id,
+      |  len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_letters,
+      |  length(regexp_replace(text, '[^\p{L}]', '', 'g')) / len(toks) AS avg_token_len
+      |FROM (SELECT doc_id, text,
+      |        list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
+      |      FROM documents) s""".stripMargin
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Heuristic quality scoring: token count, stopword ratio, mean token
+    * length, and a boolean quality gate — the standard cheap pre-filter in a
+    * training-data pipeline. Ratios are int/int single divisions. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(StopWords.map(lit): _*)
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        size(toks).cast("bigint").as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("bigint").as("n_stop"),
+        length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("bigint").as("n_letters"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .withColumn("avg_token_len", col("n_letters") / col("n_tokens"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 10 && col("stop_ratio") < lit(0.5) && col("avg_token_len") >= 3)
+  }
+
+  def textQualitySql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, lang, n_tokens, n_stop, n_letters,
+       |  n_stop / n_tokens AS stop_ratio,
+       |  n_letters / n_tokens AS avg_token_len,
+       |  (n_tokens >= 10 AND n_stop / n_tokens < 0.5 AND n_letters / n_tokens >= 3) AS is_quality
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    len(toks) AS n_tokens,
+       |    len(list_filter(toks, t -> list_contains([$stopList], t))) AS n_stop,
+       |    length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_letters
+       |  FROM (SELECT doc_id, lang, text,
+       |          list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
+       |        FROM documents) s) q""".stripMargin
+  }
+
+  /** Corpus statistics by language tag. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  def langStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang""".stripMargin
+}

@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.dedup.DedupQueries
+import graft.events.EventQueries
+import graft.multimodal.MultimodalPipeline
 import graft.relational.RelationalQueries
+import graft.similarity.SimilarityQueries
 import graft.text.TextQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -39,6 +43,23 @@ object SparkEntry {
     "token_stats" -> (TextQueries.tokenStats _),
     "text_quality" -> (TextQueries.textQuality _),
     "lang_stats" -> (TextQueries.langStats _),
+    // Dedup pipeline
+    "doc_fingerprint" -> (DedupQueries.docFingerprint _),
+    "dedup_exact" -> (DedupQueries.dedupExact _),
+    "dedup_near" -> (DedupQueries.dedupNear _),
+    "simhash" -> (DedupQueries.simhash _),
+    // Similarity search
+    "embed_topk" -> (SimilarityQueries.topkBruteForce _),
+    "embed_topk_lsh" -> (SimilarityQueries.topkLsh _),
+    "label_centroids" -> (SimilarityQueries.labelCentroids _),
+    // Event-time analytics
+    "events_hourly" -> (EventQueries.hourly _),
+    "events_user_stats" -> (EventQueries.userStats _),
+    "events_sessions" -> (EventQueries.sessions _),
+    "events_top3_per_type" -> (EventQueries.top3PerType _),
+    "events_type_share" -> (EventQueries.typeShare _),
+    // Multimodal plumbing
+    "media_features" -> (MultimodalPipeline.mediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,5 +82,18 @@ object SparkEntry {
     "token_stats" -> TextQueries.tokenStatsSql,
     "text_quality" -> TextQueries.textQualitySql,
     "lang_stats" -> TextQueries.langStatsSql,
+    "doc_fingerprint" -> DedupQueries.docFingerprintSql,
+    "dedup_exact" -> DedupQueries.dedupExactSql,
+    "dedup_near" -> DedupQueries.dedupNearSql,
+    "simhash" -> DedupQueries.simhashSql,
+    "embed_topk" -> SimilarityQueries.topkBruteForceSql,
+    // embed_topk_lsh / label_centroids: approximate / summation-order
+    // dependent — no SQL oracle (driver rows-only check).
+    "events_hourly" -> EventQueries.hourlySql,
+    "events_user_stats" -> EventQueries.userStatsSql,
+    "events_sessions" -> EventQueries.sessionsSql,
+    "events_top3_per_type" -> EventQueries.top3PerTypeSql,
+    "events_type_share" -> EventQueries.typeShareSql,
+    "media_features" -> MultimodalPipeline.mediaFeaturesSql,
   )
 }

@@ -1,0 +1,165 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.text.TextQueries
+
+/** Deduplication operators over the `documents` table — the first stage of
+  * any large-scale training-data pipeline.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Exact dedup groups on a 128-bit content fingerprint (md5), never on the
+  *    raw text, so the shuffle carries 16-byte keys instead of documents.
+  *  - Near-dup detection is MinHash + banded LSH: signatures are computed
+  *    NARROW (per-row higher-order functions, no shuffle), candidate pairs
+  *    come from a self-equi-join on (band, band-hash) — never an all-pairs
+  *    cross join — and only candidates pay the exact-Jaccard verification.
+  *    With b=32 bands of r=2 rows, a pair at the 0.8 similarity threshold is
+  *    missed with probability (1-0.8²)³² ≈ 6e-15, so the verified output
+  *    equals the brute-force oracle.
+  *  - SimHash is the classic two-phase MapReduce shape: (doc, token) partial
+  *    counts, then 16 bit-plane sums per document.
+  */
+object DedupQueries {
+
+  /** Normalized content fingerprint: md5 of whitespace-collapsed text. */
+  private def fp(text: Column): Column =
+    md5(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Content fingerprint + leading-byte bucket per document. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        fp(col("text")).as("fp"),
+        substring(fp(col("text")), 1, 2).as("bucket"))
+
+  def docFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
+      |  substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 2) AS bucket
+      |FROM documents""".stripMargin
+
+  /** Exact dedup: every document mapped to the keeper (minimum doc_id) of its
+    * fingerprint group. The window shuffles by the 16-byte fingerprint only. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fp(col("text")).as("fp"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keeper"))
+  }
+
+  def dedupExactSql: String =
+    """SELECT doc_id, fp,
+      |  min(doc_id) OVER (PARTITION BY fp) AS keeper,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+      |FROM (SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+      |      FROM documents) t""".stripMargin
+
+  private val NumBands = 32 // × 2 rows = the 64 hashes of MinHashSig
+
+  /** Near-duplicate pairs at 3-gram Jaccard ≥ 0.8 via MinHash-LSH.
+    *
+    * Phases: (1) narrow — the native `minhash_sig` expression
+    * ([[graft.functions.MinHashSig]]) computes the full tokenize → shingle →
+    * dedup → 64-minhash signature in one JVM loop per document (the
+    * composed-builtin version runs interpreted and was ~50× slower); the
+    * repartition spreads that CPU across cores since the documents table
+    * arrives as few parquet splits. (2) 32 two-row bands → self-equi-join on
+    * (band, hash) generates candidate pairs — never an all-pairs product.
+    * (3) exact-Jaccard verification (native `shingle_set`) on candidates
+    * only. With b=32/r=2 a true 0.8-Jaccard pair escapes all bands with
+    * probability (1-0.8²)³² ≈ 6e-15, so the output equals the brute-force
+    * oracle. */
+  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val sig = docs
+      .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
+      .filter(size(col("sig")) > 0)
+    val bandCols = (0 until NumBands).map(j =>
+      struct(lit(j).as("band"),
+        xxhash64(expr(s"sig[${2 * j}]"), expr(s"sig[${2 * j + 1}]")).as("bh")))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sets = docs.select(col("doc_id"), expr("shingle_set(text)").as("s"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))) / size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Brute-force oracle: the exact pair set the LSH path must reproduce.
+    * (All-pairs is fine for DuckDB at sf0.01; the Spark path never does this.) */
+  def dedupNearSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
+      |        FROM documents) t
+      |  WHERE len(toks) >= 3)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+      |WHERE jaccard >= 0.8""".stripMargin
+
+  private val SimHashBits = 16
+
+  /** 16-bit SimHash per document, weighting each distinct token by its
+    * occurrence count. The token hash is the first 4 hex digits of md5 so the
+    * same value is computable in any engine. Two-phase aggregate: per-(doc,
+    * token) counts (partial agg map-side), then 16 bit-plane sums per doc. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextQueries.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("word")), 1, 4), 16, 10).cast("int"))
+    val bitSums = (0 until SimHashBits).map(j =>
+      sum(when(expr(s"(h >> $j) % 2 = 1"), col("cnt")).otherwise(-col("cnt"))).as(s"s$j"))
+    val sig = (0 until SimHashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    wc.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def simhashSql: String = {
+    val bitSums = (0 until SimHashBits).map(j =>
+      s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN cnt ELSE -cnt END) AS s$j").mkString(",\n    ")
+    val sig = (0 until SimHashBits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH wc AS (
+       |  SELECT doc_id, word, count(*) AS cnt,
+       |    ('0x' || substr(md5(word), 1, 4))::INTEGER AS h
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
+       |        FROM documents) t
+       |  WHERE word <> ''
+       |  GROUP BY doc_id, word),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM wc GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+}

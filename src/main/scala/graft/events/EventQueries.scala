@@ -1,0 +1,143 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Event-time analytics over the `events` table (the batch twins of the
+  * Structured Streaming operators in [[graft.streaming]]).
+  *
+  * Timestamps are reduced to whole epoch seconds (`unix_timestamp`) before
+  * arithmetic: the source column is nanosecond-precision parquet, and whole
+  * seconds are the precision every engine agrees on. Money sums follow the
+  * integer-cents policy (see RelationalQueries).
+  */
+object EventQueries {
+
+  /** Tumbling 1-hour window per event type — Spark's `window()` operator;
+    * the bucket is emitted as epoch seconds so it is engine-portable. */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (sum(round(col("value") * 100).cast("bigint")) / 100.0).as("total_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_start"),
+        col("event_type"), col("n_events"), col("n_users"), col("total_value"))
+
+  def hourlySql: String =
+    """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+      |  event_type,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Per-user activity profile, top 50 most active. */
+  def userStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(unix_timestamp(col("ts"))).as("first_seen"),
+        max(unix_timestamp(col("ts"))).as("last_seen"),
+        (sum(round(col("value") * 100).cast("bigint")) / 100.0).as("total_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(50)
+
+  def userStatsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  count(DISTINCT event_type) AS n_types,
+      |  CAST(min(floor(epoch(ts))) AS BIGINT) AS first_seen,
+      |  CAST(max(floor(epoch(ts))) AS BIGINT) AS last_seen,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY n_events DESC, user_id
+      |LIMIT 50""".stripMargin
+
+  private val SessionGapSec = 1800L
+
+  /** Sessionization (30-minute inactivity gap) — the batch analog of a
+    * streaming session window. A session starts where the gap from the
+    * previous event of the same user exceeds the threshold; the running sum
+    * of session-start markers numbers the sessions. One shuffle (by user),
+    * then everything is computed within the per-user sort order. */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val evts = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("new_session",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > SessionGapSec, 1)
+          .when(lag(col("sec"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    evts.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n"), (max(col("sec")) - min(col("sec"))).as("dur"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n")).as("max_session_events"),
+        max(col("dur")).as("max_session_secs"))
+  }
+
+  def sessionsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, ts
+       |  FROM events),
+       |marked AS (
+       |  SELECT user_id, sec, ts, event_id,
+       |    CASE WHEN lag(sec) OVER w IS NULL THEN 1
+       |         WHEN sec - lag(sec) OVER w > $SessionGapSec THEN 1
+       |         ELSE 0 END AS new_session
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT user_id, sec,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM marked),
+       |per_session AS (
+       |  SELECT user_id, session_idx, count(*) AS n, max(sec) - min(sec) AS dur
+       |  FROM numbered GROUP BY user_id, session_idx)
+       |SELECT user_id, count(*) AS n_sessions,
+       |  max(n) AS max_session_events, max(dur) AS max_session_secs
+       |FROM per_session GROUP BY user_id""".stripMargin
+
+  /** Top-3 events per type by value — ranking window over a keyed partition. */
+  def top3PerType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("event_type"), col("rn").cast("bigint").as("rn"), col("event_id"), col("value"))
+
+  def top3PerTypeSql: String =
+    """SELECT event_type, rn, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn <= 3""".stripMargin
+
+  /** Share of traffic per event type — global-window aggregate; the share is
+    * one int/int division so it is engine-exact. */
+  def typeShare(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    counts
+      .withColumn("share", col("n_events") / sum(col("n_events")).over(Window.partitionBy()))
+  }
+
+  def typeShareSql: String =
+    """SELECT event_type, n_events,
+      |  n_events / sum(n_events) OVER () AS share
+      |FROM (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type) t""".stripMargin
+}

@@ -1,0 +1,27 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.functions.ShingleExpressions
+
+/** Session extension installing graft's native functions. Usable both
+  * programmatically ([[GraftSession.builder]]) and via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(ShingleExpressions.minHashSigDescriptor)
+    ext.injectFunction(ShingleExpressions.shingleSetDescriptor)
+  }
+}
+
+/** SparkSession factory with graft extensions + the scale-appropriate local
+  * defaults (shuffle partitions = cores, not 200). */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

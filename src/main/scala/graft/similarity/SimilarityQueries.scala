@@ -1,0 +1,136 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`ArrayType(FloatType)`,
+  * dim 64).
+  *
+  * Two paths, as a 100 TB design requires:
+  *  - [[topkBruteForce]] — the exactness baseline: a small query set is
+  *    broadcast against the full corpus (one narrow pass over the big side,
+  *    no shuffle of the corpus), cosine in codegen'd higher-order functions,
+  *    per-query top-k via window rank. Cost is O(|corpus|·|queries|); correct
+  *    whenever the query set is small.
+  *  - [[topkLsh]] — the scale path: random-hyperplane signatures bucket the
+  *    corpus; each query only scores its own bucket (plus 1-bit multiprobe
+  *    neighbors). Candidate generation is an equi-join on the signature, so
+  *    the corpus is scanned once and shuffled by an 8-bit key — never an
+  *    all-pairs product.
+  *
+  * All float vectors are cast to double before arithmetic and folds run
+  * strictly left-to-right (`aggregate`), so cosine values are bit-identical
+  * to any engine doing the same ordered fold — which the DuckDB oracle does.
+  */
+object SimilarityQueries {
+
+  /** Sum of squares, folded in index order. */
+  private def norm2(v: Column): Column =
+    aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private val NumQueries = 5
+  private val K = 10
+
+  /** Exact cosine top-k for query vectors vec_id < 5 against the corpus. */
+  def topkBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", norm2(col("e")))
+    val q = base
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("qe"), col("e")) / (sqrt(col("qn")) * sqrt(col("nrm"))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("cosine"))
+  }
+
+  def topkBruteForceSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, x) -> a + x) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q_id, b.vec_id AS vec_id,
+       |    list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * b.e[i]), (a, x) -> a + x)
+       |      / (sqrt(qn) * sqrt(b.nrm)) AS cosine
+       |  FROM q, n b WHERE b.vec_id <> q_id)
+       |SELECT q_id, vec_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $K""".stripMargin
+
+  private val NumPlanes = 8
+
+  /** Deterministic Rademacher (±1) hyperplanes: plane p, dimension d. */
+  private def planeSign(p: Int, d: Int): Double = {
+    // splitmix64-style mix of (p, d) — a fixed, engine-independent constant.
+    var z = p.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^= z >>> 31
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** 8-bit random-hyperplane signature of a double-array column. */
+  private def signature(v: Column, dim: Int): Column =
+    (0 until NumPlanes).map { p =>
+      val proj = (0 until dim)
+        .map(d => element_at(v, d + 1) * lit(planeSign(p, d)))
+        .reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val EmbeddingDim = 64
+
+  /** Approximate top-k: score only corpus vectors whose signature matches the
+    * query's bucket or any 1-bit flip of it (multiprobe). Recall is validated
+    * against [[topkBruteForce]] in the test suite; no SQL oracle (the
+    * driver's rows-only check applies). */
+  def topkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", norm2(col("e")))
+      .withColumn("sig", signature(col("e"), EmbeddingDim))
+    // probe buckets: the query's own signature + each 1-bit flip (multiprobe)
+    val probes = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("sig").as("qsig"))
+      .withColumn("flip",
+        explode(array((lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p))): _*)))
+      .withColumn("probe_sig", col("qsig").bitwiseXOR(col("flip")))
+    val cand = base.join(broadcast(probes), col("sig") === col("probe_sig") &&
+        col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+    cand
+      .withColumn("cosine", dot(col("qe"), col("e")) / (sqrt(col("qn")) * sqrt(col("nrm"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("cosine"))
+  }
+
+  /** Element-wise centroid of each label's embeddings — the IVF coarse
+    * quantizer build step. Position-exploded so partial aggregation applies;
+    * no vector leaves a single reduce task. Rows-only check (float summation
+    * order is partition-dependent, so no exact SQL oracle). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("v"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vectors"),
+        array_sort(collect_list(struct(col("pos"), col("v")))).getField("v").as("centroid"))
+}

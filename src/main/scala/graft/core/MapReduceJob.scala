@@ -1,0 +1,93 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's programming model (`/root/reference/src/mr/worker.go:39`):
+  * a job is a user map function `(filename, contents) → [(key, value)]` and a
+  * user reduce function `(key, [values]) → value`, over whole text files,
+  * producing sorted `"key value"` text lines.
+  *
+  * This facade reproduces that contract on Spark primitives, one stage per
+  * reference operator (SURVEY.md §2.1):
+  *  - F1 whole-file scan → `wholetext` text source + `input_file_name()`
+  *  - F2 generic map     → `flatMap(mapf)`
+  *  - F4/F5 shuffle      → the Exchange under `groupByKey` (hash partitioning)
+  *  - F6/F7 group+reduce → `groupByKey.mapGroups(reducef)` — values for one
+  *    key are materialized per group exactly like the reference's `[]string`
+  *  - F8 text sink       → `"key value"` lines via [[writeText]]
+  *
+  * The reference's F9–F16 (scheduling, liveness, retry, barrier, RPC) are
+  * Spark's scheduler; nothing to reimplement. Unlike the reference, reduces
+  * that are commutative monoids should prefer [[runAggregated]], which
+  * lowers to a partial-aggregable Spark aggregate — at 100 TB the holistic
+  * `mapGroups` path ships every value through the shuffle, the aggregated
+  * path ships one partial per map partition.
+  */
+final class MapReduceJob(
+    mapf: (String, String) => IterableOnce[(String, String)],
+    reducef: (String, Seq[String]) => String,
+    nReduce: Int = 10) extends Serializable {
+
+  /** Run map → shuffle → reduce; returns (key, value) rows. */
+  def run(spark: SparkSession, inputGlob: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    val files = MapReduceJob.wholeFiles(spark, inputGlob)
+    val mapped = files.flatMap { case (name, contents) => mapf(name, contents) }
+    mapped
+      .repartition(nReduce, col("_1"))
+      .groupByKey(_._1)
+      .mapGroups((k, vs) => (k, reducef(k, vs.map(_._2).toSeq)))
+  }
+
+  /** Run and write the reference's text-sink format (`"%v %v\n"` per
+    * `/root/reference/src/mr/worker.go:189`), one file per reduce partition,
+    * through Spark's committer (atomic, unlike the reference's bare
+    * `os.Create`). */
+  def runToText(spark: SparkSession, inputGlob: String, outDir: String): Unit =
+    MapReduceJob.writeText(run(spark, inputGlob), outDir)
+}
+
+object MapReduceJob {
+
+  /** F1: each input file as one `(basename, contents)` row.
+    * (`wholetext` is correct for the parity corpus; 100 TB inputs use the
+    * columnar sources instead — SURVEY.md §7.4.4.) */
+  def wholeFiles(spark: SparkSession, inputGlob: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.read.option("wholetext", value = true).text(inputGlob)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
+        col("value"))
+      .as[(String, String)]
+  }
+
+  /** F8: `"key value"` text lines through the output committer. */
+  def writeText(rows: Dataset[(String, String)], outDir: String): Unit =
+    rows.select(concat_ws(" ", col("_1"), col("_2")).as("value"))
+      .write.mode("overwrite").text(outDir)
+
+  /** The merged, sorted view the reference harness checks
+    * (`sort mr-out* | grep .` — `/root/reference/src/main/test-mr.sh:103`). */
+  def mergedLines(rows: Dataset[(String, String)]): Seq[String] = {
+    import rows.sparkSession.implicits._
+    rows.map { case (k, v) => s"$k $v" }.collect().sorted.toIndexedSeq
+  }
+
+  /** The commutative-reduce lowering: when the user reduce is a fold over a
+    * monoid (count, sum, …), express it as a Spark aggregate column so the
+    * engine combines partially on the map side. Same output contract. */
+  def runAggregated(
+      spark: SparkSession,
+      inputGlob: String,
+      mapf: (String, String) => IterableOnce[(String, String)],
+      agg: org.apache.spark.sql.Column,
+      nReduce: Int = 10): DataFrame = {
+    import spark.implicits._
+    wholeFiles(spark, inputGlob)
+      .flatMap { case (name, contents) => mapf(name, contents) }
+      .toDF("key", "value")
+      .groupBy(col("key"))
+      .agg(agg.cast("string").as("value"))
+  }
+}

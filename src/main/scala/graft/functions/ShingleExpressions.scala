@@ -28,7 +28,7 @@ object ShingleExpressions {
   val ShingleWords = 3
 
   /** Distinct word-`n`-gram strings of a document, single pass. */
-  private[functions] def shingles(text: String): mutable.LinkedHashSet[String] = {
+  def shingles(text: String): mutable.LinkedHashSet[String] = {
     val toks = mutable.ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -49,7 +49,7 @@ object ShingleExpressions {
   }
 
   /** FNV-1a 64-bit over UTF-8 bytes with a final avalanche. */
-  private[functions] def hash64(s: String): Long = {
+  def hash64(s: String): Long = {
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -58,7 +58,7 @@ object ShingleExpressions {
   }
 
   /** splitmix64 finalizer. */
-  private[functions] def mix(x: Long): Long = {
+  def mix(x: Long): Long = {
     var z = x + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events shape — the streaming
+  * twins of [[graft.events.EventQueries]]. Each takes a DataFrame that may
+  * be a `readStream` source (tests drive them with MemoryStream) or a batch
+  * frame (same semantics, no state).
+  *
+  * Watermarks bound state: hourly aggregation keeps at most
+  * (watermark / window) open windows per event type, and sessionization
+  * drops per-user state once the gap timeout fires — both O(active keys),
+  * never O(history), which is what lets them run indefinitely at scale.
+  */
+object StreamingEvents {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class SessionSummary(user_id: Long, n_events: Long, start_sec: Long, end_sec: Long)
+
+  /** Tumbling 1-hour counts per event type with a late-data watermark. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("bigint")) / 100.0).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"), col("total_value"))
+
+  val SessionGapSec = 1800L
+
+  /** Event-time sessionization via `flatMapGroupsWithState`: per-user state
+    * is (session start, last seen, count); a gap beyond the timeout emits
+    * the closed session and re-arms. The streaming analog of
+    * EventQueries.sessions. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingEvents.updateSession)
+  }
+
+  /** State-update function (top-level so the closure serializes cleanly):
+    * state is (session start sec, last seen sec, event count). */
+  private def updateSession(
+      userId: Long,
+      evts: Iterator[Event],
+      state: GroupState[(Long, Long, Long)]): Iterator[SessionSummary] = {
+    val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var out = List.empty[SessionSummary]
+    var cur = state.getOption
+    if (state.hasTimedOut) {
+      cur.foreach { case (start, end, n) => out ::= SessionSummary(userId, n, start, end) }
+      cur = None
+    }
+    sorted.foreach { e =>
+      val sec = e.ts.getTime / 1000
+      cur = cur match {
+        case Some((start, end, n)) if sec - end <= SessionGapSec => Some((start, sec, n + 1))
+        case Some((start, end, n)) =>
+          out ::= SessionSummary(userId, n, start, end)
+          Some((sec, sec, 1L))
+        case None => Some((sec, sec, 1L))
+      }
+    }
+    cur match {
+      case Some(s) =>
+        state.update(s)
+        state.setTimeoutTimestamp(s._2 * 1000 + SessionGapSec * 1000)
+      case None => state.remove()
+    }
+    out.reverseIterator
+  }
+}

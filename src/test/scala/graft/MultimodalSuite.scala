@@ -1,0 +1,35 @@
+package graft
+
+import graft.multimodal.MultimodalPipeline
+
+/** The multimodal plumbing: binary columns in, per-batch feature extraction
+  * executor-side, features out. */
+class MultimodalSuite extends SparkSpec {
+
+  test("binary media rows flow through partition-batched extraction") {
+    val media = MultimodalPipeline.mediaFromDocuments(spark, Sf0001)
+    val feats = MultimodalPipeline.extractFeatures(media, batchSize = 7).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0)
+      assert(f.format.nonEmpty)
+    }
+  }
+
+  test("stub decoder is deterministic (checksum stable across runs)") {
+    val a = MultimodalPipeline.extractFeatures(
+      MultimodalPipeline.mediaFromDocuments(spark, Sf0001)).collect().sortBy(_.id)
+    val b = MultimodalPipeline.extractFeatures(
+      MultimodalPipeline.mediaFromDocuments(spark, Sf0001), batchSize = 3).collect().sortBy(_.id)
+    assert(a.map(_.checksum).toSeq == b.map(_.checksum).toSeq)
+  }
+
+  test("expression path agrees with mapPartitions path on byte length") {
+    import spark.implicits._
+    val viaExpr = MultimodalPipeline.mediaFeatures(spark, Sf0001)
+      .select($"doc_id", $"n_bytes").as[(Long, Long)].collect().toMap
+    val viaMap = MultimodalPipeline.extractFeatures(
+      MultimodalPipeline.mediaFromDocuments(spark, Sf0001)).collect()
+    viaMap.foreach(f => assert(viaExpr(f.id) == f.n_bytes))
+  }
+}

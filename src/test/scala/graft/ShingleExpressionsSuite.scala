@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashSig, ShingleExpressions}
+
+/** Unit + integration coverage for the native dedup expressions. */
+class ShingleExpressionsSuite extends SparkSpec {
+
+  test("shingles: distinct 3-grams over letter-run tokens") {
+    val s = ShingleExpressions.shingles("the quick fox, the quick fox jumps!")
+    assert(s == collection.mutable.LinkedHashSet(
+      "the quick fox", "quick fox the", "fox the quick", "quick fox jumps"))
+    assert(ShingleExpressions.shingles("one two").isEmpty)
+    assert(ShingleExpressions.shingles("").isEmpty)
+  }
+
+  test("tokenization matches the \\p{L} spec incl. non-ASCII letters") {
+    val s = ShingleExpressions.shingles("naïve Ärger 42 œuf deux-points")
+    assert(s.head == "naïve Ärger œuf")
+  }
+
+  test("hash64 is deterministic and well-spread") {
+    val hs = (1 to 1000).map(i => ShingleExpressions.hash64(s"shingle $i"))
+    assert(hs.distinct.size == 1000)
+    assert(ShingleExpressions.hash64("abc") == ShingleExpressions.hash64("abc"))
+  }
+
+  test("minhash_sig SQL function: 64 longs, equal texts ⇒ equal signatures") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words entirely here")
+    ).toDF("id", "text").select(col("id"), expr("minhash_sig(text)").as("sig"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L).length == MinHashSig.NumHashes)
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+  }
+
+  test("minhash collision rate tracks Jaccard similarity") {
+    import spark.implicits._
+    // letter-only words (digits are token separators per the \p{L} spec)
+    def w(i: Int) = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val base = (1 to 40).map(w).mkString(" ")
+    val similar = (1 to 38).map(w).mkString(" ") + " xq xz" // high overlap
+    val df = Seq((1L, base), (2L, similar)).toDF("id", "text")
+      .select(col("id"), expr("minhash_sig(text)").as("sig"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = m(1L).zip(m(2L)).count { case (a, b) => a == b }
+    // true 3-gram jaccard ≈ 36/44 ≈ 0.82 → expect roughly that fraction of
+    // the 64 hashes to agree; allow a generous band
+    assert(agree > 32 && agree < 64, s"agree=$agree")
+  }
+
+  test("shingle_set SQL function round-trips") {
+    import spark.implicits._
+    val got = Seq("a b c d").toDF("text")
+      .select(expr("shingle_set(text)").as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
+  }
+
+  test("empty/short documents yield empty signatures, not nulls") {
+    import spark.implicits._
+    val df = Seq("", "one", "one two").toDF("text")
+      .select(expr("minhash_sig(text)").as("sig"), expr("shingle_set(text)").as("s"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0).isEmpty)
+      assert(r.getSeq[String](1).isEmpty)
+    }
+  }
+}

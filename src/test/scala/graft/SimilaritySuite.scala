@@ -1,0 +1,43 @@
+package graft
+
+import graft.similarity.SimilarityQueries
+
+/** Structural and cross-checking tests for the similarity-search operators
+  * at sf0.001 (500 vectors, dim 64). */
+class SimilaritySuite extends SparkSpec {
+
+  test("brute-force top-k: 5 queries × 10 ranked neighbors, no self-matches") {
+    val rows = SimilarityQueries.topkBruteForce(spark, Sf0001).collect()
+    assert(rows.length == 50)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).toSet.size == 10) // distinct neighbors
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to 10L)) // ranks 1..10
+      val sorted = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b }) // descending cosine
+    }
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+  }
+
+  test("LSH top-k scores agree with brute force on shared (query, neighbor) pairs") {
+    val bf = SimilarityQueries.topkBruteForce(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val lsh = SimilarityQueries.topkLsh(spark, Sf0001).collect()
+    assert(lsh.nonEmpty)
+    val shared = lsh.flatMap { r =>
+      bf.get((r.getLong(0), r.getLong(1))).map(b => (r.getDouble(3), b))
+    }
+    assert(shared.nonEmpty)
+    shared.foreach { case (l, b) => assert(l == b, "cosine must be bit-identical") }
+  }
+
+  test("label centroids: one row per label, centroid has full dimensionality") {
+    val rows = SimilarityQueries.labelCentroids(spark, Sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getSeq[Double](2).length == 64)
+      assert(r.getLong(1) > 0)
+    }
+  }
+}

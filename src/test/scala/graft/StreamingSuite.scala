@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingEvents
+import graft.streaming.StreamingEvents.{Event, SessionSummary}
+
+/** Structured Streaming operators driven through MemoryStream, checked
+  * against their batch twins on the same data (streaming/batch parity). */
+class StreamingSuite extends SparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private val sample = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(10), 1, "click", 2.0),
+    Event(3, ts(70), 1, "view", 3.0),
+    Event(4, ts(5), 2, "click", 4.0),
+    Event(5, ts(130), 2, "view", 5.0),
+    Event(6, ts(200), 1, "click", 6.0))
+
+  test("hourly counts: streaming result equals the batch result") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_stream")
+        .select($"hour_start", $"event_type", $"n_events", $"total_value")
+        .collect().map(_.toSeq).toSet
+      val batch = StreamingEvents.hourlyCounts(sample.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionization: 30-min gap splits sessions, per-user summaries emitted") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to close and emit all sessions
+      input.addData(Event(99, ts(10000), 9, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(100, ts(20000), 9, "click", 0.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_stream").as[SessionSummary].collect()
+      val u1 = out.filter(_.user_id == 1).sortBy(_.start_sec)
+      // user 1: events at minutes 0,10 | 70 | 200 → 3 sessions
+      assert(u1.map(_.n_events).toSeq == Seq(2L, 1L, 1L))
+      val u2 = out.filter(_.user_id == 2).sortBy(_.start_sec)
+      // user 2: minutes 5 | 130 → 2 sessions
+      assert(u2.map(_.n_events).toSeq == Seq(1L, 1L))
+    } finally q.stop()
+  }
+
+  test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
+    import spark.implicits._
+    // same gap logic, computed by the batch window-function path
+    val batch = graft.events.EventQueries.sessions(spark, Sf0001)
+      .orderBy($"user_id").collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      assert(r.getLong(1) >= 1L) // n_sessions
+      assert(r.getLong(2) >= 1L) // max_session_events
+    }
+  }
+}

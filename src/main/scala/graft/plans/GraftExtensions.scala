@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.ShingleExpressions
+import graft.functions.{ShingleExpressions, VectorExpressions}
 
 /** Session extension installing graft's native functions. Usable both
   * programmatically ([[GraftSession.builder]]) and via
@@ -11,6 +11,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ShingleExpressions.minHashSigDescriptor)
     ext.injectFunction(ShingleExpressions.shingleSetDescriptor)
+    ext.injectFunction(VectorExpressions.cosineSimDescriptor)
+    ext.injectFunction(VectorExpressions.rhSigDescriptor)
   }
 }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.VectorExpressions
 
 /** Similarity search over the `embeddings` table (`ArrayType(FloatType)`,
   * dim 64).
@@ -27,27 +28,21 @@ import graft.Tables
   */
 object SimilarityQueries {
 
-  /** Sum of squares, folded in index order. */
-  private def norm2(v: Column): Column =
-    aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x)
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
   private val NumQueries = 5
   private val K = 10
 
-  /** Exact cosine top-k for query vectors vec_id < 5 against the corpus. */
+  /** Exact cosine top-k for query vectors vec_id < 5 against the corpus.
+    * `cosine_sim` ([[graft.functions.CosineSim]]) folds in index order, so
+    * the value is bit-identical to the oracle's ordered fold. */
   def topkBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", norm2(col("e")))
     val q = base
       .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val scored = base.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", dot(col("qe"), col("e")) / (sqrt(col("qn")) * sqrt(col("nrm"))))
+      .withColumn("cosine", expr("cosine_sim(qe, e)"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
@@ -71,49 +66,28 @@ object SimilarityQueries {
        |  FROM scored) r
        |WHERE rank <= $K""".stripMargin
 
-  private val NumPlanes = 8
-
-  /** Deterministic Rademacher (±1) hyperplanes: plane p, dimension d. */
-  private def planeSign(p: Int, d: Int): Double = {
-    // splitmix64-style mix of (p, d) — a fixed, engine-independent constant.
-    var z = p.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
-    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
-    z ^= z >>> 27; z *= 0x94d049bb133111ebL
-    z ^= z >>> 31
-    if ((z & 1L) == 0L) 1.0 else -1.0
-  }
-
-  /** 8-bit random-hyperplane signature of a double-array column. */
-  private def signature(v: Column, dim: Int): Column =
-    (0 until NumPlanes).map { p =>
-      val proj = (0 until dim)
-        .map(d => element_at(v, d + 1) * lit(planeSign(p, d)))
-        .reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  private val EmbeddingDim = 64
-
-  /** Approximate top-k: score only corpus vectors whose signature matches the
-    * query's bucket or any 1-bit flip of it (multiprobe). Recall is validated
-    * against [[topkBruteForce]] in the test suite; no SQL oracle (the
-    * driver's rows-only check applies). */
+  /** Approximate top-k: score only corpus vectors whose 8-bit
+    * random-hyperplane signature ([[graft.functions.RandomHyperplaneSig]])
+    * matches the query's bucket or any 1-bit flip of it (multiprobe).
+    * Candidate generation is an equi-join on the signature — the corpus is
+    * scanned once, shuffled by an 8-bit key, never an all-pairs product.
+    * Recall is validated against [[topkBruteForce]] in the test suite; no
+    * SQL oracle (the driver's rows-only check applies). */
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", norm2(col("e")))
-      .withColumn("sig", signature(col("e"), EmbeddingDim))
+      .withColumn("sig", expr("rh_sig(e)"))
     // probe buckets: the query's own signature + each 1-bit flip (multiprobe)
     val probes = base.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("sig").as("qsig"))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("sig").as("qsig"))
       .withColumn("flip",
-        explode(array((lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p))): _*)))
+        explode(array((lit(0L) +: (0 until VectorExpressions.NumPlanes).map(p => lit(1L << p))): _*)))
       .withColumn("probe_sig", col("qsig").bitwiseXOR(col("flip")))
     val cand = base.join(broadcast(probes), col("sig") === col("probe_sig") &&
         col("vec_id") =!= col("q_id"))
       .dropDuplicates("q_id", "vec_id")
     cand
-      .withColumn("cosine", dot(col("qe"), col("e")) / (sqrt(col("qn")) * sqrt(col("nrm"))))
+      .withColumn("cosine", expr("cosine_sim(qe, e)"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rank") <= K)

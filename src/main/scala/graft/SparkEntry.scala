@@ -7,7 +7,7 @@ import graft.events.EventQueries
 import graft.multimodal.MultimodalPipeline
 import graft.relational.RelationalQueries
 import graft.similarity.SimilarityQueries
-import graft.text.TextQueries
+import graft.text.{LangQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,12 @@ object SparkEntry {
     "token_stats" -> (TextQueries.tokenStats _),
     "text_quality" -> (TextQueries.textQuality _),
     "lang_stats" -> (TextQueries.langStats _),
+    "q6_forecast" -> (RelationalQueries.q6Forecast _),
+    "orders_rollup" -> (RelationalQueries.ordersRollup _),
+    "lang_id" -> (LangQueries.langId _),
+    "token_count_bpe" -> (LangQueries.tokenCountBpe _),
+    "rolling_fingerprint" -> (LangQueries.rollingFingerprint _),
+    "events_running_totals" -> (EventQueries.runningTotals _),
     // Dedup pipeline
     "doc_fingerprint" -> (DedupQueries.docFingerprint _),
     "dedup_exact" -> (DedupQueries.dedupExact _),
@@ -82,6 +88,12 @@ object SparkEntry {
     "token_stats" -> TextQueries.tokenStatsSql,
     "text_quality" -> TextQueries.textQualitySql,
     "lang_stats" -> TextQueries.langStatsSql,
+    "q6_forecast" -> RelationalQueries.q6ForecastSql,
+    "orders_rollup" -> RelationalQueries.ordersRollupSql,
+    "lang_id" -> LangQueries.langIdSql,
+    "token_count_bpe" -> LangQueries.tokenCountBpeSql,
+    "rolling_fingerprint" -> LangQueries.rollingFingerprintSql,
+    "events_running_totals" -> EventQueries.runningTotalsSql,
     "doc_fingerprint" -> DedupQueries.docFingerprintSql,
     "dedup_exact" -> DedupQueries.dedupExactSql,
     "dedup_near" -> DedupQueries.dedupNearSql,

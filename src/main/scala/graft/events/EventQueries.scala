@@ -126,6 +126,34 @@ object EventQueries {
       |  FROM events) t
       |WHERE rn <= 3""".stripMargin
 
+  /** Per-user running totals — a window FRAME (rows unbounded preceding),
+    * distinct from the ranking windows above. Cumulative sums are over exact
+    * integer cents, so every prefix is engine-exact. Limited to the first
+    * 200 events by id to keep the verify dump small; the frame itself is
+    * unbounded. */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_id") < 200)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("bigint").as("cents"), col("ts"))
+      .withColumn("running_value", sum(col("cents")).over(w) / 100.0)
+      .withColumn("running_n", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("running_value"), col("running_n"))
+  }
+
+  def runningTotalsSql: String =
+    """SELECT user_id, event_id,
+      |  sum(CAST(round(value*100) AS BIGINT))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) / 100.0
+      |    AS running_value,
+      |  count(*)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |    AS running_n
+      |FROM events
+      |WHERE event_id < 200""".stripMargin
+
   /** Share of traffic per event type — global-window aggregate; the share is
     * one int/int division so it is engine-exact. */
   def typeShare(spark: SparkSession, dir: String): DataFrame = {

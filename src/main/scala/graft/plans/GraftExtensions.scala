@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{ShingleExpressions, VectorExpressions}
+import graft.functions.{RollingHash, ShingleExpressions, VectorExpressions}
 
 /** Session extension installing graft's native functions. Usable both
   * programmatically ([[GraftSession.builder]]) and via
@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ShingleExpressions.shingleSetDescriptor)
     ext.injectFunction(VectorExpressions.cosineSimDescriptor)
     ext.injectFunction(VectorExpressions.rhSigDescriptor)
+    ext.injectFunction(RollingHash.descriptor)
   }
 }
 

@@ -236,6 +236,54 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** TPC-H Q6 shape: pure scan-filter-aggregate, the pushdown showcase —
+    * every predicate reaches the parquet reader, one row comes back per
+    * partition. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(
+        (sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  def q6ForecastSql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)/10000.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Grouping sets via ROLLUP, expressed through the SQL API (temp views +
+    * `spark.sql`) — the declared-SQL surface of the engine. Rolled-up nulls
+    * are COALESCEd to 'ALL' so the hierarchy is explicit and portable. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      // 100.0D: Spark SQL parses a bare 100.0 as DECIMAL (DuckDB: DOUBLE);
+      // the D suffix pins the division to double on both engines' plans.
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0D AS total_price
+        |FROM orders_v
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
+  }
+
+  def ordersRollupSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
   def unionOrderStatusSql: String =
     """SELECT o_orderstatus, count(*) AS n_orders FROM (
       |  SELECT DISTINCT o_orderkey, o_orderstatus FROM (

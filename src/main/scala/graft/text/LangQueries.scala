@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Language identification and tokenizer-cost estimation — the remaining
+  * text-analysis operators a training-data pipeline runs per document.
+  * Everything is per-row (narrow, codegen'd built-ins); nothing shuffles
+  * until a downstream aggregate.
+  */
+object LangQueries {
+
+  /** Stopword profiles per language (function words frequent enough to
+    * discriminate). The classifier scores each profile against the
+    * document's token set and takes the first maximum in fixed order —
+    * deterministic in any engine. */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une"))
+
+  /** N-gram/stopword language-ID heuristic: per-language hit counts over the
+    * document's tokens, winner-takes-first-max, 'und' (undetermined) when no
+    * profile matches. Includes agreement with the labeled `lang` column. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextQueries.tokens(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .select(col("doc_id") +: col("lang") +: Profiles.map { case (l, ws) =>
+        val arr = array(ws.map(lit): _*)
+        size(filter(col("toks"), t => array_contains(arr, t))).cast("bigint").as(s"s_$l")
+      }: _*)
+    val best = greatest(Profiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val predicted = Profiles.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight + otherwise-chaining means the FIRST profile in order wins
+    // ties, matching the SQL CASE below.
+    scored
+      .withColumn("predicted", predicted)
+      .withColumn("agrees", col("predicted") === col("lang"))
+  }
+
+  def langIdSql: String = {
+    val scoreCols = Profiles.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> list_contains([$list], t))) AS s_$l"
+    }.mkString(",\n    ")
+    val best = s"greatest(${Profiles.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+    val caseArms = Profiles.map { case (l, _) =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString("\n      ")
+    s"""SELECT doc_id, lang, ${Profiles.map { case (l, _) => s"s_$l" }.mkString(", ")},
+       |  CASE $caseArms ELSE 'und' END AS predicted,
+       |  (CASE $caseArms ELSE 'und' END) = lang AS agrees
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM (SELECT doc_id, lang,
+       |          list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
+       |        FROM documents) t) s""".stripMargin
+  }
+
+  /** BPE-style pre-tokenization pattern (the GPT-2 shape, simplified to the
+    * RE2 subset so any engine can evaluate it). */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Tokenizer cost estimation per document: BPE-ish token count, whitespace
+    * token count, bytes per BPE token (the budgeting metric). */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(BpePattern)).cast("bigint").as("n_bpe_tokens"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_ws_tokens"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"))
+      .withColumn("bytes_per_token", col("n_bytes") / col("n_bpe_tokens"))
+
+  def tokenCountBpeSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}')) AS n_bpe_tokens,
+       |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+       |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+       |  octet_length(CAST(text AS BLOB)) / len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}')) AS bytes_per_token
+       |FROM documents""".stripMargin
+
+  /** Rolling-hash fingerprint per document (native expression
+    * [[graft.functions.RollingHash]]) with a modular bucket for downstream
+    * partitioning. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("rolling_hash(text)").as("rhash"))
+      .withColumn("rbucket", col("rhash") % 64)
+
+  def rollingFingerprintSql: String =
+    """SELECT doc_id, rhash, rhash % 64 AS rbucket FROM (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(range(1, length(text) + 1),
+      |                i -> ord(substr(text, i, 1))::BIGINT),
+      |                (a, c) -> (a * 31 + c) % 2147483647) AS rhash
+      |  FROM documents) t""".stripMargin
+}

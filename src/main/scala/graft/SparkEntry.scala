@@ -44,6 +44,9 @@ object SparkEntry {
     "text_quality" -> (TextQueries.textQuality _),
     "lang_stats" -> (TextQueries.langStats _),
     "q6_forecast" -> (RelationalQueries.q6Forecast _),
+    "price_bands" -> (RelationalQueries.priceBands _),
+    "events_props_stats" -> (EventQueries.propsStats _),
+    "events_asof" -> (EventQueries.asofPurchase _),
     "orders_rollup" -> (RelationalQueries.ordersRollup _),
     "lang_id" -> (LangQueries.langId _),
     "token_count_bpe" -> (LangQueries.tokenCountBpe _),
@@ -89,6 +92,9 @@ object SparkEntry {
     "text_quality" -> TextQueries.textQualitySql,
     "lang_stats" -> TextQueries.langStatsSql,
     "q6_forecast" -> RelationalQueries.q6ForecastSql,
+    "price_bands" -> RelationalQueries.priceBandsSql,
+    "events_props_stats" -> EventQueries.propsStatsSql,
+    "events_asof" -> EventQueries.asofPurchaseSql,
     "orders_rollup" -> RelationalQueries.ordersRollupSql,
     "lang_id" -> LangQueries.langIdSql,
     "token_count_bpe" -> LangQueries.tokenCountBpeSql,

@@ -154,6 +154,56 @@ object EventQueries {
       |FROM events
       |WHERE event_id < 200""".stripMargin
 
+  /** JSON scalar extraction from the `props` JSON-in-string column
+    * (`get_json_object`, codegen'd), bucketed distribution per event type. */
+  def propsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").as("k_bucket"))
+      .groupBy(col("event_type"), col("k_bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  def propsStatsSql: String =
+    """SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** AS-OF join: each click matched to the same user's most recent strictly
+    * earlier purchase. Formulated the scalable way — one shuffle by user,
+    * then a running `max` over purchases within the per-user sort order —
+    * not a per-row lookup join. Ordering key packs (ms, event_id) into one
+    * bigint so "earlier" is total and engine-portable. */
+  def asofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val pack = expr("(unix_micros(ts) div 1000) * 1048576 + event_id")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("pack"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), pack.as("pack"))
+      .withColumn("prev_p_pack",
+        max(when(col("event_type") === "purchase", col("pack"))).over(w))
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"), col("event_id"),
+        expr("prev_p_pack % 1048576").as("prev_purchase_id"),
+        expr("(pack div 1048576) - (prev_p_pack div 1048576)").as("ms_since_purchase"))
+  }
+
+  def asofPurchaseSql: String =
+    """SELECT user_id, event_id,
+      |  prev_p_pack % 1048576 AS prev_purchase_id,
+      |  (pack // 1048576) - (prev_p_pack // 1048576) AS ms_since_purchase
+      |FROM (
+      |  SELECT user_id, event_id, event_type, pack,
+      |    max(CASE WHEN event_type = 'purchase' THEN pack END)
+      |      OVER (PARTITION BY user_id ORDER BY pack
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_p_pack
+      |  FROM (SELECT user_id, event_id, event_type,
+      |          (epoch_us(ts) // 1000) * 1048576 + event_id AS pack
+      |        FROM events) p) w
+      |WHERE event_type = 'click'""".stripMargin
+
   /** Share of traffic per event type — global-window aggregate; the share is
     * one int/int division so it is engine-exact. */
   def typeShare(spark: SparkSession, dir: String): DataFrame = {

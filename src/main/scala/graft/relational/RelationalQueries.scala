@@ -284,6 +284,36 @@ object RelationalQueries {
       |FROM orders
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Range join: line items classified into literal price bands via a
+    * non-equi join against a broadcast 3-row band table. At a scale where
+    * the band side stayed small this plan (broadcast nested-loop) is
+    * exactly right; with a large band table the rewrite is binning to an
+    * equi-join key, which `events_hourly`-style bucketing demonstrates. */
+  def priceBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 20000.0),
+      ("mid", 20000.0, 50000.0),
+      ("high", 50000.0, 1e12)).toDF("band", "lo", "hi")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("total_price"))
+  }
+
+  def priceBandsSql: String =
+    """SELECT band, count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_price
+      |FROM lineitem
+      |JOIN (VALUES ('low', 0.0, 20000.0),
+      |             ('mid', 20000.0, 50000.0),
+      |             ('high', 50000.0, 1e12)) b(band, lo, hi)
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY band""".stripMargin
+
   def unionOrderStatusSql: String =
     """SELECT o_orderstatus, count(*) AS n_orders FROM (
       |  SELECT DISTINCT o_orderkey, o_orderstatus FROM (

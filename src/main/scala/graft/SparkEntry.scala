@@ -47,6 +47,9 @@ object SparkEntry {
     "price_bands" -> (RelationalQueries.priceBands _),
     "events_props_stats" -> (EventQueries.propsStats _),
     "events_asof" -> (EventQueries.asofPurchase _),
+    "events_session_window" -> (EventQueries.sessionWindows _),
+    "events_sliding" -> (EventQueries.sliding _),
+    "events_daily" -> (EventQueries.daily _),
     "orders_rollup" -> (RelationalQueries.ordersRollup _),
     "lang_id" -> (LangQueries.langId _),
     "token_count_bpe" -> (LangQueries.tokenCountBpe _),
@@ -95,6 +98,9 @@ object SparkEntry {
     "price_bands" -> RelationalQueries.priceBandsSql,
     "events_props_stats" -> EventQueries.propsStatsSql,
     "events_asof" -> EventQueries.asofPurchaseSql,
+    "events_session_window" -> EventQueries.sessionWindowsSql,
+    "events_sliding" -> EventQueries.slidingSql,
+    "events_daily" -> EventQueries.dailySql,
     "orders_rollup" -> RelationalQueries.ordersRollupSql,
     "lang_id" -> LangQueries.langIdSql,
     "token_count_bpe" -> LangQueries.tokenCountBpeSql,

@@ -89,10 +89,18 @@ object DedupQueries {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
 
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // One shuffle by bucket, pairs expanded inside each (rare) multi-doc
+    // bucket — the signature pipeline is evaluated once, unlike a self-join
+    // which would compute the whole subtree per side.
+    val cand = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
+          |       b -> struct(ds[i] AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
     val sets = docs.select(col("doc_id"), expr("shingle_set(text)").as("s"))

@@ -154,6 +154,72 @@ object EventQueries {
       |FROM events
       |WHERE event_id < 200""".stripMargin
 
+  /** Sliding 1-hour windows advancing every 30 minutes — each event lands in
+    * two overlapping windows. Emitted as epoch-second window starts. */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"), col("n_events"))
+
+  def slidingSql: String =
+    """SELECT CAST(floor((epoch(ts) - off) / 3600) * 3600 + off AS BIGINT) AS win_start,
+      |  event_type, count(*) AS n_events
+      |FROM events, (VALUES (0), (1800)) o(off)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Calendar rollup: events per day and ISO weekday — the date-function
+    * surface (`date_format`, `weekday`). */
+  def daily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        weekday(col("ts")).cast("bigint").as("dow"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("bigint")) / 100.0).as("total_value"))
+
+  def dailySql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  isodow(ts) - 1 AS dow,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Session windows via Spark's built-in `session_window` operator (the
+    * declarative twin of [[sessions]]'s manual lag/cumsum formulation and of
+    * the streaming flatMapGroupsWithState path). Boundaries follow Spark's
+    * half-open semantics: a gap ≥ 30 min starts a new session, compared at
+    * microsecond precision. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+
+  def sessionWindowsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |n AS (
+      |  SELECT user_id, us,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM m)
+      |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+      |  count(*) AS n_events
+      |FROM n GROUP BY user_id, session_idx""".stripMargin
+
   /** JSON scalar extraction from the `props` JSON-in-string column
     * (`get_json_object`, codegen'd), bucketed distribution per event type. */
   def propsStats(spark: SparkSession, dir: String): DataFrame =

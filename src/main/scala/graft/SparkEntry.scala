@@ -63,6 +63,7 @@ object SparkEntry {
     // Similarity search
     "embed_topk" -> (SimilarityQueries.topkBruteForce _),
     "embed_topk_lsh" -> (SimilarityQueries.topkLsh _),
+    "embed_topk_ivf" -> (SimilarityQueries.topkIvf _),
     "label_centroids" -> (SimilarityQueries.labelCentroids _),
     // Event-time analytics
     "events_hourly" -> (EventQueries.hourly _),

@@ -68,7 +68,9 @@ object RelationalQueries {
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      // order_date as a calendar string: timestamp columns round-trip with
+      // engine-specific precisions; a date string is representation-stable.
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
       .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -76,7 +78,7 @@ object RelationalQueries {
   }
 
   def q3ShippingSql: String =
-    """SELECT l_orderkey, o_orderdate,
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
       |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -84,7 +86,7 @@ object RelationalQueries {
       |WHERE c_mktsegment = 'BUILDING'
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
-      |GROUP BY l_orderkey, o_orderdate
+      |GROUP BY 1, 2
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 

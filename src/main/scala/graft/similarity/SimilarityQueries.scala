@@ -94,6 +94,36 @@ object SimilarityQueries {
       .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("cosine"))
   }
 
+  /** IVF-style approximate top-k: the label centroids act as the coarse
+    * quantizer; every corpus vector is assigned to its nearest centroid
+    * (narrow pass against a broadcast 10-row centroid table), and each query
+    * searches only its `nprobe`=3 closest cells. The corpus shuffles once by
+    * cell id; cost per query is |corpus|·nprobe/|cells|. Rows-only check
+    * (the quantizer derives from summation-order-dependent averages). */
+  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val nprobe = 3
+    val cents = labelCentroids(spark, dir)
+      .select(col("label").as("cell"), col("centroid"))
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // nearest centroid per vector: rank cells by cosine, keep the top one
+    val cellRank = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(e, centroid)"))
+      .withColumn("crank", row_number().over(cellRank))
+    val corpusCells = assigned.filter(col("crank") === 1)
+      .select(col("vec_id"), col("e"), col("cell"))
+    val queryCells = assigned.filter(col("vec_id") < NumQueries && col("crank") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell"))
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", expr("cosine_sim(qe, e)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("cosine"))
+  }
+
   /** Element-wise centroid of each label's embeddings — the IVF coarse
     * quantizer build step. Position-exploded so partial aggregation applies;
     * no vector leaves a single reduce task. Rows-only check (float summation

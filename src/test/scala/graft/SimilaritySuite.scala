@@ -32,6 +32,20 @@ class SimilaritySuite extends SparkSpec {
     shared.foreach { case (l, b) => assert(l == b, "cosine must be bit-identical") }
   }
 
+  test("IVF top-k: valid ranked output, scores agree with brute force on shared pairs") {
+    val bf = SimilarityQueries.topkBruteForce(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ivf = SimilarityQueries.topkIvf(spark, Sf0001).collect()
+    assert(ivf.nonEmpty)
+    val byQ = ivf.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length.toLong))
+    }
+    ivf.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(b => assert(r.getDouble(3) == b))
+    }
+  }
+
   test("label centroids: one row per label, centroid has full dimensionality") {
     val rows = SimilarityQueries.labelCentroids(spark, Sf0001).collect()
     assert(rows.length == 10)

@@ -70,6 +70,7 @@ object SparkEntry {
     "events_user_stats" -> (EventQueries.userStats _),
     "events_sessions" -> (EventQueries.sessions _),
     "events_top3_per_type" -> (EventQueries.top3PerType _),
+    "events_top3_agg" -> (EventQueries.top3PerTypeAgg _),
     "events_type_share" -> (EventQueries.typeShare _),
     // Multimodal plumbing
     "media_features" -> (MultimodalPipeline.mediaFeatures _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "events_user_stats" -> EventQueries.userStatsSql,
     "events_sessions" -> EventQueries.sessionsSql,
     "events_top3_per_type" -> EventQueries.top3PerTypeSql,
+    "events_top3_agg" -> EventQueries.top3PerTypeSql,
     "events_type_share" -> EventQueries.typeShareSql,
     "media_features" -> MultimodalPipeline.mediaFeaturesSql,
   )

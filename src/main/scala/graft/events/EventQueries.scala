@@ -270,6 +270,26 @@ object EventQueries {
       |        FROM events) p) w
       |WHERE event_type = 'click'""".stripMargin
 
+  /** The same top-3-per-type result computed through the typed
+    * [[graft.functions.TopKAggregator]] — a bounded heap with partial
+    * aggregation, so each map partition ships at most 3 rows per key into
+    * the shuffle (the window formulation above shuffles all rows). Shares
+    * the window version's oracle: two physical strategies, one answer. */
+  def top3PerTypeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKAggregator(3)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.toColumn)
+      .flatMap { case (t, top) =>
+        top.zipWithIndex.map { case ((id, v), i) => (t, (i + 1).toLong, id, v) }
+      }
+      .toDF("event_type", "rn", "event_id", "value")
+  }
+
   /** Share of traffic per event type — global-window aggregate; the share is
     * one int/int division so it is engine-exact. */
   def typeShare(spark: SparkSession, dir: String): DataFrame = {

@@ -70,6 +70,26 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exactly-once dedup: duplicate event_ids across batches emitted once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      input.addData(sample.take(3): _*) // replay: at-least-once delivery
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select($"event_id").as[Long].collect()
+      assert(ids.sorted.toSeq == sample.map(_.event_id).sorted)
+    } finally q.stop()
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path

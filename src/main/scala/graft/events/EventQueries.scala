@@ -272,9 +272,12 @@ object EventQueries {
 
   /** The same top-3-per-type result computed through the typed
     * [[graft.functions.TopKAggregator]] — a bounded heap with partial
-    * aggregation, so each map partition ships at most 3 rows per key into
-    * the shuffle (the window formulation above shuffles all rows). Shares
-    * the window version's oracle: two physical strategies, one answer. */
+    * aggregation (ObjectHashAggregate partial → Exchange → final in the
+    * plan). Spark's own WindowGroupLimit also k-bounds the window
+    * formulation above pre-shuffle; the aggregator additionally avoids the
+    * per-partition sort and demonstrates the typed Aggregator surface.
+    * Shares the window version's oracle: two physical strategies, one
+    * answer. */
   def top3PerTypeAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val topk = new graft.functions.TopKAggregator(3)

@@ -9,8 +9,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * This is the commutative lowering of a "top k per key" reduce (SURVEY.md
   * §2.1 F7): because it is an [[Aggregator]], Spark runs it with partial
   * aggregation — each map partition ships AT MOST k rows per key into the
-  * shuffle, where the window-rank formulation shuffles every row and sorts.
-  * At 100 TB that is the difference between a k-bounded and an O(n) shuffle.
+  * shuffle, and no sort happens anywhere (the window-rank formulation is
+  * also k-bounded pre-shuffle by Spark's WindowGroupLimit, but still sorts
+  * within each partition).
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Long, Double)]] {

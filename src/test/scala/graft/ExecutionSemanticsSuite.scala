@@ -30,6 +30,17 @@ class ExecutionSemanticsSuite extends SparkSpec {
     assert(threads.length >= 2)
   }
 
+  test("HLL sketch: approx_count_distinct within 5% of exact on events") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.events(spark, Sf0001)
+      .agg(
+        countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .collect()(0)
+    val (exact, approx) = (df.getLong(0).toDouble, df.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact <= 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("crash recovery: a first-attempt task failure is retried and the result is exact") {
     val acc = spark.sparkContext.longAccumulator("attempts")
     val rdd = spark.sparkContext.parallelize(1 to 100, 4)

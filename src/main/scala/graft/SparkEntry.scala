@@ -37,6 +37,7 @@ object SparkEntry {
     "union_order_status" -> (RelationalQueries.unionOrderStatus _),
     // Reference app workloads (SURVEY.md §2.2) + text analysis
     "wc" -> (TextQueries.wordCount _),
+    "wc_salted" -> (TextQueries.wordCountSalted _),
     "indexer" -> (TextQueries.invertedIndex _),
     "file_stats" -> (TextQueries.fileStats _),
     "doc_count_by_source" -> (TextQueries.docCountBySource _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "nation_balance" -> RelationalQueries.nationBalanceSql,
     "union_order_status" -> RelationalQueries.unionOrderStatusSql,
     "wc" -> TextQueries.wordCountSql,
+    "wc_salted" -> TextQueries.wordCountSql,
     "indexer" -> TextQueries.invertedIndexSql,
     "file_stats" -> TextQueries.fileStatsSql,
     "doc_count_by_source" -> TextQueries.docCountBySourceSql,

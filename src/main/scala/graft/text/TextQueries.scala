@@ -35,6 +35,21 @@ object TextQueries {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Word count with explicit skew salting: natural-language word counts are
+    * Zipfian ('the' alone is ~5% of the corpus), so a single reducer owns
+    * the hot key. Stage 1 groups on (word, salt) — the hot key spreads over
+    * 16 reducers — stage 2 sums the 16 partials. Same exact answer, same
+    * oracle as [[wordCount]]; at 100 TB this (or AQE skew handling) is the
+    * difference between a straggler and an even stage. */
+  def wordCountSalted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+      .groupBy(col("word"), col("salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("word"))
+      .agg(sum(col("partial")).as("cnt"))
+
   def wordCountSql: String =
     """SELECT word, count(*) AS cnt
       |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word FROM documents) t

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Source/format coverage beyond parquet + wholetext: JSON-lines and CSV
+  * round-trips with explicit schemas, and byte-based input splitting (the
+  * strictly-better replacement for the reference's file-count chunking,
+  * SURVEY.md §2.1 F16). */
+class SourceFormatsSuite extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, Sf0001).select("doc_id", "lang", "n_chars")
+
+  test("JSON-lines sink/source round-trip preserves rows") {
+    val out = Files.createTempDirectory("graft-json").toString
+    docs.write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = spark.read.schema(schema).json(out)
+    assert(back.count() == 500)
+    assert(back.agg(sum("n_chars")).collect()(0).getLong(0) ==
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+  }
+
+  test("CSV sink/source round-trip with header and explicit schema") {
+    val out = Files.createTempDirectory("graft-csv").toString
+    docs.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.option("header", "true")
+      .schema("doc_id LONG, lang STRING, n_chars LONG").csv(out)
+    assert(back.count() == 500)
+    assert(back.select("lang").distinct().count() == docs.select("lang").distinct().count())
+  }
+
+  test("byte-based input splitting: smaller maxPartitionBytes yields more scan partitions") {
+    val before = Tables.lineitem(spark, Sf0001).rdd.getNumPartitions
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "32768")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val after = Tables.lineitem(spark, Sf0001).rdd.getNumPartitions
+      assert(after > before, s"expected more partitions: before=$before after=$after")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+}

@@ -22,8 +22,9 @@ object MrRun {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: MrRun <app> <inputGlob> <outDir> [nReduce]")
     val Array(app, glob, outDir) = args.take(3)
-    val job = apps.getOrElse(app,
+    val base = apps.getOrElse(app,
       throw new IllegalArgumentException(s"unknown app '$app'; have ${apps.keys.mkString(",")}"))
+    val job = if (args.length > 3) base.withNReduce(args(3).toInt) else base
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).appName(s"mr-$app").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -61,7 +61,7 @@ object ReferenceApps {
     * [[wcJob]], eligible for partial aggregation and codegen. */
   def wcDataFrame(spark: SparkSession, inputGlob: String): DataFrame =
     MapReduceJob.wholeFiles(spark, inputGlob).toDF("file", "contents")
-      .select(explode(filter(split(col("contents"), "[^\\p{L}]+"), t => length(t) > 0)).as("word"))
+      .select(explode(graft.text.TextQueries.tokens(col("contents"))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).cast("string").as("value"))
 
@@ -69,7 +69,7 @@ object ReferenceApps {
   def indexerDataFrame(spark: SparkSession, inputGlob: String): DataFrame =
     MapReduceJob.wholeFiles(spark, inputGlob).toDF("file", "contents")
       .select(col("file").as("doc"),
-        explode(array_distinct(filter(split(col("contents"), "[^\\p{L}]+"), t => length(t) > 0))).as("word"))
+        explode(array_distinct(graft.text.TextQueries.tokens(col("contents")))).as("word"))
       .groupBy(col("word"))
       .agg(concat_ws(" ",
         count(lit(1)).cast("string"),

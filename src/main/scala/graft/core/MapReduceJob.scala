@@ -25,19 +25,30 @@ import org.apache.spark.sql.functions._
   * path ships one partial per map partition.
   */
 final class MapReduceJob(
-    mapf: (String, String) => IterableOnce[(String, String)],
-    reducef: (String, Seq[String]) => String,
-    nReduce: Int = 10) extends Serializable {
+    val mapf: (String, String) => IterableOnce[(String, String)],
+    val reducef: (String, Seq[String]) => String,
+    val nReduce: Int = 10) extends Serializable {
 
-  /** Run map → shuffle → reduce; returns (key, value) rows. */
+  /** Same job with a different reduce-partition count. */
+  def withNReduce(n: Int): MapReduceJob = new MapReduceJob(mapf, reducef, n)
+
+  /** Run map → shuffle → reduce; returns (key, value) rows in exactly
+    * `nReduce` partitions.
+    *
+    * This one facade deliberately drops to the RDD layer: the reference
+    * contract is row-at-a-time opaque functions with an EXACT reduce-task
+    * count (`nReduce`), which `groupByKey(numPartitions)` expresses
+    * directly — a Dataset `groupByKey` would re-shuffle on
+    * spark.sql.shuffle.partitions and ignore nReduce. Declarative queries
+    * belong in the DataFrame modules, not here. */
   def run(spark: SparkSession, inputGlob: String): Dataset[(String, String)] = {
     import spark.implicits._
     val files = MapReduceJob.wholeFiles(spark, inputGlob)
-    val mapped = files.flatMap { case (name, contents) => mapf(name, contents) }
-    mapped
-      .repartition(nReduce, col("_1"))
-      .groupByKey(_._1)
-      .mapGroups((k, vs) => (k, reducef(k, vs.map(_._2).toSeq)))
+    val reduced = files.rdd
+      .flatMap { case (name, contents) => mapf(name, contents) }
+      .groupByKey(numPartitions = nReduce)
+      .map { case (k, vs) => (k, reducef(k, vs.toSeq)) }
+    spark.createDataset(reduced)
   }
 
   /** Run and write the reference's text-sink format (`"%v %v\n"` per
@@ -76,13 +87,14 @@ object MapReduceJob {
 
   /** The commutative-reduce lowering: when the user reduce is a fold over a
     * monoid (count, sum, …), express it as a Spark aggregate column so the
-    * engine combines partially on the map side. Same output contract. */
+    * engine combines partially on the map side (reduce parallelism follows
+    * spark.sql.shuffle.partitions/AQE here — the point of this path is to
+    * let the engine plan). Same output contract. */
   def runAggregated(
       spark: SparkSession,
       inputGlob: String,
       mapf: (String, String) => IterableOnce[(String, String)],
-      agg: org.apache.spark.sql.Column,
-      nReduce: Int = 10): DataFrame = {
+      agg: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
     wholeFiles(spark, inputGlob)
       .flatMap { case (name, contents) => mapf(name, contents) }

@@ -103,7 +103,14 @@ object DedupQueries {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
-    val sets = docs.select(col("doc_id"), expr("shingle_set(text)").as("s"))
+    // shingle sets only for documents that are actually candidates: the
+    // broadcast semi-join filters the corpus BEFORE shingle_set runs, so
+    // the exact-Jaccard pass touches O(|candidates|) documents, not all.
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr("shingle_set(text)").as("s"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")

@@ -236,37 +236,41 @@ object EventQueries {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
-  /** AS-OF join: each click matched to the same user's most recent strictly
-    * earlier purchase. Formulated the scalable way — one shuffle by user,
-    * then a running `max` over purchases within the per-user sort order —
-    * not a per-row lookup join. Ordering key packs (ms, event_id) into one
-    * bigint so "earlier" is total and engine-portable. */
+  /** AS-OF join: each click matched to the same user's most recent earlier
+    * purchase. Formulated the scalable way — one shuffle by user, then
+    * `last(..., ignoreNulls)` over purchases within the per-user
+    * (ms, event_id) sort order — not a per-row lookup join, and no packed
+    * key that could overflow at scale. */
   def asofPurchase(spark: SparkSession, dir: String): DataFrame = {
-    val pack = expr("(unix_micros(ts) div 1000) * 1048576 + event_id")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("pack"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val isPurchase = col("event_type") === "purchase"
     Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"), pack.as("pack"))
-      .withColumn("prev_p_pack",
-        max(when(col("event_type") === "purchase", col("pack"))).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+      .withColumn("prev_purchase_id",
+        last(when(isPurchase, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("prev_purchase_ms",
+        last(when(isPurchase, col("ms")), ignoreNulls = true).over(w))
       .filter(col("event_type") === "click")
       .select(
         col("user_id"), col("event_id"),
-        expr("prev_p_pack % 1048576").as("prev_purchase_id"),
-        expr("(pack div 1048576) - (prev_p_pack div 1048576)").as("ms_since_purchase"))
+        col("prev_purchase_id"),
+        (col("ms") - col("prev_purchase_ms")).as("ms_since_purchase"))
   }
 
   def asofPurchaseSql: String =
-    """SELECT user_id, event_id,
-      |  prev_p_pack % 1048576 AS prev_purchase_id,
-      |  (pack // 1048576) - (prev_p_pack // 1048576) AS ms_since_purchase
+    """SELECT user_id, event_id, prev_purchase_id,
+      |  ms - prev_purchase_ms AS ms_since_purchase
       |FROM (
-      |  SELECT user_id, event_id, event_type, pack,
-      |    max(CASE WHEN event_type = 'purchase' THEN pack END)
-      |      OVER (PARTITION BY user_id ORDER BY pack
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_p_pack
-      |  FROM (SELECT user_id, event_id, event_type,
-      |          (epoch_us(ts) // 1000) * 1048576 + event_id AS pack
+      |  SELECT user_id, event_id, event_type, ms,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_id,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN ms END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_ms
+      |  FROM (SELECT user_id, event_id, event_type, epoch_us(ts) // 1000 AS ms
       |        FROM events) p) w
       |WHERE event_type = 'click'""".stripMargin
 

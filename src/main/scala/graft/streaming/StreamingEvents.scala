@@ -63,7 +63,10 @@ object StreamingEvents {
     sorted.foreach { e =>
       val sec = e.ts.getTime / 1000
       cur = cur match {
-        case Some((start, end, n)) if sec - end <= SessionGapSec => Some((start, sec, n + 1))
+        // out-of-order events (cross-batch) may land before the session's
+        // current bounds: widen with min/max, never regress them
+        case Some((start, end, n)) if sec - end <= SessionGapSec =>
+          Some((math.min(start, sec), math.max(end, sec), n + 1))
         case Some((start, end, n)) =>
           out ::= SessionSummary(userId, n, start, end)
           Some((sec, sec, 1L))
@@ -73,7 +76,9 @@ object StreamingEvents {
     cur match {
       case Some(s) =>
         state.update(s)
-        state.setTimeoutTimestamp(s._2 * 1000 + SessionGapSec * 1000)
+        // timeout must stay ahead of the current watermark or Spark rejects it
+        state.setTimeoutTimestamp(
+          math.max(s._2 * 1000 + SessionGapSec * 1000, state.getCurrentWatermarkMs() + 1))
       case None => state.remove()
     }
     out.reverseIterator

@@ -13,7 +13,9 @@ object Bench {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed region, like any JVM benchmark.
-    SparkEntry.queries.get("q1_pricing").foreach(f => f(spark, sfDir).count())
+    // Guarded: a broken sf dir must still produce the JSON result line.
+    try SparkEntry.queries.get("q1_pricing").foreach(f => f(spark, sfDir).count())
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -15,19 +15,7 @@ object ReferenceApps {
 
   /** The reference tokenizer: maximal runs of Unicode letters, case kept
     * (`/root/reference/src/mrapps/wc.go:21-24`). */
-  def tokenize(text: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < text.length) {
-      val cp = text.codePointAt(i)
-      if (Character.isLetter(cp)) sb.appendCodePoint(cp)
-      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
-      i += Character.charCount(cp)
-    }
-    if (sb.length > 0) out += sb.toString
-    out.result()
-  }
+  def tokenize(text: String): Seq[String] = graft.core.Tokenizer.letterTokens(text)
 
   /** A1 wc (`wc.go:19-40`): emit (word, "1"); reduce = count. */
   val wcMap: (String, String) => IterableOnce[(String, String)] =

@@ -61,14 +61,18 @@ final class MapReduceJob(
 
 object MapReduceJob {
 
-  /** F1: each input file as one `(basename, contents)` row.
+  /** F1: each input file as one `(basename, contents)` row. The basename is
+    * URI-decoded (`input_file_name()` yields percent-encoded URIs, so
+    * "my doc.txt" would otherwise surface as "my%20doc.txt"). Keying by
+    * basename matches the parity harness's view of the corpus; same-named
+    * files in different directories would collapse — pass distinct names.
     * (`wholetext` is correct for the parity corpus; 100 TB inputs use the
     * columnar sources instead — SURVEY.md §7.4.4.) */
   def wholeFiles(spark: SparkSession, inputGlob: String): Dataset[(String, String)] = {
     import spark.implicits._
     spark.read.option("wholetext", value = true).text(inputGlob)
       .select(
-        regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
+        url_decode(regexp_extract(input_file_name(), "([^/]+)$", 1)).as("file"),
         col("value"))
       .as[(String, String)]
   }

@@ -225,7 +225,9 @@ object EventQueries {
   def propsStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").as("k_bucket"))
+        // floor division (not truncating `div`): identical to the oracle's
+        // `//` for negative values too
+        floor(get_json_object(col("props"), "$.k").cast("bigint") / lit(10)).as("k_bucket"))
       .groupBy(col("event_type"), col("k_bucket"))
       .agg(count(lit(1)).as("n"))
 

@@ -27,18 +27,11 @@ object ShingleExpressions {
 
   val ShingleWords = 3
 
-  /** Distinct word-`n`-gram strings of a document, single pass. */
+  /** Distinct word-`n`-gram strings of a document, via the shared
+    * [[graft.core.Tokenizer]] (tokenizer fidelity is load-bearing for both
+    * golden parity and dedup oracle equality — one implementation only). */
   def shingles(text: String): mutable.LinkedHashSet[String] = {
-    val toks = mutable.ArrayBuffer.empty[String]
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < text.length) {
-      val cp = text.codePointAt(i)
-      if (Character.isLetter(cp)) sb.appendCodePoint(cp)
-      else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
-      i += Character.charCount(cp)
-    }
-    if (sb.length > 0) toks += sb.toString
+    val toks = graft.core.Tokenizer.letterTokens(text)
     val out = mutable.LinkedHashSet.empty[String]
     var j = 0
     while (j + ShingleWords <= toks.length) {

@@ -16,9 +16,13 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Long, Double)]] {
 
-  /** value desc, then id asc — the deterministic rank order. */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** value desc, then id asc — the deterministic rank order.
+    * `Double.compare` (not `>`): total over NaN/-0.0, matching Spark's SQL
+    * double ordering so this path can never diverge from the window twin. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
     val (before, after) = buf.span(better(_, x))

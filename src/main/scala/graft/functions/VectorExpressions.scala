@@ -46,10 +46,16 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // mismatched dimensionality and zero-norm inputs are undefined — return
+    // null (what an out-of-bounds index / 0-divide yields in SQL engines)
+    // rather than a silently-truncated or NaN similarity
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -62,7 +68,8 @@ case class CosineSim(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =

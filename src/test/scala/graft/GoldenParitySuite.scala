@@ -55,6 +55,16 @@ class GoldenParitySuite extends SparkSpec {
     assert(MapReduceJob.mergedLines(df) == MapReduceJob.mergedLines(ReferenceApps.wcJob.run(spark, PgGlob)))
   }
 
+  test("wc: commutative lowering (runAggregated) matches the holistic facade") {
+    import org.apache.spark.sql.functions.{count, lit}
+    import spark.implicits._
+    val lowered = MapReduceJob.runAggregated(
+        spark, PgGlob, (_, c) => ReferenceApps.tokenize(c).map(w => (w, "1")), count(lit(1)))
+      .as[(String, String)]
+    assert(MapReduceJob.mergedLines(lowered) ==
+      MapReduceJob.mergedLines(ReferenceApps.wcJob.run(spark, PgGlob)))
+  }
+
   test("indexer: facade output equals the sequential oracle") {
     val got = MapReduceJob.mergedLines(ReferenceApps.indexerJob.run(spark, PgGlob))
     val want = sequentialRun(

@@ -103,14 +103,14 @@ object DedupQueries {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
-    // shingle sets only for documents that are actually candidates: the
-    // broadcast semi-join filters the corpus BEFORE shingle_set runs, so
-    // the exact-Jaccard pass touches O(|candidates|) documents, not all.
-    val candIds = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val sets = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), expr("shingle_set(text)").as("s"))
+    // Verification joins the candidate pairs back to per-doc shingle sets.
+    // shingle_set runs as one narrow pass over the corpus per join side —
+    // linear scans, cheap next to the LSH stage. (The alternative — a
+    // semi-join restricting the corpus to candidate ids first — touches
+    // fewer documents but re-derives the candidate subtree per consumer
+    // unless it is checkpointed; at corpus scale, persist `cand` and
+    // reinstate the semi-join.)
+    val sets = docs.select(col("doc_id"), expr("shingle_set(text)").as("s"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")

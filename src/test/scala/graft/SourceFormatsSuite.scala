@@ -36,6 +36,16 @@ class SourceFormatsSuite extends SparkSpec {
     assert(back.select("lang").distinct().count() == docs.select("lang").distinct().count())
   }
 
+  test("ORC sink/source round-trip with predicate pushdown") {
+    val out = Files.createTempDirectory("graft-orc").toString
+    Tables.lineitem(spark, Sf0001).write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out).filter(col("l_quantity") > 25.0)
+    val expected = Tables.lineitem(spark, Sf0001).filter(col("l_quantity") > 25.0).count()
+    assert(back.count() == expected)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"))
+  }
+
   test("byte-based input splitting: smaller maxPartitionBytes yields more scan partitions") {
     val before = Tables.lineitem(spark, Sf0001).rdd.getNumPartitions
     val old = spark.conf.get("spark.sql.files.maxPartitionBytes")

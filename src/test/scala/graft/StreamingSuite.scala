@@ -90,6 +90,26 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: streaming events pick up static dimension columns") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val userDim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .join(userDim, Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enriched_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      val out = spark.table("enriched_stream")
+        .select($"event_id", $"tier").as[(Long, Option[String])].collect().toMap
+      assert(out.size == sample.size)
+      assert(out(1L).contains("gold") && out(4L).contains("silver"))
+    } finally q.stop()
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path

@@ -65,6 +65,7 @@ object SparkEntry {
     "embed_topk" -> (SimilarityQueries.topkBruteForce _),
     "embed_topk_lsh" -> (SimilarityQueries.topkLsh _),
     "embed_topk_ivf" -> (SimilarityQueries.topkIvf _),
+    "embed_near_pairs" -> (SimilarityQueries.nearPairs _),
     "label_centroids" -> (SimilarityQueries.labelCentroids _),
     // Event-time analytics
     "events_hourly" -> (EventQueries.hourly _),

@@ -94,6 +94,26 @@ object SimilarityQueries {
       .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors sharing a hyperplane
+    * bucket whose exact cosine clears the threshold. The self-join is on
+    * the 8-bit signature — the corpus shuffles once by bucket, never
+    * all-pairs — and exact cosine runs only within buckets. Approximate by
+    * construction (bucket recall < 1), so rows-only: precision and score
+    * agreement with brute force are asserted in SimilaritySuite. */
+  def nearPairs(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.3
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("sig", expr("rh_sig(e)"))
+    val a = base.select(col("sig"), col("vec_id").as("vec_a"), col("e").as("ea"))
+    val b = base.select(col("sig"), col("vec_id").as("vec_b"), col("e").as("eb"))
+    a.join(b, Seq("sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", expr("cosine_sim(ea, eb)"))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** IVF-style approximate top-k: the label centroids act as the coarse
     * quantizer; every corpus vector is assigned to its nearest centroid
     * (narrow pass against a broadcast 10-row centroid table), and each query

@@ -46,6 +46,17 @@ class SimilaritySuite extends SparkSpec {
     }
   }
 
+  test("embedding near-pairs: 100% precision at the threshold, no duplicates") {
+    val pairs = SimilarityQueries.nearPairs(spark, Sf0001).collect()
+    assert(pairs.nonEmpty)
+    val seen = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(seen.distinct.length == seen.length)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3)
+    }
+  }
+
   test("label centroids: one row per label, centroid has full dimensionality") {
     val rows = SimilarityQueries.labelCentroids(spark, Sf0001).collect()
     assert(rows.length == 10)

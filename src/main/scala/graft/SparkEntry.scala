@@ -49,6 +49,8 @@ object SparkEntry {
     "events_props_stats" -> (EventQueries.propsStats _),
     "events_asof" -> (EventQueries.asofPurchase _),
     "events_session_window" -> (EventQueries.sessionWindows _),
+    "customer_set_ops" -> (RelationalQueries.customerSetOps _),
+    "events_user_pivot" -> (EventQueries.userTypePivot _),
     "events_sliding" -> (EventQueries.sliding _),
     "events_daily" -> (EventQueries.daily _),
     "orders_rollup" -> (RelationalQueries.ordersRollup _),
@@ -104,6 +106,8 @@ object SparkEntry {
     "events_props_stats" -> EventQueries.propsStatsSql,
     "events_asof" -> EventQueries.asofPurchaseSql,
     "events_session_window" -> EventQueries.sessionWindowsSql,
+    "customer_set_ops" -> RelationalQueries.customerSetOpsSql,
+    "events_user_pivot" -> EventQueries.userTypePivotSql,
     "events_sliding" -> EventQueries.slidingSql,
     "events_daily" -> EventQueries.dailySql,
     "orders_rollup" -> RelationalQueries.ordersRollupSql,

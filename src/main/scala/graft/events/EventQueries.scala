@@ -154,6 +154,30 @@ object EventQueries {
       |FROM events
       |WHERE event_id < 200""".stripMargin
 
+  /** Pivot: one row per user, one count column per event type (the wide
+    * feature-table shape). Spark's `pivot` with explicit values keeps the
+    * plan a single groupBy; the oracle spells the same conditional sums. */
+  def userTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  def userTypePivotSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |WHERE user_id < 50
+      |GROUP BY user_id""".stripMargin
+
   /** Sliding 1-hour windows advancing every 30 minutes — each event lands in
     * two overlapping windows. Emitted as epoch-second window starts. */
   def sliding(spark: SparkSession, dir: String): DataFrame =

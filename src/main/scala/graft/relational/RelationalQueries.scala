@@ -316,6 +316,32 @@ object RelationalQueries {
       |  ON l_extendedprice >= lo AND l_extendedprice < hi
       |GROUP BY band""".stripMargin
 
+  /** INTERSECT / EXCEPT: customers active in both 1996 and 1997, minus the
+    * BUILDING segment — the remaining set-operation surface. */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def activeIn(year: Int) = ord
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("o_custkey"))
+    activeIn(1996).intersect(activeIn(1997)).except(building)
+      .select(col("o_custkey").as("custkey"))
+  }
+
+  def customerSetOpsSql: String =
+    """SELECT o_custkey AS custkey FROM (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') s""".stripMargin
+
   def unionOrderStatusSql: String =
     """SELECT o_orderstatus, count(*) AS n_orders FROM (
       |  SELECT DISTINCT o_orderkey, o_orderstatus FROM (

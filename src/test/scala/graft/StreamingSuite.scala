@@ -110,6 +110,34 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: clicks joined to purchases within a bounded event-time range") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val c = clicks.toDF().select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.toDF().select($"user_id".as("p_user"), $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    // range condition bounds the join state: purchases within 30min after a click
+    val joined = c.join(p,
+      $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("attrib_stream")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1, ts(0), 1, "click", 0), Event(2, ts(100), 1, "click", 0))
+      purchases.addData(Event(10, ts(20), 1, "purchase", 9.99), Event(11, ts(300), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_stream")
+        .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+      // purchase@20min attributes to click@0min (within 30m); purchase@300min to neither
+      assert(rows == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path

@@ -62,6 +62,18 @@ class ShingleExpressionsSuite extends SparkSpec {
     assert(got == Seq("a b c", "b c d"))
   }
 
+  test("null inputs propagate as null through every native function") {
+    val row = spark.sql(
+      """SELECT minhash_sig(CAST(NULL AS STRING)) IS NULL AS a,
+        |       shingle_set(CAST(NULL AS STRING)) IS NULL AS b,
+        |       cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) IS NULL AS c,
+        |       cosine_sim(array(1.0D, 2.0D), array(1.0D)) IS NULL AS d,
+        |       cosine_sim(array(0.0D, 0.0D), array(1.0D, 1.0D)) IS NULL AS e,
+        |       rh_sig(CAST(NULL AS ARRAY<DOUBLE>)) IS NULL AS f,
+        |       rolling_hash(CAST(NULL AS STRING)) IS NULL AS g""".stripMargin).collect()(0)
+    (0 until 7).foreach(i => assert(row.getBoolean(i), s"column $i"))
+  }
+
   test("empty/short documents yield empty signatures, not nulls") {
     import spark.implicits._
     val df = Seq("", "one", "one two").toDF("text")

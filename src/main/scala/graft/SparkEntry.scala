@@ -120,8 +120,13 @@ object SparkEntry {
     "dedup_near" -> DedupQueries.dedupNearSql,
     "simhash" -> DedupQueries.simhashSql,
     "embed_topk" -> SimilarityQueries.topkBruteForceSql,
-    // embed_topk_lsh / label_centroids: approximate / summation-order
-    // dependent — no SQL oracle (driver rows-only check).
+    // The "approximate" paths are still deterministic functions of the data
+    // (inlined hyperplane signs; exact integer-scaled centroids), so each has
+    // an exact SQL oracle.
+    "embed_topk_lsh" -> SimilarityQueries.topkLshSql,
+    "embed_topk_ivf" -> SimilarityQueries.topkIvfSql,
+    "embed_near_pairs" -> SimilarityQueries.nearPairsSql,
+    "label_centroids" -> SimilarityQueries.labelCentroidsSql,
     "events_hourly" -> EventQueries.hourlySql,
     "events_user_stats" -> EventQueries.userStatsSql,
     "events_sessions" -> EventQueries.sessionsSql,

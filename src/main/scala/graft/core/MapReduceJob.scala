@@ -70,9 +70,13 @@ object MapReduceJob {
     * columnar sources instead — SURVEY.md §7.4.4.) */
   def wholeFiles(spark: SparkSession, inputGlob: String): Dataset[(String, String)] = {
     import spark.implicits._
+    // input_file_name() percent-encodes, but leaves '+' literal; url_decode
+    // alone would also turn that literal '+' into a space (form-encoding
+    // semantics), so protect it as %2B first — "a+b.txt" round-trips.
     spark.read.option("wholetext", value = true).text(inputGlob)
       .select(
-        url_decode(regexp_extract(input_file_name(), "([^/]+)$", 1)).as("file"),
+        url_decode(regexp_replace(regexp_extract(input_file_name(), "([^/]+)$", 1),
+          "\\+", "%2B")).as("file"),
         col("value"))
       .as[(String, String)]
   }

@@ -249,15 +249,15 @@ object EventQueries {
   def propsStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        // floor division (not truncating `div`): identical to the oracle's
-        // `//` for negative values too
+        // floor division; the oracle mirrors it with floor(k / 10.0) — DuckDB's
+        // integer `//` truncates toward zero for negatives, so it would diverge
         floor(get_json_object(col("props"), "$.k").cast("bigint") / lit(10)).as("k_bucket"))
       .groupBy(col("event_type"), col("k_bucket"))
       .agg(count(lit(1)).as("n"))
 
   def propsStatsSql: String =
     """SELECT event_type,
-      |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+      |  CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0) AS BIGINT) AS k_bucket,
       |  count(*) AS n
       |FROM events
       |GROUP BY 1, 2""".stripMargin

@@ -13,23 +13,34 @@ import graft.functions.VectorExpressions
   * Two paths, as a 100 TB design requires:
   *  - [[topkBruteForce]] — the exactness baseline: a small query set is
   *    broadcast against the full corpus (one narrow pass over the big side,
-  *    no shuffle of the corpus), cosine in codegen'd higher-order functions,
-  *    per-query top-k via window rank. Cost is O(|corpus|·|queries|); correct
-  *    whenever the query set is small.
-  *  - [[topkLsh]] — the scale path: random-hyperplane signatures bucket the
-  *    corpus; each query only scores its own bucket (plus 1-bit multiprobe
-  *    neighbors). Candidate generation is an equi-join on the signature, so
-  *    the corpus is scanned once and shuffled by an 8-bit key — never an
-  *    all-pairs product.
+  *    no shuffle of the corpus), cosine in a native expression, per-query
+  *    top-k via window rank. Cost is O(|corpus|·|queries|); correct whenever
+  *    the query set is small.
+  *  - [[topkLsh]] / [[topkIvf]] / [[nearPairs]] — the scale paths: bucketed
+  *    candidate generation (random-hyperplane signatures / IVF cells), so the
+  *    corpus is scanned once and joined on a small key — never an all-pairs
+  *    product.
   *
-  * All float vectors are cast to double before arithmetic and folds run
-  * strictly left-to-right (`aggregate`), so cosine values are bit-identical
-  * to any engine doing the same ordered fold — which the DuckDB oracle does.
+  * Every query here is exactly reproducible by the DuckDB oracle: float
+  * vectors are cast to double before arithmetic, folds run strictly
+  * left-to-right (bit-identical across engines), the hyperplane signs are a
+  * deterministic splitmix64 function of (plane, dim) whose 8×64 values are
+  * inlined into the generated oracle SQL, and the IVF coarse quantizer is
+  * built from exact integer-scaled component sums (see [[labelCentroids]])
+  * so even the "approximate" paths are deterministic functions of the data.
   */
 object SimilarityQueries {
 
   private val NumQueries = 5
   private val K = 10
+  private val Dim = 64
+
+  /** Shared oracle fragment: vectors with their ordered-fold squared norms. */
+  private val normCte =
+    """n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, x) -> a + x) AS nrm
+      |  FROM embeddings)""".stripMargin
 
   /** Exact cosine top-k for query vectors vec_id < 5 against the corpus.
     * `cosine_sim` ([[graft.functions.CosineSim]]) folds in index order, so
@@ -51,10 +62,7 @@ object SimilarityQueries {
   }
 
   def topkBruteForceSql: String =
-    s"""WITH n AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS e,
-       |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, x) -> a + x) AS nrm
-       |  FROM embeddings),
+    s"""WITH $normCte,
        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < $NumQueries),
        |scored AS (
        |  SELECT q_id, b.vec_id AS vec_id,
@@ -66,13 +74,40 @@ object SimilarityQueries {
        |  FROM scored) r
        |WHERE rank <= $K""".stripMargin
 
+  /** The ±1 components of hyperplane `p` as a DuckDB double-list literal —
+    * the same splitmix64-derived signs [[graft.functions.RandomHyperplaneSig]]
+    * uses, inlined so the oracle computes the identical signature. */
+  private def signListSql(p: Int): String =
+    (0 until Dim).map(d => if (VectorExpressions.planeSign(p, d) > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Oracle fragment: per-vector 8-bit random-hyperplane signature, matching
+    * `rh_sig` bit-for-bit (projections are the same ordered folds). */
+  private def sigCte: String = {
+    val planes = (0 until VectorExpressions.NumPlanes)
+      .map(p => s"${signListSql(p)} AS s$p").mkString(",\n    ")
+    val projs = (0 until VectorExpressions.NumPlanes)
+      .map(p => s"list_reduce(list_transform(range(1, len(e) + 1), i -> e[i] * s$p[i]), (a, x) -> a + x) AS proj$p")
+      .mkString(",\n      ")
+    val bits = (0 until VectorExpressions.NumPlanes)
+      .map(p => s"(CASE WHEN proj$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+    s"""planes AS (
+       |  SELECT $planes),
+       |sig AS (
+       |  SELECT vec_id, e, nrm, CAST($bits AS BIGINT) AS sig FROM (
+       |    SELECT vec_id, e, nrm,
+       |      $projs
+       |    FROM n, planes) pr)""".stripMargin
+  }
+
   /** Approximate top-k: score only corpus vectors whose 8-bit
     * random-hyperplane signature ([[graft.functions.RandomHyperplaneSig]])
     * matches the query's bucket or any 1-bit flip of it (multiprobe).
     * Candidate generation is an equi-join on the signature — the corpus is
     * scanned once, shuffled by an 8-bit key, never an all-pairs product.
-    * Recall is validated against [[topkBruteForce]] in the test suite; no
-    * SQL oracle (the driver's rows-only check applies). */
+    * The signature is a deterministic function of the vector, so the oracle
+    * reproduces the exact candidate set (signs inlined in [[topkLshSql]]);
+    * recall vs brute force is additionally validated in the test suite. */
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -94,12 +129,36 @@ object SimilarityQueries {
       .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("cosine"))
   }
 
+  /** Exact oracle for [[topkLsh]]: same buckets (inlined hyperplane signs),
+    * same multiprobe flips, same ordered-fold cosine. Probe signatures are
+    * pairwise distinct per query, so the join yields no duplicate pairs and
+    * needs no DISTINCT. */
+  def topkLshSql: String = {
+    val flips = (0L +: (0 until VectorExpressions.NumPlanes).map(p => 1L << p)).mkString("[", ", ", "]")
+    s"""WITH $normCte,
+       |$sigCte,
+       |probes AS (
+       |  SELECT vec_id AS q_id, e AS qe, nrm AS qn, xor(sig, flip) AS probe_sig
+       |  FROM sig, (SELECT unnest($flips::BIGINT[]) AS flip) f
+       |  WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT p.q_id, s.vec_id,
+       |    list_reduce(list_transform(range(1, len(p.qe) + 1), i -> p.qe[i] * s.e[i]), (a, x) -> a + x)
+       |      / (sqrt(p.qn) * sqrt(s.nrm)) AS cosine
+       |  FROM probes p JOIN sig s ON s.sig = p.probe_sig AND s.vec_id <> p.q_id)
+       |SELECT q_id, vec_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $K""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors sharing a hyperplane
     * bucket whose exact cosine clears the threshold. The self-join is on
     * the 8-bit signature — the corpus shuffles once by bucket, never
-    * all-pairs — and exact cosine runs only within buckets. Approximate by
-    * construction (bucket recall < 1), so rows-only: precision and score
-    * agreement with brute force are asserted in SimilaritySuite. */
+    * all-pairs — and exact cosine runs only within buckets. Bucket recall
+    * < 1 by construction, but the bucket assignment itself is deterministic,
+    * so the oracle reproduces the exact output; score agreement with brute
+    * force is asserted in SimilaritySuite. */
   def nearPairs(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.3
     val base = Tables.embeddings(spark, dir)
@@ -114,15 +173,67 @@ object SimilarityQueries {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  def nearPairsSql: String =
+    s"""WITH $normCte,
+       |$sigCte
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  list_reduce(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]), (a2, x) -> a2 + x)
+       |    / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+       |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |WHERE list_reduce(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]), (a2, x) -> a2 + x)
+       |    / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.3""".stripMargin
+
+  private val CentScale = "10000000.0" // 1e7: exact integer-scaled component sums
+
+  /** Element-wise centroid of each label's embeddings — the IVF coarse
+    * quantizer build step, exploded to one scalar row per (label, dimension)
+    * so partial aggregation applies and no vector is materialized in one
+    * reduce task. Components are summed as `floor(v·1e7 + 0.5)` bigints
+    * (exact, order-independent — the float inputs span ~[-4,4], so overflow
+    * needs ~9e10 vectors per label) with one final double division, making
+    * the centroid bit-identical across partitionings and engines. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(floor(col("col") * lit(1e7) + lit(0.5))).as("s"),
+        count(lit(1)).as("n_vectors"))
+      .select(
+        col("label"), col("pos").cast("bigint").as("pos"),
+        (col("s").cast("double") / (col("n_vectors").cast("double") * lit(1e7))).as("centroid_v"),
+        col("n_vectors"))
+
+  def labelCentroidsSql: String =
+    s"""WITH x AS (
+       |  SELECT label,
+       |    unnest(list_transform(range(1, len(embedding) + 1),
+       |      i -> {'pos': i - 1, 'sv': CAST(floor(embedding[i]::DOUBLE * $CentScale + 0.5) AS BIGINT)})) AS u
+       |  FROM embeddings)
+       |SELECT label, CAST(u.pos AS BIGINT) AS pos,
+       |  CAST(sum(u.sv) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $CentScale) AS centroid_v,
+       |  count(*) AS n_vectors
+       |FROM x GROUP BY label, u.pos""".stripMargin
+
+  /** [[labelCentroids]] re-assembled into one centroid vector per label, for
+    * the IVF quantizer (deterministic: components are exact, order fixed by
+    * `array_sort` on position). */
+  private[graft] def centroidVectors(spark: SparkSession, dir: String): DataFrame =
+    labelCentroids(spark, dir)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid_v"))))
+        .getField("centroid_v").as("centroid"))
+
   /** IVF-style approximate top-k: the label centroids act as the coarse
     * quantizer; every corpus vector is assigned to its nearest centroid
     * (narrow pass against a broadcast 10-row centroid table), and each query
     * searches only its `nprobe`=3 closest cells. The corpus shuffles once by
-    * cell id; cost per query is |corpus|·nprobe/|cells|. Rows-only check
-    * (the quantizer derives from summation-order-dependent averages). */
+    * cell id; cost per query is |corpus|·nprobe/|cells|. The quantizer is
+    * deterministic ([[labelCentroids]]' exact integer sums), so the whole
+    * pipeline has an exact SQL oracle ([[topkIvfSql]]). */
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
     val nprobe = 3
-    val cents = labelCentroids(spark, dir)
+    val cents = centroidVectors(spark, dir)
       .select(col("label").as("cell"), col("centroid"))
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -144,17 +255,45 @@ object SimilarityQueries {
       .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("cosine"))
   }
 
-  /** Element-wise centroid of each label's embeddings — the IVF coarse
-    * quantizer build step. Position-exploded so partial aggregation applies;
-    * no vector leaves a single reduce task. Rows-only check (float summation
-    * order is partition-dependent, so no exact SQL oracle). */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col")).as("v"), count(lit(1)).as("n"))
-      .groupBy(col("label"))
-      .agg(
-        max(col("n")).as("n_vectors"),
-        array_sort(collect_list(struct(col("pos"), col("v")))).getField("v").as("centroid"))
+  /** Exact oracle for [[topkIvf]]: rebuilds the same deterministic centroids,
+    * the same nearest-cell assignment (ties broken by cell id), the same
+    * nprobe=3 probe cells, and the same ordered-fold cosine ranking. */
+  def topkIvfSql: String =
+    s"""WITH $normCte,
+       |cexp AS (
+       |  SELECT label,
+       |    unnest(list_transform(range(1, len(embedding) + 1),
+       |      i -> {'pos': i - 1, 'sv': CAST(floor(embedding[i]::DOUBLE * $CentScale + 0.5) AS BIGINT)})) AS u
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label AS cell,
+       |    list(CAST(sum_sv AS DOUBLE) / (CAST(cnt AS DOUBLE) * $CentScale) ORDER BY pos) AS c
+       |  FROM (SELECT label, u.pos AS pos, sum(u.sv) AS sum_sv, count(*) AS cnt
+       |        FROM cexp GROUP BY label, u.pos) g
+       |  GROUP BY label),
+       |cn AS (
+       |  SELECT cell, c,
+       |    list_reduce(list_transform(c, x -> x * x), (a, x) -> a + x) AS cnrm
+       |  FROM cent),
+       |assigned AS (
+       |  SELECT n.vec_id, n.e, n.nrm, cn.cell,
+       |    list_reduce(list_transform(range(1, len(n.e) + 1), i -> n.e[i] * cn.c[i]), (a, x) -> a + x)
+       |      / (sqrt(n.nrm) * sqrt(cn.cnrm)) AS csim
+       |  FROM n, cn),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+       |  FROM assigned),
+       |corpus AS (SELECT vec_id, e, nrm, cell FROM ranked WHERE crank = 1),
+       |qcells AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+       |           FROM ranked WHERE vec_id < $NumQueries AND crank <= 3),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    list_reduce(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * c.e[i]), (a, x) -> a + x)
+       |      / (sqrt(q.qn) * sqrt(c.nrm)) AS cosine
+       |  FROM qcells q JOIN corpus c USING (cell)
+       |  WHERE c.vec_id <> q.q_id)
+       |SELECT q_id, vec_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $K""".stripMargin
 }

@@ -100,8 +100,9 @@ object LangQueries {
   def rollingFingerprintSql: String =
     """SELECT doc_id, rhash, rhash % 64 AS rbucket FROM (
       |  SELECT doc_id,
-      |    list_reduce(list_transform(range(1, length(text) + 1),
-      |                i -> ord(substr(text, i, 1))::BIGINT),
-      |                (a, c) -> (a * 31 + c) % 2147483647) AS rhash
+      |    CASE WHEN length(text) = 0 THEN 0 ELSE
+      |      list_reduce(list_transform(range(1, length(text) + 1),
+      |                  i -> ord(substr(text, i, 1))::BIGINT),
+      |                  (a, c) -> (a * 31 + c) % 2147483647) END AS rhash
       |  FROM documents) t""".stripMargin
 }

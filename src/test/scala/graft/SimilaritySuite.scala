@@ -57,12 +57,19 @@ class SimilaritySuite extends SparkSpec {
     }
   }
 
-  test("label centroids: one row per label, centroid has full dimensionality") {
+  test("label centroids: one scalar row per (label, dimension), full dimensionality") {
     val rows = SimilarityQueries.labelCentroids(spark, Sf0001).collect()
-    assert(rows.length == 10)
-    rows.foreach { r =>
-      assert(r.getSeq[Double](2).length == 64)
-      assert(r.getLong(1) > 0)
+    assert(rows.length == 10 * 64) // 10 labels × 64 dims, exploded
+    val byLabel = rows.groupBy(_.get(0))
+    assert(byLabel.size == 10)
+    byLabel.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until 64L))
+      assert(rs.map(_.getLong(3)).distinct.length == 1) // same n_vectors per label
+      assert(rs.head.getLong(3) > 0)
     }
+    // re-assembled quantizer vectors keep full dimensionality
+    val vecs = SimilarityQueries.centroidVectors(spark, Sf0001).collect()
+    assert(vecs.length == 10)
+    vecs.foreach(r => assert(r.getSeq[Double](1).length == 64))
   }
 }

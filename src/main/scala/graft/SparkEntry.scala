@@ -35,6 +35,11 @@ object SparkEntry {
     "lineitem_topk" -> (RelationalQueries.lineitemTopk _),
     "nation_balance" -> (RelationalQueries.nationBalance _),
     "union_order_status" -> (RelationalQueries.unionOrderStatus _),
+    "customers_no_orders" -> (RelationalQueries.customersNoOrders _),
+    "brand_cheapest" -> (RelationalQueries.brandCheapest _),
+    "orders_above_avg" -> (RelationalQueries.ordersAboveAvg _),
+    "lineitem_stats" -> (RelationalQueries.lineitemStats _),
+    "median_price" -> (RelationalQueries.medianPrice _),
     // Reference app workloads (SURVEY.md §2.2) + text analysis
     "wc" -> (TextQueries.wordCount _),
     "wc_salted" -> (TextQueries.wordCountSalted _),
@@ -63,6 +68,7 @@ object SparkEntry {
     "dedup_exact" -> (DedupQueries.dedupExact _),
     "dedup_near" -> (DedupQueries.dedupNear _),
     "simhash" -> (DedupQueries.simhash _),
+    "dedup_simhash_pairs" -> (DedupQueries.simhashPairs _),
     // Similarity search
     "embed_topk" -> (SimilarityQueries.topkBruteForce _),
     "embed_topk_lsh" -> (SimilarityQueries.topkLsh _),
@@ -93,6 +99,11 @@ object SparkEntry {
     "lineitem_topk" -> RelationalQueries.lineitemTopkSql,
     "nation_balance" -> RelationalQueries.nationBalanceSql,
     "union_order_status" -> RelationalQueries.unionOrderStatusSql,
+    "customers_no_orders" -> RelationalQueries.customersNoOrdersSql,
+    "brand_cheapest" -> RelationalQueries.brandCheapestSql,
+    "orders_above_avg" -> RelationalQueries.ordersAboveAvgSql,
+    "lineitem_stats" -> RelationalQueries.lineitemStatsSql,
+    "median_price" -> RelationalQueries.medianPriceSql,
     "wc" -> TextQueries.wordCountSql,
     "wc_salted" -> TextQueries.wordCountSql,
     "indexer" -> TextQueries.invertedIndexSql,
@@ -119,6 +130,7 @@ object SparkEntry {
     "dedup_exact" -> DedupQueries.dedupExactSql,
     "dedup_near" -> DedupQueries.dedupNearSql,
     "simhash" -> DedupQueries.simhashSql,
+    "dedup_simhash_pairs" -> DedupQueries.simhashPairsSql,
     "embed_topk" -> SimilarityQueries.topkBruteForceSql,
     // The "approximate" paths are still deterministic functions of the data
     // (inlined hyperplane signs; exact integer-scaled centroids), so each has

@@ -102,18 +102,23 @@ object DedupQueries {
           |       b -> struct(ds[i] AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+      // the candidate set is tiny (LSH's whole point) and consumed three
+      // times below — persist so the signature/band stage runs once
+      .persist()
 
-    // Verification joins the candidate pairs back to per-doc shingle sets.
-    // shingle_set runs as one narrow pass over the corpus per join side —
-    // linear scans, cheap next to the LSH stage. (The alternative — a
-    // semi-join restricting the corpus to candidate ids first — touches
-    // fewer documents but re-derives the candidate subtree per consumer
-    // unless it is checkpointed; at corpus scale, persist `cand` and
-    // reinstate the semi-join.)
-    val sets = docs.select(col("doc_id"), expr("shingle_set(text)").as("s"))
+    // Verification: compute shingle sets ONLY for documents that appear in a
+    // candidate pair (broadcast semi-join), then join the pairs against that
+    // small set. At 100 TB this is the difference between shingling the
+    // whole corpus again and shingling the ~0.x% of documents LSH flagged.
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = docs
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr("shingle_set(text)").as("s"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"))), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))) / size(array_union(col("sa"), col("sb"))))
       .filter(col("jaccard") >= 0.8)
@@ -138,20 +143,28 @@ object DedupQueries {
       |WHERE jaccard >= 0.8""".stripMargin
 
   private val SimHashBits = 16
+  private val WideHexDigits = 15 // 60-bit signature for the pairs operator
 
-  /** 16-bit SimHash per document, weighting each distinct token by its
-    * occurrence count. The token hash is the first 4 hex digits of md5 so the
-    * same value is computable in any engine. Two-phase aggregate: per-(doc,
-    * token) counts (partial agg map-side), then 16 bit-plane sums per doc. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** 16-bit SimHash per document — [[simhashN]] over 4 md5 hex digits. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashN(spark, dir, SimHashBits / 4)
+
+  /** `4·hexDigits`-bit SimHash per document, weighting each distinct token
+    * by its occurrence count. The token hash is the first `hexDigits` hex
+    * digits of md5 so the same value is computable in any engine (≤ 15
+    * digits keeps it inside a signed 64-bit int). Two-phase aggregate:
+    * per-(doc, token) counts (partial agg map-side), then one bit-plane sum
+    * per signature bit per doc. */
+  private[graft] def simhashN(spark: SparkSession, dir: String, hexDigits: Int): DataFrame = {
+    val bits = hexDigits * 4
     val wc = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextQueries.tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", conv(substring(md5(col("word")), 1, 4), 16, 10).cast("int"))
-    val bitSums = (0 until SimHashBits).map(j =>
+      .withColumn("h", conv(substring(md5(col("word")), 1, hexDigits), 16, 10).cast("bigint"))
+    val bitSums = (0 until bits).map(j =>
       sum(when(expr(s"(h >> $j) % 2 = 1"), col("cnt")).otherwise(-col("cnt"))).as(s"s$j"))
-    val sig = (0 until SimHashBits)
+    val sig = (0 until bits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     wc.groupBy(col("doc_id"))
@@ -159,14 +172,64 @@ object DedupQueries {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  def simhashSql: String = {
-    val bitSums = (0 until SimHashBits).map(j =>
+  /** SimHash near-duplicate pairs at Hamming distance ≤ 3, over a WIDE
+    * (60-bit) signature — [[simhashN]] with 15 md5 hex digits — not the
+    * 16-bit [[simhash]]: band buckets must be sparse for banding to scale,
+    * and a 16-bit space buckets half the corpus together (quadratic pair
+    * expansion), while 4 bands × 15 bits give 32,768 values per band so only
+    * genuine near-dups and rare random collisions share a bucket. Banding is
+    * exact, not approximate: 3 differing bits can dirty at most 3 of the 4
+    * bands, so every qualifying pair shares ≥ 1 band (pigeonhole) —
+    * candidate generation by (band, chunk) equi-join has 100% recall and the
+    * output equals the brute-force oracle. One shuffle by the band key,
+    * pairs expanded only inside shared buckets, never all-pairs. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val maxHamming = 3
+    val sh = simhashN(spark, dir, WideHexDigits).persist() // (doc_id, simhash) — consumed 3×
+    val bands = sh.select(
+        col("doc_id"),
+        explode(array((0 until 4).map(lit): _*)).as("band"),
+        col("simhash"))
+      .select(col("doc_id"), col("band"),
+        expr("(simhash >> (band * 15)) & 32767").as("chunk"))
+    val cand = bands
+      .groupBy(col("band"), col("chunk"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
+          |       b -> struct(ds[i] AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Brute-force oracle: banding is recall-lossless (see [[simhashPairs]]),
+    * so the all-pairs scan over the same signatures is the exact answer. */
+  def simhashPairsSql: String =
+    s"""WITH sh AS (${simhashNSql(WideHexDigits)})
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  def simhashSql: String = simhashNSql(SimHashBits / 4)
+
+  private def simhashNSql(hexDigits: Int): String = {
+    val bits = hexDigits * 4
+    val bitSums = (0 until bits).map(j =>
       s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN cnt ELSE -cnt END) AS s$j").mkString(",\n    ")
-    val sig = (0 until SimHashBits).map(j =>
+    val sig = (0 until bits).map(j =>
       s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     s"""WITH wc AS (
        |  SELECT doc_id, word, count(*) AS cnt,
-       |    ('0x' || substr(md5(word), 1, 4))::INTEGER AS h
+       |    ('0x' || substr(md5(word), 1, $hexDigits))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
        |        FROM documents) t
        |  WHERE word <> ''

@@ -342,6 +342,162 @@ object RelationalQueries {
       |  EXCEPT
       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') s""".stripMargin
 
+  /** Anti join (NOT EXISTS): customers that never placed an urgent order,
+    * per segment. The filter pushes into the orders scan before the
+    * left_anti, which ships only the join key and short-circuits per match. */
+  def customersNoOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_custkey"))
+
+  def customersNoOrdersSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers, min(c_custkey) AS min_custkey
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Argmin per group (the Q2 access pattern without a partsupp table): the
+    * cheapest shipped line item of each brand, as `min(struct(...))` —
+    * lexicographic struct-min IS the argmin with its tie-break chain
+    * (price, orderkey, linenumber), and unlike a rank-1 window it aggregates
+    * partially on the map side: no per-brand sort of the fact table, one
+    * |brands|-row shuffle after a broadcast join against `part`. */
+  def brandCheapest(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(min(struct(
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"), col("l_suppkey")))
+        .as("m"))
+      .select(col("p_brand"), col("m.l_orderkey").as("l_orderkey"),
+        col("m.l_linenumber").as("l_linenumber"), col("m.l_suppkey").as("l_suppkey"),
+        col("m.l_extendedprice").as("l_extendedprice"))
+
+  def brandCheapestSql: String =
+    """SELECT p_brand, l_orderkey, l_linenumber, l_suppkey, l_extendedprice FROM (
+      |  SELECT p_brand, l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+      |    row_number() OVER (PARTITION BY p_brand
+      |                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey) t
+      |WHERE rn = 1""".stripMargin
+
+  /** Scalar subquery: orders above the global average price. The comparison
+    * stays in exact integers — `cents·n > Σcents` — so no floating-point
+    * average ever exists to diverge; the 1-row aggregate broadcasts. */
+  def ordersAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val tot = ord.agg(
+      sum(cents(col("o_totalprice"))).as("sum_cents"),
+      count(lit(1)).as("n_all"))
+    ord.crossJoin(broadcast(tot))
+      .filter(cents(col("o_totalprice")) * col("n_all") > col("sum_cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total_price"))
+  }
+
+  def ordersAboveAvgSql: String =
+    """WITH t AS (
+      |  SELECT CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |         count(*) AS n_all
+      |  FROM orders)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_price
+      |FROM orders, t
+      |WHERE CAST(round(o_totalprice*100) AS BIGINT) * n_all > sum_cents
+      |GROUP BY o_orderstatus""".stripMargin
+
+  /** Exact second-moment statistics — variance, stddev, and the
+    * quantity↔discount correlation per return flag — from integer-cents
+    * power sums (Σx, Σx², Σxy as bigints, one shuffle, partial-agg
+    * friendly). Every intermediate is exact, the scale factors cancel in
+    * corr, and the final double expressions are evaluated identically by any
+    * engine — unlike built-in `stddev`/`corr`, whose running-moment updates
+    * depend on partition order. Bigint power sums hold to ~1e18; beyond
+    * that (true 100 TB row counts) the same sums lower to DECIMAL(38,0). */
+  def lineitemStats(spark: SparkSession, dir: String): DataFrame = {
+    val qc = cents(col("l_quantity"))
+    val dc = cents(col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qc).as("sx"), sum(qc * qc).as("sxx"),
+        sum(dc).as("sy"), sum(dc * dc).as("syy"),
+        sum(qc * dc).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("sx").cast("double") / col("n").cast("double") / 100.0).as("avg_qty"),
+        ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("n") * (col("n") - 1)).cast("double") / 10000.0).as("var_qty"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("n") * (col("n") - 1)).cast("double") / 10000.0).as("std_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr_qty_disc"))
+  }
+
+  def lineitemStatsSql: String =
+    """SELECT l_returnflag, n,
+      |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS avg_qty,
+      |  CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS var_qty,
+      |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0) AS std_qty,
+      |  CAST(n*sxy - sx*sy AS DOUBLE)
+      |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_disc
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(qc) AS BIGINT) AS sx, CAST(sum(qc*qc) AS BIGINT) AS sxx,
+      |    CAST(sum(dc) AS BIGINT) AS sy, CAST(sum(dc*dc) AS BIGINT) AS syy,
+      |    CAST(sum(qc*dc) AS BIGINT) AS sxy
+      |  FROM (SELECT l_returnflag,
+      |          CAST(round(l_quantity*100) AS BIGINT) AS qc,
+      |          CAST(round(l_discount*100) AS BIGINT) AS dc
+      |        FROM lineitem) c
+      |  GROUP BY l_returnflag) s""".stripMargin
+
+  /** Exact median price per return flag, spelled as an explicit sorted-rank
+    * pick (row_number + count, take the middle one or two, average them in
+    * integer cents) — the same deterministic element choice in any engine,
+    * where built-in interpolating percentiles would hinge on engine-specific
+    * arithmetic. One shuffle by group for the window, one for the final agg. */
+  def medianPrice(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val picked = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("pc"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+    picked.groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        (sum(col("pc")).cast("double") / count(lit(1)).cast("double") / 100.0)
+          .as("median_price"))
+  }
+
+  def medianPriceSql: String =
+    """SELECT l_returnflag, max(n) AS n,
+      |  CAST(sum(pc) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 AS median_price
+      |FROM (
+      |  SELECT l_returnflag, n, CAST(round(l_extendedprice*100) AS BIGINT) AS pc
+      |  FROM (
+      |    SELECT l_returnflag, l_extendedprice,
+      |      row_number() OVER (PARTITION BY l_returnflag
+      |                         ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |      count(*) OVER (PARTITION BY l_returnflag) AS n
+      |    FROM lineitem) r
+      |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2) p
+      |GROUP BY l_returnflag""".stripMargin
+
   def unionOrderStatusSql: String =
     """SELECT o_orderstatus, count(*) AS n_orders FROM (
       |  SELECT DISTINCT o_orderkey, o_orderstatus FROM (

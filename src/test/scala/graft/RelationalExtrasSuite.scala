@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupQueries
+import graft.relational.RelationalQueries
+
+/** Property tests for the round-3 relational additions (anti join, argmin
+  * window, scalar subquery, exact moment statistics, deterministic median)
+  * and the SimHash hamming-pair operator, at sf0.001. */
+class RelationalExtrasSuite extends SparkSpec {
+
+  test("customers_no_orders: anti join is disjoint from the urgent-order customer set") {
+    val urgent = Tables.orders(spark, Sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val rows = RelationalQueries.customersNoOrders(spark, Sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum > 0) // non-trivial at this sf
+    rows.foreach(r => assert(!urgent.contains(r.getLong(2)))) // min_custkey not urgent
+    val total = rows.map(_.getLong(1)).sum
+    val nCust = Tables.customer(spark, Sf0001).count()
+    assert(total == nCust - Tables.customer(spark, Sf0001)
+      .filter(col("c_custkey").isin(urgent.toSeq: _*)).count())
+  }
+
+  test("brand_cheapest: exactly one row per brand, and it is that brand's minimum price") {
+    val rows = RelationalQueries.brandCheapest(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    val mins = Tables.lineitem(spark, Sf0001)
+      .join(Tables.part(spark, Sf0001), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(min(col("l_extendedprice")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.length == mins.size)
+    rows.foreach(r => assert(r.getDouble(4) == mins(r.getString(0))))
+  }
+
+  test("orders_above_avg: partitions orders strictly above the exact mean") {
+    val ord = Tables.orders(spark, Sf0001)
+    val nAbove = RelationalQueries.ordersAboveAvg(spark, Sf0001)
+      .collect().map(_.getLong(1)).sum
+    // recompute the threshold exactly the way the query does
+    val (sumCents, n) = {
+      val r = ord.agg(
+        sum(round(col("o_totalprice") * 100).cast("bigint")), count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val expected = ord
+      .filter(round(col("o_totalprice") * 100).cast("bigint") * n > sumCents).count()
+    assert(nAbove == expected && nAbove > 0 && nAbove < ord.count())
+  }
+
+  test("lineitem_stats: exact integer-sum moments agree with built-in stddev/corr to 1e-9") {
+    val exact = RelationalQueries.lineitemStats(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val builtin = Tables.lineitem(spark, Sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(stddev(col("l_quantity")).as("s"), corr(col("l_quantity"), col("l_discount")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet == builtin.keySet && exact.nonEmpty)
+    exact.foreach { case (k, r) =>
+      assert(math.abs(r.getDouble(4) - builtin(k)._1) < 1e-9) // std_qty
+      assert(math.abs(r.getDouble(5) - builtin(k)._2) < 1e-9) // corr_qty_disc
+    }
+  }
+
+  test("median_price: matches a driver-side sorted median per group") {
+    val got = RelationalQueries.medianPrice(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val groups = Tables.lineitem(spark, Sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(got.keySet == groups.keySet)
+    groups.foreach { case (k, vs) =>
+      val cents = vs.map(v => math.round(v * 100))
+      val n = cents.length
+      val picked =
+        if (n % 2 == 1) Seq(cents((n - 1) / 2))
+        else Seq(cents(n / 2 - 1), cents(n / 2))
+      val want = picked.sum.toDouble / picked.length / 100.0
+      assert(got(k) == want)
+    }
+  }
+
+  test("dedup_simhash_pairs: equals brute force (banding is recall-lossless)") {
+    val sigs = DedupQueries.simhashN(spark, Sf0001, 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    val got = DedupQueries.simhashPairs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // exact dups exist in testdata → hamming-0 pairs
+  }
+}

@@ -462,22 +462,46 @@ object RelationalQueries {
       |        FROM lineitem) c
       |  GROUP BY l_returnflag) s""".stripMargin
 
-  /** Exact median price per return flag, spelled as an explicit sorted-rank
-    * pick (row_number + count, take the middle one or two, average them in
-    * integer cents) — the same deterministic element choice in any engine,
-    * where built-in interpolating percentiles would hinge on engine-specific
-    * arithmetic. One shuffle by group for the window, one for the final agg. */
+  /** Exact median price per return flag, computed as a two-phase distributed
+    * selection rather than a per-group global sort: (1) histogram the prices
+    * into $1000 integer-cent buckets — a partial-aggregable groupBy whose
+    * output is |groups|·|buckets|, tiny; (2) a cumulative count over that
+    * tiny histogram locates the bucket(s) holding the middle position(s);
+    * (3) only rows in those buckets (a ~1/|buckets| sliver of the data, via
+    * broadcast join) enter a row_number window, offset by the preceding
+    * buckets' cumulative count to recover the global rank. A naive
+    * `row_number() OVER (PARTITION BY l_returnflag ORDER BY price)` sorts
+    * the whole fact table with parallelism = |groups| (3 here) — this shape
+    * keeps every fact-table pass narrow or partially aggregated at any
+    * scale. The middle one or two values are averaged in integer cents, the
+    * same deterministic element choice the oracle makes. */
   def medianPrice(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val picked = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("pc"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("pc"))
+      .withColumn("bkt", expr("pc div 100000"))
+    // (1) tiny histogram + per-group totals
+    val hist = base.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(count(lit(1)).as("bc"))
+    val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+    // (2) candidate buckets: those overlapping either middle position
+    val cand = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("bc")).over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("bc")).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(expr("cum_before < (n + 2) div 2 AND cum_before + bc >= (n + 1) div 2"))
+      .select(col("l_returnflag"), col("bkt"), col("cum_before"), col("n"))
+    // (3) rank only inside candidate buckets; global rank = offset + local
+    val offsets = cand.groupBy(col("l_returnflag"))
+      .agg(min(col("cum_before")).as("offset"), max(col("n")).as("n"))
+    val wr = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("pc"), col("l_orderkey"), col("l_linenumber"))
+    base.join(broadcast(cand.select(col("l_returnflag"), col("bkt"))), Seq("l_returnflag", "bkt"))
+      .join(broadcast(offsets), Seq("l_returnflag"))
+      .withColumn("rn", row_number().over(wr) + col("offset"))
       .filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
-    picked.groupBy(col("l_returnflag"))
+      .groupBy(col("l_returnflag"))
       .agg(
         max(col("n")).as("n"),
         (sum(col("pc")).cast("double") / count(lit(1)).cast("double") / 100.0)

@@ -54,6 +54,41 @@ object MultimodalPipeline {
     }
   }
 
+  /** One sampled frame of a media item. */
+  case class FrameRow(id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Resize, as a binary→binary narrow transform with updated metadata —
+    * the payload never shuffles; a real implementation swaps the stub body
+    * for a codec call. The stub deterministically truncates the payload to
+    * `w·h` bytes so tests can assert the batching/schema contract. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => r.copy(media = r.media.take(w * h)))
+    }
+  }
+
+  /** Frame sampling: the 1→N expansion shape (one video row → `n` frame
+    * rows), executed as a partition-local flatMap so the only data growth is
+    * the sampled frames themselves. The stub slices the payload into `n`
+    * contiguous chunks ("frames") deterministically; a real decoder would
+    * seek keyframes. Downstream, frames are normal binary rows — feature
+    * extraction, dedup, or embedding models consume them per-partition. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val len = r.media.length
+      if (len == 0) Iterator.empty
+      else (0 until math.min(n, len)).iterator.map { i =>
+        val from = i.toLong * len / n
+        val until = (i + 1).toLong * len / n
+        FrameRow(r.id, i, java.util.Arrays.copyOfRange(r.media, from.toInt, until.toInt))
+      }
+    }
+  }
+
   /** Documents reinterpreted as a media table (text payload as bytes) — the
     * binary-column plumbing demo over driver testdata. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {

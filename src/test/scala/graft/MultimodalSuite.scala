@@ -24,6 +24,27 @@ class MultimodalSuite extends SparkSpec {
     assert(a.map(_.checksum).toSeq == b.map(_.checksum).toSeq)
   }
 
+  test("resize is a narrow binary->binary transform with the contracted size") {
+    val media = MultimodalPipeline.mediaFromDocuments(spark, Sf0001)
+    val resized = MultimodalPipeline.resize(media, 8, 4)
+    // narrow: no Exchange in the plan
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
+    resized.collect().foreach(r => assert(r.media.length <= 32))
+  }
+
+  test("frame sampling expands 1->n deterministically and reassembles to the payload") {
+    val media = MultimodalPipeline.mediaFromDocuments(spark, Sf0001)
+    val frames = MultimodalPipeline.sampleFrames(media, 4).collect()
+    val byId = frames.groupBy(_.id)
+    val originals = media.collect().map(r => r.id -> r.media).toMap
+    assert(byId.size == originals.count(_._2.nonEmpty))
+    byId.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+      val reassembled = fs.sortBy(_.frame_idx).flatMap(_.frame)
+      assert(java.util.Arrays.equals(reassembled, originals(id))) // lossless slicing
+    }
+  }
+
   test("expression path agrees with mapPartitions path on byte length") {
     import spark.implicits._
     val viaExpr = MultimodalPipeline.mediaFeatures(spark, Sf0001)

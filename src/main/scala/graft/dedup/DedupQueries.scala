@@ -185,7 +185,13 @@ object DedupQueries {
     * pairs expanded only inside shared buckets, never all-pairs. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val maxHamming = 3
-    val sh = simhashN(spark, dir, WideHexDigits).persist() // (doc_id, simhash) — consumed 3×
+    // native one-pass signature (no (doc,token) shuffle); numerically equal
+    // to simhashN — the null filter mirrors its dropped tokenless docs
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), expr(s"simhash_sig(text, $WideHexDigits)").as("simhash"))
+      .filter(col("simhash").isNotNull)
+      .persist() // (doc_id, simhash) — consumed 3×
     val bands = sh.select(
         col("doc_id"),
         explode(array((0 until 4).map(lit): _*)).as("band"),

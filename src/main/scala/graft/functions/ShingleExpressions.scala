@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,6 +63,11 @@ object ShingleExpressions {
     new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
     (args: Seq[Expression]) => MinHashSig(args.head))
 
+  val simHashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_sig"),
+    new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+    (args: Seq[Expression]) => SimHashSig(args(0), args(1)))
+
   val shingleSetDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("shingle_set"),
     new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
@@ -100,6 +105,56 @@ case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFal
 
 object MinHashSig {
   val NumHashes = 64
+}
+
+/** `simhash_sig(text, nHexDigits)` → bigint: the `4·nHexDigits`-bit SimHash
+  * of the document's letter-run tokens, each distinct token weighted by its
+  * occurrence count and hashed to its first `nHexDigits` md5 hex digits —
+  * numerically identical to the two-phase SQL formulation
+  * (`graft.dedup.DedupQueries.simhashN` / the DuckDB oracle: integer
+  * bit-plane sums are order-free), but computed in ONE narrow pass per
+  * document instead of a (doc, token) shuffle plus a 4·nHexDigits-column
+  * aggregate. Returns null for a tokenless document (the two-phase path
+  * emits no row — callers filter nulls to match). */
+case class SimHashSig(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any, nHex: Any): Any = {
+    val hexDigits = nHex.asInstanceOf[Int]
+    require(hexDigits >= 1 && hexDigits <= 15, "simhash_sig: nHexDigits must be in [1,15]")
+    val bits = hexDigits * 4
+    val toks = graft.core.Tokenizer.letterTokens(input.asInstanceOf[UTF8String].toString)
+    if (toks.isEmpty) return null
+    val counts = mutable.HashMap.empty[String, Long]
+    toks.foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Long](bits)
+    counts.foreach { case (word, cnt) =>
+      md.reset()
+      val d = md.digest(word.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // value of the first hexDigits hex characters read as a base-16 number
+      var h = 0L
+      var i = 0
+      while (i < hexDigits / 2) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      if (hexDigits % 2 == 1) h = (h << 4) | ((d(hexDigits / 2) >> 4) & 0xfL)
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) == 1L) sums(j) += cnt else sums(j) -= cnt
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SimHashSig =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `shingle_set(text)` → `array<string>` of the document's distinct 3-word

@@ -10,6 +10,7 @@ import graft.functions.{RollingHash, ShingleExpressions, VectorExpressions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ShingleExpressions.minHashSigDescriptor)
+    ext.injectFunction(ShingleExpressions.simHashSigDescriptor)
     ext.injectFunction(ShingleExpressions.shingleSetDescriptor)
     ext.injectFunction(VectorExpressions.cosineSimDescriptor)
     ext.injectFunction(VectorExpressions.rhSigDescriptor)

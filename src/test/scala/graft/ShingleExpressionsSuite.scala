@@ -83,4 +83,23 @@ class ShingleExpressionsSuite extends SparkSpec {
       assert(r.getSeq[String](1).isEmpty)
     }
   }
+
+  test("native simhash_sig equals the two-phase aggregate formulation") {
+    for (hexDigits <- Seq(4, 15)) {
+      val twoPhase = graft.dedup.DedupQueries.simhashN(spark, Sf0001, hexDigits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val native = Tables.documents(spark, Sf0001)
+        .select(col("doc_id"), expr(s"simhash_sig(text, $hexDigits)").as("s"))
+        .filter(col("s").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native == twoPhase, s"hexDigits=$hexDigits")
+    }
+  }
+
+  test("simhash_sig is null only for tokenless documents") {
+    import spark.implicits._
+    val rows = Seq("", "123 456", "one two one").toDF("text")
+      .select(expr("simhash_sig(text, 15)").as("s")).collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0) && !rows(2).isNullAt(0))
+  }
 }

@@ -40,6 +40,9 @@ object SparkEntry {
     "orders_above_avg" -> (RelationalQueries.ordersAboveAvg _),
     "lineitem_stats" -> (RelationalQueries.lineitemStats _),
     "median_price" -> (RelationalQueries.medianPrice _),
+    "shipping_lag" -> (RelationalQueries.shippingLag _),
+    "lineitem_unpivot" -> (RelationalQueries.lineitemUnpivot _),
+    "customer_max_order" -> (RelationalQueries.customerMaxOrder _),
     // Reference app workloads (SURVEY.md §2.2) + text analysis
     "wc" -> (TextQueries.wordCount _),
     "wc_salted" -> (TextQueries.wordCountSalted _),
@@ -104,6 +107,9 @@ object SparkEntry {
     "orders_above_avg" -> RelationalQueries.ordersAboveAvgSql,
     "lineitem_stats" -> RelationalQueries.lineitemStatsSql,
     "median_price" -> RelationalQueries.medianPriceSql,
+    "shipping_lag" -> RelationalQueries.shippingLagSql,
+    "lineitem_unpivot" -> RelationalQueries.lineitemUnpivotSql,
+    "customer_max_order" -> RelationalQueries.customerMaxOrderSql,
     "wc" -> TextQueries.wordCountSql,
     "wc_salted" -> TextQueries.wordCountSql,
     "indexer" -> TextQueries.invertedIndexSql,

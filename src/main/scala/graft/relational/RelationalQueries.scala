@@ -522,6 +522,73 @@ object RelationalQueries {
       |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2) p
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Date arithmetic: shipping lag in whole days (`datediff` — exact
+    * integers) aggregated per priority; the average is the one final
+    * division over exact integer sums. */
+  def shippingLag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("bigint").as("lag_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        min(col("lag_days")).as("min_lag"),
+        max(col("lag_days")).as("max_lag"),
+        (sum(col("lag_days")).cast("double") / count(lit(1)).cast("double")).as("avg_lag"))
+
+  def shippingLagSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  min(lag_days) AS min_lag, max(lag_days) AS max_lag,
+      |  CAST(sum(lag_days) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_lag
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CAST(date_diff('day', o_orderdate::DATE, l_shipdate::DATE) AS BIGINT) AS lag_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Unpivot (stack): three measure columns rotated into (metric, value)
+    * rows — a narrow 1→3 expansion ahead of one partial-aggregated shuffle. */
+  def lineitemUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(expr(
+        """stack(3,
+          |  'qty',   l_quantity,
+          |  'price', l_extendedprice,
+          |  'disc',  l_discount) AS (metric, value)""".stripMargin))
+      .groupBy(col("metric"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("bigint")) / 100.0).as("total"))
+
+  def lineitemUnpivotSql: String =
+    """SELECT metric, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total
+      |FROM (
+      |  SELECT 'qty' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'disc', l_discount FROM lineitem) u
+      |GROUP BY metric""".stripMargin
+
+  /** Correlated scalar subquery through the SQL API — Catalyst decorrelates
+    * it into an aggregate + (broadcast) join; `max` is order-free so the
+    * value is engine-exact. */
+  def customerMaxOrder(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders_v WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer_v
+        |WHERE c_acctbal > 9000""".stripMargin)
+  }
+
+  def customerMaxOrderSql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+      |FROM customer
+      |WHERE c_acctbal > 9000""".stripMargin
+
   def unionOrderStatusSql: String =
     """SELECT o_orderstatus, count(*) AS n_orders FROM (
       |  SELECT DISTINCT o_orderkey, o_orderstatus FROM (

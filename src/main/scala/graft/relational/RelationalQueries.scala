@@ -522,6 +522,56 @@ object RelationalQueries {
       |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2) p
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Exact type-1 quantiles (p25/p50/p75/p99: the element at rank
+    * `max(1, ceil(q·n))`) per return flag, in ONE pass of the two-phase
+    * selection that [[medianPrice]] introduced: the same $1000-bucket
+    * histogram locates every quantile's bucket at once, and only those
+    * buckets' rows are ranked (per (group, quantile) window over a sliver,
+    * offset by the histogram's cumulative count). Exact order statistics at
+    * any scale without ever sorting the fact table globally. `q·n` and
+    * `ceil` are evaluated identically by both engines, so the picked
+    * element is deterministic. */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq(0.25, 0.5, 0.75, 0.99)
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("pc"))
+      .withColumn("bkt", expr("pc div 100000"))
+    val hist = base.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(count(lit(1)).as("bc"))
+    val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+    val cum = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("bc")).over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("bc")).over(Window.partitionBy(col("l_returnflag"))))
+    // one row per (group, quantile): the global rank to pick + its bucket
+    val cand = cum
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("r", greatest(lit(1L), ceil(col("q") * col("n")).cast("bigint")))
+      .filter(col("cum_before") < col("r") && col("cum_before") + col("bc") >= col("r"))
+      .select(col("l_returnflag"), col("q"), col("bkt"), col("cum_before"), col("r"))
+    val wr = Window.partitionBy(col("l_returnflag"), col("q"))
+      .orderBy(col("pc"), col("l_orderkey"), col("l_linenumber"))
+    base.join(broadcast(cand), Seq("l_returnflag", "bkt"))
+      .withColumn("rn", row_number().over(wr) + col("cum_before"))
+      .filter(col("rn") === col("r"))
+      .select(col("l_returnflag"), col("q"), (col("pc") / 100.0).as("value"))
+  }
+
+  def priceQuantilesSql: String =
+    """SELECT l_returnflag, q, pc/100.0 AS value
+      |FROM (
+      |  SELECT l_returnflag, pc,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY pc, l_orderkey, l_linenumber) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+      |          CAST(round(l_extendedprice*100) AS BIGINT) AS pc
+      |        FROM lineitem) c) r
+      |JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.99]::DOUBLE[]) AS q) qs
+      |  ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))""".stripMargin
+
   /** Date arithmetic: shipping lag in whole days (`datediff` — exact
     * integers) aggregated per priority; the average is the one final
     * division over exact integer sums. */

@@ -81,6 +81,20 @@ class RelationalExtrasSuite extends SparkSpec {
     }
   }
 
+  test("price_quantiles: matches driver-side type-1 quantiles per group") {
+    val got = RelationalQueries.priceQuantiles(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val groups = Tables.lineitem(spark, Sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(r => math.round(r.getDouble(1) * 100)).sorted).toMap
+    assert(got.size == groups.size * 4)
+    for ((rf, cents) <- groups; q <- Seq(0.25, 0.5, 0.75, 0.99)) {
+      val r = math.max(1L, math.ceil(q * cents.length).toLong).toInt
+      assert(got((rf, q)) == cents(r - 1) / 100.0, s"($rf, $q)")
+    }
+  }
+
   test("dedup_simhash_pairs: equals brute force (banding is recall-lossless)") {
     val sigs = DedupQueries.simhashN(spark, Sf0001, 15).collect()
       .map(r => r.getLong(0) -> r.getLong(1))

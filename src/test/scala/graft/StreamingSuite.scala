@@ -90,6 +90,30 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark-bounded dedup: dropDuplicatesWithinWatermark suppresses replays with O(window) state") {
+    // dropDuplicates(event_id) keeps every key ever seen (the watermark only
+    // evicts state when the event-time column is part of the key set);
+    // dropDuplicatesWithinWatermark is the 100 TB form — same suppression
+    // inside the delivery-replay horizon, state bounded by the watermark.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_wm_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      input.addData(sample.take(3): _*) // replay within the watermark horizon
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_stream").select($"event_id").as[Long].collect()
+      assert(ids.sorted.toSeq == sample.map(_.event_id).sorted)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: streaming events pick up static dimension columns") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

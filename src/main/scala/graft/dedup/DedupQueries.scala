@@ -103,22 +103,28 @@ object DedupQueries {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
       // the candidate set is tiny (LSH's whole point) and consumed three
-      // times below — persist so the signature/band stage runs once
+      // times below — persist so the signature/band stage runs once.
+      // Caller-managed lifetime: the cache is small and session-scoped;
+      // long-lived services should unpersist after consuming the result.
       .persist()
 
     // Verification: compute shingle sets ONLY for documents that appear in a
-    // candidate pair (broadcast semi-join), then join the pairs against that
-    // small set. At 100 TB this is the difference between shingling the
-    // whole corpus again and shingling the ~0.x% of documents LSH flagged.
+    // candidate pair (semi-join), then join the pairs against that small
+    // set. At 100 TB this is the difference between shingling the whole
+    // corpus again and shingling the ~0.x% of documents LSH flagged. Join
+    // strategies are left to Catalyst/AQE on purpose: the candidate side is
+    // usually broadcast-small, but it is proportional to the duplicate rate,
+    // and a forced broadcast would hit the 8 GB limit on a pathological
+    // corpus where a shuffle join still scales.
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val sets = docs
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr("shingle_set(text)").as("s"))
     cand
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"))), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))) / size(array_union(col("sa"), col("sb"))))
       .filter(col("jaccard") >= 0.8)
@@ -185,13 +191,15 @@ object DedupQueries {
     * pairs expanded only inside shared buckets, never all-pairs. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val maxHamming = 3
-    // native one-pass signature (no (doc,token) shuffle); numerically equal
-    // to simhashN — the null filter mirrors its dropped tokenless docs
+    // native one-pass signature (no (doc,token) shuffle, no repartition —
+    // the scan's own splits parallelize the narrow compute and raw text
+    // never shuffles); numerically equal to simhashN — the null filter
+    // mirrors its dropped tokenless docs. persist: consumed 3×, small
+    // (doc_id, bigint) rows, caller-managed lifetime.
     val sh = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), expr(s"simhash_sig(text, $WideHexDigits)").as("simhash"))
       .filter(col("simhash").isNotNull)
-      .persist() // (doc_id, simhash) — consumed 3×
+      .persist()
     val bands = sh.select(
         col("doc_id"),
         explode(array((0 until 4).map(lit): _*)).as("band"),

@@ -80,10 +80,12 @@ object MultimodalPipeline {
     import spark.implicits._
     media.flatMap { r =>
       val len = r.media.length
-      if (len == 0) Iterator.empty
-      else (0 until math.min(n, len)).iterator.map { i =>
-        val from = i.toLong * len / n
-        val until = (i + 1).toLong * len / n
+      // m (not n) as the divisor so the m emitted frames tile the payload
+      // exactly even when the payload is shorter than n bytes
+      val m = math.min(n, len)
+      (0 until m).iterator.map { i =>
+        val from = i.toLong * len / m
+        val until = (i + 1).toLong * len / m
         FrameRow(r.id, i, java.util.Arrays.copyOfRange(r.media, from.toInt, until.toInt))
       }
     }

@@ -434,23 +434,34 @@ object RelationalQueries {
       .select(
         col("l_returnflag"), col("n"),
         (col("sx").cast("double") / col("n").cast("double") / 100.0).as("avg_qty"),
-        ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-          / (col("n") * (col("n") - 1)).cast("double") / 10000.0).as("var_qty"),
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-          / (col("n") * (col("n") - 1)).cast("double") / 10000.0).as("std_qty"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        // explicit degenerate-group guards (n<2, zero variance): Spark's
+        // divide-by-zero yields NULL while DuckDB's yields inf/NaN, so the
+        // undefined cases must be NULL by construction in BOTH engines
+        when(col("n") >= 2,
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double") / 10000.0).as("var_qty"),
+        when(col("n") >= 2,
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double") / 10000.0)).as("std_qty"),
+        when(col("n") >= 2 &&
+            col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
           .as("corr_qty_disc"))
   }
 
   def lineitemStatsSql: String =
     """SELECT l_returnflag, n,
       |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS avg_qty,
-      |  CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS var_qty,
-      |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0) AS std_qty,
-      |  CAST(n*sxy - sx*sy AS DOUBLE)
-      |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_disc
+      |  CASE WHEN n >= 2 THEN
+      |    CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 END AS var_qty,
+      |  CASE WHEN n >= 2 THEN
+      |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0) END AS std_qty,
+      |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+      |    CAST(n*sxy - sx*sy AS DOUBLE)
+      |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS corr_qty_disc
       |FROM (
       |  SELECT l_returnflag, count(*) AS n,
       |    CAST(sum(qc) AS BIGINT) AS sx, CAST(sum(qc*qc) AS BIGINT) AS sxx,

@@ -61,30 +61,59 @@ object KvUpsert {
     else spark.emptyDataset[KvEntry]
   }
 
+  private val BatchMarker = "_applied_batch"
+
+  private def lastAppliedBatch(stateDir: String): Long = {
+    val marker = Paths.get(stateDir, BatchMarker)
+    if (Files.exists(marker)) new String(Files.readAllBytes(marker)).trim.toLong else -1L
+  }
+
   /** Incremental upsert sink: each micro-batch merges into the parquet
-    * state at `stateDir` (write-new-then-swap). */
+    * state at `stateDir` (write-new-then-swap).
+    *
+    * foreachBatch is at-least-once: a crash between the swap and the
+    * checkpoint commit replays the batch, and `append` is not idempotent —
+    * so the applied batch id travels inside the state directory (written to
+    * the staging copy BEFORE the swap) and replayed batches are skipped. */
   def upsertSink(ops: Dataset[KvOp], stateDir: String, checkpointDir: String): StreamingQuery = {
     val spark = ops.sparkSession
     ops.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: Dataset[KvOp], batchId: Long) =>
-        val merged = mergeBatch(readState(spark, stateDir), batch)
-        val tmp = s"$stateDir-staging-$batchId"
-        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-        swap(Paths.get(tmp), Paths.get(stateDir))
+        applyBatchOnce(batch, stateDir, batchId)
       }
       .start()
   }
 
-  /** Replace `target` with `fresh` (micro-batches are serial — no reader
-    * races within the stream; external readers see old-or-new, never mixed). */
-  private def swap(fresh: Path, target: Path): Unit = {
-    def deleteRec(p: Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+  /** The foreachBatch body, replay-safe: applies `batch` only if `batchId`
+    * is newer than the id recorded inside the state directory. */
+  private[graft] def applyBatchOnce(batch: Dataset[KvOp], stateDir: String, batchId: Long): Unit =
+    if (batchId > lastAppliedBatch(stateDir)) {
+      val merged = mergeBatch(readState(batch.sparkSession, stateDir), batch)
+      val tmp = s"$stateDir-staging-$batchId"
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      Files.write(Paths.get(tmp, BatchMarker), batchId.toString.getBytes)
+      swap(Paths.get(tmp), Paths.get(stateDir))
     }
-    deleteRec(target)
+
+  /** Replace `target` with `fresh`, crash-safely: the old state is moved
+    * aside first, so no instant exists where the state is deleted but the
+    * fresh copy not yet in place — after a crash, either the old or the new
+    * directory is at `target` (plus possibly an orphaned `-old`/staging dir
+    * to clean up), never nothing. Micro-batches are serial, so there are no
+    * concurrent swaps within the stream. */
+  private def swap(fresh: Path, target: Path): Unit = {
+    val old = target.resolveSibling(target.getFileName.toString + "-old")
+    deleteRec(old)
+    val hadTarget = Files.exists(target)
+    if (hadTarget) Files.move(target, old)
     Files.move(fresh, target)
+    if (hadTarget) deleteRec(old)
+  }
+
+  private def deleteRec(p: Path): Unit = if (Files.exists(p)) {
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
   }
 }

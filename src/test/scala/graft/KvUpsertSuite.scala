@@ -53,4 +53,19 @@ class KvUpsertSuite extends SparkSpec {
     assert(state == sequential(b1 ++ b2))
     assert(state == Map("k1" -> "abc", "k2" -> "v2", "k4" -> "fresh"))
   }
+
+  test("replayed batch ids are skipped: append stays idempotent under at-least-once delivery") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft-kv-replay").resolve("state").toString
+    val b = Seq(KvOp(1, "put", "k", "x"), KvOp(2, "append", "k", "y")).toDS()
+    KvUpsert.applyBatchOnce(b, stateDir, batchId = 0L)
+    KvUpsert.applyBatchOnce(b, stateDir, batchId = 0L) // crash-replay of the same batch
+    val state = spark.read.parquet(stateDir).as[KvEntry]
+      .collect().map(e => e.key -> e.value).toMap
+    assert(state == Map("k" -> "xy")) // not "xyy"
+    KvUpsert.applyBatchOnce(Seq(KvOp(3, "append", "k", "z")).toDS(), stateDir, batchId = 1L)
+    val after = spark.read.parquet(stateDir).as[KvEntry]
+      .collect().map(e => e.key -> e.value).toMap
+    assert(after == Map("k" -> "xyz"))
+  }
 }

@@ -45,6 +45,24 @@ class MultimodalSuite extends SparkSpec {
     }
   }
 
+  test("frame sampling tiles payloads shorter than n (no dropped bytes, no empty frames)") {
+    import spark.implicits._
+    val media = Seq(
+      MultimodalPipeline.MediaRow(1L, Array[Byte](9, 8), "x"),       // len < n
+      MultimodalPipeline.MediaRow(2L, Array[Byte](1, 2, 3), "x"),    // len < n
+      MultimodalPipeline.MediaRow(3L, Array.emptyByteArray, "x")).toDS()
+    val frames = MultimodalPipeline.sampleFrames(media, 4).collect()
+    assert(!frames.exists(_.id == 3L)) // empty payload → no frames
+    val byId = frames.groupBy(_.id)
+    assert(byId(1L).length == 2 && byId(2L).length == 3) // min(n, len) frames
+    byId.foreach { case (id, fs) =>
+      assert(fs.forall(_.frame.nonEmpty))
+      val whole = fs.sortBy(_.frame_idx).flatMap(_.frame)
+      val want = if (id == 1L) Array[Byte](9, 8) else Array[Byte](1, 2, 3)
+      assert(java.util.Arrays.equals(whole, want))
+    }
+  }
+
   test("expression path agrees with mapPartitions path on byte length") {
     import spark.implicits._
     val viaExpr = MultimodalPipeline.mediaFeatures(spark, Sf0001)

@@ -49,10 +49,20 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
-  test("driver-side anti-pattern scan: no registered query collects to the driver") {
-    // queries return DataFrames; a .collect() inside a builder would have
-    // materialized during plan construction. Constructing every plan above
-    // without an action proves the surface is lazy end-to-end.
-    assert(plans.size == SparkEntry.queries.size)
+  test("no driver-side data path in any query module (SCALING.md rule 7, statically enforced)") {
+    // the one documented exception: MapReduceJob.mergedLines (test/debug
+    // helper reproducing the reference harness's merged view)
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val text = java.nio.file.Files.readString(p)
+        val hits = Seq(".collect()", ".toLocalIterator").filter(text.contains)
+        if (hits.isEmpty) None else Some(p.toString -> hits)
+      }
+      .filterNot(_._1.endsWith("core/MapReduceJob.scala"))
+      .toList
+    assert(offenders.isEmpty, s"driver-side data paths found: $offenders")
   }
 }

@@ -107,10 +107,15 @@ class StreamingSuite extends SparkSpec {
     try {
       input.addData(sample: _*)
       q.processAllAvailable()
-      input.addData(sample.take(3): _*) // replay within the watermark horizon
+      // watermark is now max(ts)=200min − 1h = 140min: replay the one event
+      // INSIDE that horizon (ts 200) — late-data filtering can't be what
+      // suppresses it, only the dedup state can — plus a new event delivered
+      // twice in the same batch
+      val fresh = Event(7, ts(210), 2, "view", 7.0)
+      input.addData(sample.last, fresh, fresh)
       q.processAllAvailable()
       val ids = spark.table("dedup_wm_stream").select($"event_id").as[Long].collect()
-      assert(ids.sorted.toSeq == sample.map(_.event_id).sorted)
+      assert(ids.sorted.toSeq == (sample.map(_.event_id) :+ 7L).sorted)
     } finally q.stop()
   }
 

@@ -88,6 +88,9 @@ object SparkEntry {
     "events_type_share" -> (EventQueries.typeShare _),
     // Multimodal plumbing
     "media_features" -> (MultimodalPipeline.mediaFeatures _),
+    // Flagship composition: dedup → near-dup removal → quality/lang gate →
+    // per-source accounting, one lazy plan
+    "corpus_pipeline" -> (graft.pipelines.CorpusPipeline.corpusSummary _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,5 +157,6 @@ object SparkEntry {
     "events_top3_agg" -> EventQueries.top3PerTypeSql,
     "events_type_share" -> EventQueries.typeShareSql,
     "media_features" -> MultimodalPipeline.mediaFeaturesSql,
+    "corpus_pipeline" -> graft.pipelines.CorpusPipeline.corpusSummarySql,
   )
 }

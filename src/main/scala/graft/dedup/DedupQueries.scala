@@ -67,17 +67,18 @@ object DedupQueries {
     * Phases: (1) narrow — the native `minhash_sig` expression
     * ([[graft.functions.MinHashSig]]) computes the full tokenize → shingle →
     * dedup → 64-minhash signature in one JVM loop per document (the
-    * composed-builtin version runs interpreted and was ~50× slower); the
-    * repartition spreads that CPU across cores since the documents table
-    * arrives as few parquet splits. (2) 32 two-row bands → self-equi-join on
+    * composed-builtin version runs interpreted and was ~50× slower),
+    * parallelized by the scan's own splits. (2) 32 two-row bands → self-equi-join on
     * (band, hash) generates candidate pairs — never an all-pairs product.
     * (3) exact-Jaccard verification (native `shingle_set`) on candidates
     * only. With b=32/r=2 a true 0.8-Jaccard pair escapes all bands with
     * probability (1-0.8²)³² ≈ 6e-15, so the output equals the brute-force
     * oracle. */
   def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+    // no repartition: the scan's own splits parallelize the narrow
+    // signature compute (a many-split 100 TB source more so), and raw text
+    // never shuffles
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"))
     val sig = docs
       .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))

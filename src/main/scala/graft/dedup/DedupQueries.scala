@@ -74,12 +74,16 @@ object DedupQueries {
     * only. With b=32/r=2 a true 0.8-Jaccard pair escapes all bands with
     * probability (1-0.8²)³² ≈ 6e-15, so the output equals the brute-force
     * oracle. */
-  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNear(spark: SparkSession, dir: String): DataFrame =
     // no repartition: the scan's own splits parallelize the narrow
     // signature compute (a many-split 100 TB source more so), and raw text
     // never shuffles
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+    dedupNearOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** [[dedupNear]] over an arbitrary `(doc_id, text)` frame — lets a
+    * pipeline run the expensive shingling stage on an already-thinned
+    * corpus (e.g. exact-dedup keepers first). */
+  private[graft] def dedupNearOn(docs: DataFrame): DataFrame = {
     val sig = docs
       .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(size(col("sig")) > 0)

@@ -30,10 +30,14 @@ object CorpusPipeline {
   def corpusSummary(spark: SparkSession, dir: String): DataFrame = {
     val keepers = DedupQueries.dedupExact(spark, dir)
       .filter(!col("is_dup")).select(col("doc_id"))
-    val pairs = DedupQueries.dedupNear(spark, dir)
-    val dropB = pairs
-      .join(keepers.select(col("doc_id").as("doc_a")), "doc_a")
-      .join(keepers.select(col("doc_id").as("doc_b")), "doc_b")
+    // near-dup stage runs on the exact-dedup SURVIVORS only (cheap md5
+    // dedup first, expensive shingling second — and a pair with a dropped
+    // exact-dup end could never affect the kept set anyway, so the result
+    // is identical to pairing the full corpus then filtering)
+    val keeperDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .join(keepers, "doc_id")
+    val dropB = DedupQueries.dedupNearOn(keeperDocs)
       .select(col("doc_b").as("doc_id")).distinct()
     val kept = keepers.join(dropB, Seq("doc_id"), "left_anti")
     val quality = TextQueries.textQuality(spark, dir)

@@ -21,15 +21,20 @@ import graft.text.TextQueries
   *   4. per-source accounting of the surviving corpus (docs, tokens,
   *      letters) — the numbers a dataset card reports.
   *
-  * Everything stays one lazy plan: Catalyst sees through the composition
-  * (shared `documents` scans, pushed filters), every stage is the
+  * Everything stays one lazy plan (the small keeper set is persisted so the
+  * fingerprint window runs once, not per consumer); every stage is the
   * bucketed/partial-agg formulation its operator already proved, and the
   * DuckDB oracle recomposes the same stages from the same per-operator SQL. */
 object CorpusPipeline {
 
   def corpusSummary(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the keeper set feeds the near-dup stage (twice, via
+    // dedupNearOn's two passes) and the final anti-join — without the
+    // persist, the md5-fingerprint window would re-execute per consumer
+    // (ReuseExchange shares the shuffle, not the window compute above it)
     val keepers = DedupQueries.dedupExact(spark, dir)
       .filter(!col("is_dup")).select(col("doc_id"))
+      .persist()
     // near-dup stage runs on the exact-dedup SURVIVORS only (cheap md5
     // dedup first, expensive shingling second — and a pair with a dropped
     // exact-dup end could never affect the kept set anyway, so the result

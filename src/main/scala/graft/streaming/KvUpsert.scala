@@ -75,8 +75,7 @@ object KvUpsert {
     * checkpoint commit replays the batch, and `append` is not idempotent —
     * so the applied batch id travels inside the state directory (written to
     * the staging copy BEFORE the swap) and replayed batches are skipped. */
-  def upsertSink(ops: Dataset[KvOp], stateDir: String, checkpointDir: String): StreamingQuery = {
-    val spark = ops.sparkSession
+  def upsertSink(ops: Dataset[KvOp], stateDir: String, checkpointDir: String): StreamingQuery =
     ops.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
@@ -84,25 +83,46 @@ object KvUpsert {
         applyBatchOnce(batch, stateDir, batchId)
       }
       .start()
-  }
 
   /** The foreachBatch body, replay-safe: applies `batch` only if `batchId`
-    * is newer than the id recorded inside the state directory. */
-  private[graft] def applyBatchOnce(batch: Dataset[KvOp], stateDir: String, batchId: Long): Unit =
-    if (batchId > lastAppliedBatch(stateDir)) {
+    * is newer than the id recorded inside the state directory. Exactly one
+    * id may be replayed (the batch in flight when a crash hit); a batch id
+    * BEHIND that is a checkpoint/state mismatch (fresh checkpoint pointed
+    * at an old state dir) and silently dropping those batches would be
+    * invisible data loss — fail loudly instead. */
+  private[graft] def applyBatchOnce(batch: Dataset[KvOp], stateDir: String, batchId: Long): Unit = {
+    recover(stateDir)
+    val last = lastAppliedBatch(stateDir)
+    if (batchId < last)
+      throw new IllegalStateException(
+        s"batch $batchId behind state's applied batch $last at $stateDir — " +
+          "checkpoint and state directory are out of sync")
+    if (batchId > last) {
       val merged = mergeBatch(readState(batch.sparkSession, stateDir), batch)
       val tmp = s"$stateDir-staging-$batchId"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       Files.write(Paths.get(tmp, BatchMarker), batchId.toString.getBytes)
       swap(Paths.get(tmp), Paths.get(stateDir))
-    }
+    } // batchId == last: foreachBatch replay of the already-applied batch — skip
+  }
 
-  /** Replace `target` with `fresh`, crash-safely: the old state is moved
-    * aside first, so no instant exists where the state is deleted but the
-    * fresh copy not yet in place — after a crash, either the old or the new
-    * directory is at `target` (plus possibly an orphaned `-old`/staging dir
-    * to clean up), never nothing. Micro-batches are serial, so there are no
-    * concurrent swaps within the stream. */
+  /** Heal the one crash window [[swap]] leaves: died after the old state
+    * was moved aside but before the fresh copy moved in → restore the old
+    * copy; died after the fresh copy moved in → drop the stale `-old`. */
+  private def recover(stateDir: String): Unit = {
+    val target = Paths.get(stateDir)
+    val old = target.resolveSibling(target.getFileName.toString + "-old")
+    if (Files.exists(old)) {
+      if (!Files.exists(target)) Files.move(old, target)
+      else deleteRec(old)
+    }
+  }
+
+  /** Replace `target` with `fresh`: the old state is moved aside (not
+    * deleted) first, so every crash point leaves a complete copy on disk —
+    * at `target`, or at `-old` for [[recover]] to restore on the next
+    * batch. Micro-batches are serial, so there are no concurrent swaps
+    * within the stream. */
   private def swap(fresh: Path, target: Path): Unit = {
     val old = target.resolveSibling(target.getFileName.toString + "-old")
     deleteRec(old)

@@ -36,8 +36,9 @@ class CorpusPipelineSuite extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == expected)
     assert(got.nonEmpty && got.values.map(_._1).sum > 0)
-    // the pipeline actually removed something at each gate
-    assert(kept.size < keepers.size || dropped.isEmpty) // near-dup stage consistent
+    // every gate is actually exercised by the fixture
+    assert(dropped.nonEmpty)                            // near-dup stage removed docs
+    assert(kept.size == keepers.size - dropped.size)
     assert(got.values.map(_._1).sum < kept.size)        // quality/lang gate filters
   }
 }

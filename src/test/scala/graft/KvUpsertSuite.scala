@@ -68,4 +68,21 @@ class KvUpsertSuite extends SparkSpec {
       .collect().map(e => e.key -> e.value).toMap
     assert(after == Map("k" -> "xyz"))
   }
+
+  test("crash window is healed and a mismatched checkpoint fails loudly") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft-kv-crash").resolve("state").toString
+    KvUpsert.applyBatchOnce(Seq(KvOp(1, "put", "k", "x")).toDS(), stateDir, batchId = 0L)
+    // simulate a crash between swap()'s two moves: state moved aside, fresh never landed
+    Files.move(java.nio.file.Paths.get(stateDir),
+      java.nio.file.Paths.get(stateDir + "-old"))
+    KvUpsert.applyBatchOnce(Seq(KvOp(2, "append", "k", "y")).toDS(), stateDir, batchId = 1L)
+    val state = spark.read.parquet(stateDir).as[KvEntry]
+      .collect().map(e => e.key -> e.value).toMap
+    assert(state == Map("k" -> "xy")) // old state recovered, then batch applied
+    // a batch id BEHIND the state (fresh checkpoint against old state dir) must throw
+    intercept[IllegalStateException] {
+      KvUpsert.applyBatchOnce(Seq(KvOp(9, "put", "k", "boom")).toDS(), stateDir, batchId = 0L)
+    }
+  }
 }

@@ -42,6 +42,9 @@ object SparkEntry {
     "median_price" -> (RelationalQueries.medianPrice _),
     "shipping_lag" -> (RelationalQueries.shippingLag _),
     "price_quantiles" -> (RelationalQueries.priceQuantiles _),
+    "q12_priority_class" -> (RelationalQueries.q12PriorityClass _),
+    "q14_promo_share" -> (RelationalQueries.q14PromoShare _),
+    "q19_disjunctive" -> (RelationalQueries.q19Disjunctive _),
     "lineitem_unpivot" -> (RelationalQueries.lineitemUnpivot _),
     "customer_max_order" -> (RelationalQueries.customerMaxOrder _),
     // Reference app workloads (SURVEY.md §2.2) + text analysis
@@ -113,6 +116,9 @@ object SparkEntry {
     "median_price" -> RelationalQueries.medianPriceSql,
     "shipping_lag" -> RelationalQueries.shippingLagSql,
     "price_quantiles" -> RelationalQueries.priceQuantilesSql,
+    "q12_priority_class" -> RelationalQueries.q12PriorityClassSql,
+    "q14_promo_share" -> RelationalQueries.q14PromoShareSql,
+    "q19_disjunctive" -> RelationalQueries.q19DisjunctiveSql,
     "lineitem_unpivot" -> RelationalQueries.lineitemUnpivotSql,
     "customer_max_order" -> RelationalQueries.customerMaxOrderSql,
     "wc" -> TextQueries.wordCountSql,

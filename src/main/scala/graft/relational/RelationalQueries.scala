@@ -533,6 +533,83 @@ object RelationalQueries {
       |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2) p
       |GROUP BY l_returnflag""".stripMargin
 
+  /** TPC-H Q12 shape (no l_shipmode in this schema, so priority classes
+    * stand in): conditional CASE-sums per ship month — one scan-side
+    * projection, one partially-aggregated shuffle. */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_lines"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_lines"))
+
+  def q12PriorityClassSql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q14 shape: promo revenue share — two exact cent sums, one final
+    * double division (the ratio is engine-exact because both operands are). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val disc = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(0L)).as("pc"),
+        sum(disc).as("tc"))
+      .select(
+        (col("pc") / 10000.0).as("promo_revenue"),
+        (col("tc") / 10000.0).as("total_revenue"),
+        (col("pc").cast("double") / col("tc").cast("double") * 100.0).as("promo_pct"))
+  }
+
+  def q14PromoShareSql: String =
+    """SELECT pc/10000.0 AS promo_revenue, tc/10000.0 AS total_revenue,
+      |  CAST(pc AS DOUBLE) / CAST(tc AS DOUBLE) * 100.0 AS promo_pct
+      |FROM (
+      |  SELECT
+      |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN d ELSE 0 END) AS BIGINT) AS pc,
+      |    CAST(sum(d) AS BIGINT) AS tc
+      |  FROM (
+      |    SELECT p_type,
+      |      CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) AS d
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00') x) s""".stripMargin
+
+  /** TPC-H Q19 shape: disjunctive AND-clusters (OR of three conjunct
+    * groups) over the join — the predicate-pushdown stress case; revenue in
+    * exact cents. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_type") === "PROMO" && col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
+          (col("p_type") === "ECONOMY" && col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+          (col("p_size") >= 40 && col("l_quantity") < 15))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+          .as("revenue"))
+
+  def q19DisjunctiveSql: String =
+    """SELECT count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_type = 'PROMO' AND l_quantity >= 1 AND l_quantity <= 20)
+      |   OR (p_type = 'ECONOMY' AND l_quantity >= 10 AND l_quantity <= 30)
+      |   OR (p_size >= 40 AND l_quantity < 15)""".stripMargin
+
   /** Exact type-1 quantiles (p25/p50/p75/p99: the element at rank
     * `max(1, ceil(q·n))`) per return flag, in ONE pass of the two-phase
     * selection that [[medianPrice]] introduced: the same $1000-bucket

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -39,21 +40,13 @@ object VectorExpressions {
     (args: Seq[Expression]) => RandomHyperplaneSig(args.head))
 }
 
-/** `cosine_sim(array<double>, array<double>)` → double. */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "cosine_sim"
-
-  override def nullable: Boolean = true
-
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    // mismatched dimensionality and zero-norm inputs are undefined — return
-    // null (what an out-of-bounds index / 0-divide yields in SQL engines)
-    // rather than a silently-truncated or NaN similarity
+/** The ordered-fold cosine kernel, shared by interpreted eval and generated
+  * code (one JVM method → JIT-friendly, bit-identical on both paths).
+  * Returns a boxed Double or null: mismatched dimensionality and zero-norm
+  * inputs are undefined — null (what an out-of-bounds index / 0-divide
+  * yields in SQL engines) rather than a silently-truncated or NaN value. */
+object VectorOps {
+  def cosineOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a.numElements() != b.numElements()) return null
     val n = a.numElements()
     var dot = 0.0
@@ -69,7 +62,49 @@ case class CosineSim(left: Expression, right: Expression)
       i += 1
     }
     if (na == 0.0 || nb == 0.0) null
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+}
+
+/** `cosine_sim(array<double>, array<double>)` → double. Participates in
+  * whole-stage codegen (unlike the other, colder native expressions, which
+  * stay CodegenFallback): the generated code calls the same static kernel
+  * the interpreted path uses, so the hot similarity loops keep their
+  * codegen span without duplicating the fold. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorOps.cosineOrNull(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val boxed = ctx.freshName("cosBoxed")
+    val kernel = VectorOps.getClass.getName.stripSuffix("$") // graft.functions.VectorOps
+    val code =
+      code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |boolean ${ev.isNull} = true;
+        |double ${ev.value} = 0.0;
+        |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+        |  java.lang.Double $boxed = $kernel.cosineOrNull(${leftGen.value}, ${rightGen.value});
+        |  if ($boxed != null) {
+        |    ${ev.isNull} = false;
+        |    ${ev.value} = $boxed.doubleValue();
+        |  }
+        |}
+      """.stripMargin
+    ev.copy(code = code)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =

@@ -46,6 +46,21 @@ object VectorExpressions {
   * inputs are undefined — null (what an out-of-bounds index / 0-divide
   * yields in SQL engines) rather than a silently-truncated or NaN value. */
 object VectorOps {
+  /** The rh_sig kernel: sign bit per deterministic Rademacher hyperplane. */
+  def rhSig(v: ArrayData): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < VectorExpressions.NumPlanes) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) { proj += v.getDouble(d) * VectorExpressions.planeSign(p, d); d += 1 }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   def cosineOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a.numElements() != b.numElements()) return null
     val n = a.numElements()
@@ -112,27 +127,23 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 /** `rh_sig(array<double>)` → bigint: sign bit per deterministic Rademacher
-  * hyperplane, packed little-endian. */
-case class RandomHyperplaneSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  import VectorExpressions._
+  * hyperplane, packed little-endian. Codegen calls the same static kernel
+  * as interpreted eval (null only propagates from a null input, so the
+  * default null-safe codegen applies). */
+case class RandomHyperplaneSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rh_sig"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val n = v.numElements()
-    var sig = 0L
-    var p = 0
-    while (p < NumPlanes) {
-      var proj = 0.0
-      var d = 0
-      while (d < n) { proj += v.getDouble(d) * planeSign(p, d); d += 1 }
-      if (proj > 0) sig |= (1L << p)
-      p += 1
-    }
-    sig
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.rhSig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val kernel = VectorOps.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$kernel.rhSig($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): RandomHyperplaneSig =

@@ -22,6 +22,36 @@ class StreamingSuite extends SparkSpec {
     Event(5, ts(130), 2, "view", 5.0),
     Event(6, ts(200), 1, "click", 6.0))
 
+  test("readStream over the driver's events parquet equals the batch result") {
+    // the real file-source path (not MemoryStream): same TIMESTAMP(NANOS)
+    // handling as Tables.events — read nanos as long, truncate to micros
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source monitors a DIRECTORY; stage the (read-only) table file
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = StreamingEvents.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly_file_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_file_stream").collect().map(_.toSeq).toSet
+      val batch = StreamingEvents.hourlyCounts(Tables.events(spark, Sf0001))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("hourly counts: streaming result equals the batch result") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

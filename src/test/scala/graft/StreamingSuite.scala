@@ -31,7 +31,7 @@ class StreamingSuite extends SparkSpec {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is already session-wide via GraftSession.builder
     // the file source monitors a DIRECTORY; stage the (read-only) table file
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$Sf0001/events.parquet"),

@@ -43,6 +43,8 @@ object SparkEntry {
     "shipping_lag" -> (RelationalQueries.shippingLag _),
     "price_quantiles" -> (RelationalQueries.priceQuantiles _),
     "q12_priority_class" -> (RelationalQueries.q12PriorityClass _),
+    "q17_small_quantity" -> (RelationalQueries.q17SmallQuantity _),
+    "events_funnel" -> (EventQueries.funnel _),
     "q14_promo_share" -> (RelationalQueries.q14PromoShare _),
     "q19_disjunctive" -> (RelationalQueries.q19Disjunctive _),
     "lineitem_unpivot" -> (RelationalQueries.lineitemUnpivot _),
@@ -76,6 +78,7 @@ object SparkEntry {
     "dedup_near" -> (DedupQueries.dedupNear _),
     "simhash" -> (DedupQueries.simhash _),
     "dedup_simhash_pairs" -> (DedupQueries.simhashPairs _),
+    "dedup_components" -> (DedupQueries.dedupComponents _),
     // Similarity search
     "embed_topk" -> (SimilarityQueries.topkBruteForce _),
     "embed_topk_lsh" -> (SimilarityQueries.topkLsh _),
@@ -117,6 +120,8 @@ object SparkEntry {
     "shipping_lag" -> RelationalQueries.shippingLagSql,
     "price_quantiles" -> RelationalQueries.priceQuantilesSql,
     "q12_priority_class" -> RelationalQueries.q12PriorityClassSql,
+    "q17_small_quantity" -> RelationalQueries.q17SmallQuantitySql,
+    "events_funnel" -> EventQueries.funnelSql,
     "q14_promo_share" -> RelationalQueries.q14PromoShareSql,
     "q19_disjunctive" -> RelationalQueries.q19DisjunctiveSql,
     "lineitem_unpivot" -> RelationalQueries.lineitemUnpivotSql,
@@ -148,6 +153,7 @@ object SparkEntry {
     "dedup_near" -> DedupQueries.dedupNearSql,
     "simhash" -> DedupQueries.simhashSql,
     "dedup_simhash_pairs" -> DedupQueries.simhashPairsSql,
+    "dedup_components" -> DedupQueries.dedupComponentsSql,
     "embed_topk" -> SimilarityQueries.topkBruteForceSql,
     // The "approximate" paths are still deterministic functions of the data
     // (inlined hyperplane signs; exact integer-scaled centroids), so each has

@@ -153,6 +153,70 @@ object DedupQueries {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
       |WHERE jaccard >= 0.8""".stripMargin
 
+  /** Transitive near-duplicate components: the closure of [[dedupNear]]'s
+    * pair relation, each document labeled with its component's canonical
+    * (minimum) doc_id — the "keep one per duplicate CLUSTER" operator that
+    * pairwise dedup alone can't express (a~b, b~c ⇒ a,b,c in one cluster
+    * even when a≁c directly).
+    *
+    * Pregel-shaped min-label propagation: labels start as doc_id; each
+    * round every node takes the min of its own and its neighbors' labels;
+    * fixpoint in O(component diameter) rounds — near-dup clusters are tiny
+    * chains, so 2-3 rounds in practice. Each round is two keyed shuffles
+    * over the EDGE set (|pairs|·2 rows, minuscule next to the corpus); the
+    * driver sees only the one-number convergence count per round. At a
+    * 100 TB deployment the loop adds `localCheckpoint` every few rounds to
+    * truncate lineage — the dataflow per round is unchanged. The fixpoint
+    * is unique, so the result is deterministic regardless of scheduling,
+    * and a DuckDB recursive CTE reproduces it exactly. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNear(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nl"))
+      val next = labels.as("l")
+        .join(prop, col("l.node") === prop("src"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.lab"), coalesce(col("nl"), col("l.lab"))).as("lab"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lab") =!= col("o.lab")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels
+      .select(col("node").as("doc_id"), col("lab").as("canonical"))
+      .withColumn("component_size",
+        count(lit(1)).over(Window.partitionBy(col("canonical"))))
+    pairs.unpersist()
+    out
+  }
+
+  /** Oracle: transitive closure as a recursive CTE (UNION dedup terminates
+    * the undirected cycles), min reachable id = the canonical label. */
+  def dedupComponentsSql: String =
+    s"""WITH RECURSIVE pairs AS (${dedupNearSql}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
+       |SELECT doc_id, canonical,
+       |  count(*) OVER (PARTITION BY canonical) AS component_size
+       |FROM (SELECT node AS doc_id, min(r) AS canonical FROM reach GROUP BY node) c""".stripMargin
+
   private val SimHashBits = 16
   private val WideHexDigits = 15 // 60-bit signature for the pairs operator
 

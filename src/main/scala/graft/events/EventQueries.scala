@@ -337,4 +337,51 @@ object EventQueries {
     """SELECT event_type, n_events,
       |  n_events / sum(n_events) OVER () AS share
       |FROM (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type) t""".stripMargin
+
+  /** Ordered-funnel analysis: view → first click AFTER that view → first
+    * purchase AFTER that click, per user — the product-analytics staple.
+    * Each stage is one filtered aggregate joined to the previous stage's
+    * anchor timestamp (exact integer microseconds), so the ordering
+    * constraint is real sequence order, not mere event presence; user
+    * counts survive to one summary row. Every stage is a keyed
+    * partial-aggregable shuffle; nothing is per-event stateful. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+    val viewed = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val clicked = e.filter(col("event_type") === "click")
+      .join(viewed, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val purchased = e.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id")
+      .filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    viewed
+      .join(clicked.select(col("user_id"), col("c_us")), Seq("user_id"), "left")
+      .join(purchased.select(col("user_id"), col("p_us")), Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_viewed"),
+        count(col("c_us")).as("n_clicked_after_view"),
+        count(col("p_us")).as("n_purchased_after_click"))
+  }
+
+  def funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |viewed AS (
+      |  SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |clicked AS (
+      |  SELECT e.user_id, min(us) AS c_us FROM e JOIN viewed USING (user_id)
+      |  WHERE event_type = 'click' AND us > v_us GROUP BY e.user_id),
+      |purchased AS (
+      |  SELECT e.user_id, min(us) AS p_us FROM e JOIN clicked USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > c_us GROUP BY e.user_id)
+      |SELECT count(*) AS n_viewed,
+      |  count(c_us) AS n_clicked_after_view,
+      |  count(p_us) AS n_purchased_after_click
+      |FROM viewed
+      |LEFT JOIN clicked USING (user_id)
+      |LEFT JOIN purchased USING (user_id)""".stripMargin
 }

@@ -610,6 +610,31 @@ object RelationalQueries {
       |   OR (p_type = 'ECONOMY' AND l_quantity >= 10 AND l_quantity <= 30)
       |   OR (p_size >= 40 AND l_quantity < 15)""".stripMargin
 
+  /** TPC-H Q17 shape: small-quantity outliers vs each part's own average —
+    * a correlated aggregate, decorrelated into a per-part power-sum join.
+    * The `qty < avg/5` comparison is kept in exact integers
+    * (`5·qc·n < Σqc`), so no floating-point average exists to diverge. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(cents(col("l_quantity"))).as("sx"), count(lit(1)).as("n"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(cents(col("l_quantity")) * 5L * col("n") < col("sx"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("total_price"))
+  }
+
+  def q17SmallQuantitySql: String =
+    """SELECT count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_price
+      |FROM lineitem
+      |JOIN (SELECT l_partkey AS pk,
+      |        CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sx,
+      |        count(*) AS n
+      |      FROM lineitem GROUP BY l_partkey) p ON l_partkey = pk
+      |WHERE CAST(round(l_quantity*100) AS BIGINT) * 5 * n < sx""".stripMargin
+
   /** Exact type-1 quantiles (p25/p50/p75/p99: the element at rank
     * `max(1, ceil(q·n))`) per return flag, in ONE pass of the two-phase
     * selection that [[medianPrice]] introduced: the same $1000-bucket

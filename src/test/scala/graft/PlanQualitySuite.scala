@@ -20,14 +20,16 @@ class PlanQualitySuite extends SparkSpec {
   }
 
   test("broadcast-able sides broadcast: no sort-merge join anywhere at this sf") {
-    // corpus_pipeline is exempt: its persisted keeper set (InMemoryRelation)
-    // hides size stats from the static planner, which then defaults the
+    // plans with persisted intermediates (InMemoryRelation — the composed
+    // corpus_pipeline, the iterative dedup_components) are exempt: the
+    // cache hides size stats from the static planner, which then defaults
     // downstream joins to SMJ; AQE re-plans them to broadcast at runtime
-    // once the cache's true (tiny) size is known. Every non-composed query
+    // once the cache's true (tiny) size is known. Every cache-free query
     // must already broadcast statically.
-    (plans - "corpus_pipeline").foreach { case (name, p) =>
-      assert(!p.contains("SortMergeJoin"),
-        s"$name sort-merge-joins where a broadcast/shuffled-hash was expected:\n$p")
+    plans.foreach { case (name, p) =>
+      if (!p.contains("InMemoryRelation"))
+        assert(!p.contains("SortMergeJoin"),
+          s"$name sort-merge-joins where a broadcast/shuffled-hash was expected:\n$p")
     }
   }
 

@@ -95,6 +95,43 @@ class RelationalExtrasSuite extends SparkSpec {
     }
   }
 
+  test("dedup_components: labels equal a driver-side union-find over the pair edges") {
+    val pairs = DedupQueries.dedupNear(spark, Sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // driver-side union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+      .groupBy(_._2).flatMap { case (_, m) =>
+        val canon = m.keys.min
+        m.keys.map(_ -> canon)
+      }
+    val got = DedupQueries.dedupComponents(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.view.mapValues(_._1).toMap == want)
+    // component sizes consistent with the labels
+    got.groupBy(_._2._1).foreach { case (canon, ms) =>
+      assert(ms.values.forall(_._2 == ms.size))
+      assert(ms.keys.min == canon) // canonical IS the minimum member
+    }
+  }
+
+  test("events_funnel: stages are ordered and monotonically shrinking") {
+    val r = graft.events.EventQueries.funnel(spark, Sf0001).collect()(0)
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p)
+    assert(v > 0 && c > 0) // the funnel is non-trivial at this sf
+  }
+
   test("dedup_simhash_pairs: equals brute force (banding is recall-lossless)") {
     val sigs = DedupQueries.simhashN(spark, Sf0001, 15).collect()
       .map(r => r.getLong(0) -> r.getLong(1))

@@ -28,6 +28,31 @@ class SinkSuite extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("maxRecordsPerFile bounds output file size (the small-files/fat-files control)") {
+    val out = Files.createTempDirectory("graft-maxrec").toString
+    val n = Tables.lineitem(spark, Sf0001).count()
+    Tables.lineitem(spark, Sf0001)
+      .coalesce(1) // one task; file splitting must come from the option, not parallelism
+      .write.mode("overwrite").option("maxRecordsPerFile", 1000).parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == Math.ceil(n / 1000.0).toInt,
+      s"expected ceil($n/1000) files, got ${files.length}")
+    assert(spark.read.parquet(out).count() == n)
+  }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$out/g=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(s"$out/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.sorted.toSeq == Seq("g", "id", "v1", "v2"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2"))) // old generation → null
+    assert(rows(1).getDouble(rows(1).fieldIndex("v2")) == 9.5)
+  }
+
   test("sorted text sink partition count follows nReduce (mr-out-Y analog)") {
     val out = Files.createTempDirectory("graft-nred").toString
     import spark.implicits._

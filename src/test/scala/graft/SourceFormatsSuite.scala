@@ -46,6 +46,29 @@ class SourceFormatsSuite extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_quantity"))
   }
 
+  test("corrupt JSON records are captured, not fatal (PERMISSIVE + _corrupt_record)") {
+    // a 100 TB ingest WILL contain malformed rows; the engine must keep
+    // them inspectable instead of failing the job or silently dropping them
+    val dir = Files.createTempDirectory("graft-corrupt")
+    Files.writeString(dir.resolve("data.json"),
+      """{"id": 1, "v": "ok"}
+        |not json at all
+        |{"id": 3, "v": "also ok"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache() // corrupt-record column must not be queried alone on the lazy frame
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("id").isNotNull).count() == 2)
+    df.unpersist()
+  }
+
   test("byte-based input splitting: smaller maxPartitionBytes yields more scan partitions") {
     val before = Tables.lineitem(spark, Sf0001).rdd.getNumPartitions
     val old = spark.conf.get("spark.sql.files.maxPartitionBytes")

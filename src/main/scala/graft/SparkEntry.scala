@@ -45,6 +45,7 @@ object SparkEntry {
     "q12_priority_class" -> (RelationalQueries.q12PriorityClass _),
     "q17_small_quantity" -> (RelationalQueries.q17SmallQuantity _),
     "events_funnel" -> (EventQueries.funnel _),
+    "events_user_hll" -> (EventQueries.userHll _),
     "q14_promo_share" -> (RelationalQueries.q14PromoShare _),
     "q19_disjunctive" -> (RelationalQueries.q19Disjunctive _),
     "lineitem_unpivot" -> (RelationalQueries.lineitemUnpivot _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "q12_priority_class" -> RelationalQueries.q12PriorityClassSql,
     "q17_small_quantity" -> RelationalQueries.q17SmallQuantitySql,
     "events_funnel" -> EventQueries.funnelSql,
+    "events_user_hll" -> EventQueries.userHllSql,
     "q14_promo_share" -> RelationalQueries.q14PromoShareSql,
     "q19_disjunctive" -> RelationalQueries.q19DisjunctiveSql,
     "lineitem_unpivot" -> RelationalQueries.lineitemUnpivotSql,

@@ -338,6 +338,32 @@ object EventQueries {
       |  n_events / sum(n_events) OVER () AS share
       |FROM (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type) t""".stripMargin
 
+  /** Approximate distinct users per event type — HLL++ as a first-class
+    * operator with a VERIFIABLE contract: the comparable output carries the
+    * exact count plus a boolean asserting the sketch landed within 5% of
+    * it. The raw sketch estimate itself is engine-specific (DuckDB cannot
+    * reproduce Spark's HLL++), but the accuracy flag is decidable by both:
+    * the oracle emits TRUE alongside ITS exact count, so a drifting or
+    * broken sketch flips the flag and fails the hash-compare. At 100 TB the
+    * sketch is the point: countDistinct shuffles every distinct key,
+    * approx_count_distinct ships one fixed-size sketch per partition. */
+  def userHll(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_hll"))
+      .select(
+        col("event_type"), col("n_exact_users"),
+        (abs(col("n_hll") - col("n_exact_users")).cast("double")
+          / col("n_exact_users").cast("double") < 0.05).as("hll_within_5pct"))
+
+  def userHllSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_exact_users,
+      |  TRUE AS hll_within_5pct
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Ordered-funnel analysis: view → first click AFTER that view → first
     * purchase AFTER that click, per user — the product-analytics staple.
     * Each stage is one filtered aggregate joined to the previous stage's

@@ -117,17 +117,53 @@ object MinHashSig {
   * aggregate. Returns null for a tokenless document (the two-phase path
   * emits no row — callers filter nulls to match). */
 case class SimHashSig(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_sig"
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(input: Any, nHex: Any): Any = {
-    val hexDigits = nHex.asInstanceOf[Int]
+  override protected def nullSafeEval(input: Any, nHex: Any): Any =
+    SimHashKernel.sigOrNull(input.asInstanceOf[UTF8String], nHex.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val boxed = ctx.freshName("sigBoxed")
+    val kernel = SimHashKernel.getClass.getName.stripSuffix("$")
+    val code =
+      code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |boolean ${ev.isNull} = true;
+        |long ${ev.value} = 0L;
+        |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+        |  java.lang.Long $boxed = $kernel.sigOrNull(${leftGen.value}, ${rightGen.value});
+        |  if ($boxed != null) {
+        |    ${ev.isNull} = false;
+        |    ${ev.value} = $boxed.longValue();
+        |  }
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SimHashSig =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The simhash kernel, shared by interpreted eval and generated code.
+  * Returns null (boxed) for a tokenless document — the two-phase aggregate
+  * formulation emits no row there, and callers filter nulls to match. */
+object SimHashKernel {
+  def sigOrNull(input: UTF8String, hexDigits: Int): java.lang.Long = {
     require(hexDigits >= 1 && hexDigits <= 15, "simhash_sig: nHexDigits must be in [1,15]")
     val bits = hexDigits * 4
-    val toks = graft.core.Tokenizer.letterTokens(input.asInstanceOf[UTF8String].toString)
+    val toks = graft.core.Tokenizer.letterTokens(input.toString)
     if (toks.isEmpty) return null
     val counts = mutable.HashMap.empty[String, Long]
     toks.foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
@@ -150,11 +186,8 @@ case class SimHashSig(left: Expression, right: Expression)
     var sig = 0L
     var j = 0
     while (j < bits) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
-    sig
+    java.lang.Long.valueOf(sig)
   }
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SimHashSig =
-    copy(left = newLeft, right = newRight)
 }
 
 /** `shingle_set(text)` → `array<string>` of the document's distinct 3-word

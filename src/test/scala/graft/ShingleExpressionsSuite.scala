@@ -96,6 +96,32 @@ class ShingleExpressionsSuite extends SparkSpec {
     }
   }
 
+  test("scalar native expressions compile under forced codegen (no silent fallback)") {
+    // Spark silently falls back to interpreted eval when generated code
+    // fails to compile — which would mask a broken doGenCode while every
+    // value test stays green. Force codegen-or-throw and exercise all four
+    // scalar kernels, including their value-dependent null paths.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.sql(
+        """SELECT simhash_sig('one two one', 15) AS a,
+          |       simhash_sig('123 456', 15) AS a_null,
+          |       rolling_hash('abc') AS b,
+          |       rh_sig(array(1.0D, -1.0D)) AS c,
+          |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS d,
+          |       cosine_sim(array(0.0D), array(1.0D)) AS d_null""".stripMargin).collect()(0)
+      assert(!r.isNullAt(0))
+      assert(r.isNullAt(1)) // tokenless → null through the generated path
+      assert(r.getLong(2) == (("a".codePointAt(0) * 31L + 'b'.toInt) * 31 + 'c'.toInt) % 2147483647L)
+      assert(r.getDouble(4) == 1.0)
+      assert(r.isNullAt(5)) // zero norm → null through the generated path
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("simhash_sig is null only for tokenless documents") {
     import spark.implicits._
     val rows = Seq("", "123 456", "one two one").toDF("text")

@@ -197,6 +197,9 @@ object DedupQueries {
       .select(col("node").as("doc_id"), col("lab").as("canonical"))
       .withColumn("component_size",
         count(lit(1)).over(Window.partitionBy(col("canonical"))))
+    // labels (tiny) stays cached for `out`; the loop-only inputs are freed —
+    // the convergence actions above already materialized everything they feed
+    edges.unpersist()
     pairs.unpersist()
     out
   }

@@ -87,12 +87,16 @@ object DedupQueries {
     val sig = docs
       .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(size(col("sig")) > 0)
-    val bandCols = (0 until NumBands).map(j =>
-      struct(lit(j).as("band"),
-        xxhash64(expr(s"sig[${2 * j}]"), expr(s"sig[${2 * j + 1}]")).as("bh")))
+    // one generate + one hash expression, not 32 inlined struct/hash columns
+    // — same (doc_id, band, bh) rows, but a fraction of the generated code
+    // (the 32-struct array form compiled a multi-thousand-line method) and
+    // no 32-struct array materialized per row before the explode
     val bands = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(element_at(col("sig"), col("band") * 2 + 1),
+                 element_at(col("sig"), col("band") * 2 + 2)).as("bh"))
 
     // One shuffle by bucket, pairs expanded inside each (rare) multi-doc
     // bucket — the signature pipeline is evaluated once, unlike a self-join
@@ -108,10 +112,9 @@ object DedupQueries {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
       // the candidate set is tiny (LSH's whole point) and consumed three
-      // times below — persist so the signature/band stage runs once.
-      // Caller-managed lifetime: the cache is small and session-scoped;
-      // long-lived services should unpersist after consuming the result.
-      .persist()
+      // times below — persist so the signature/band stage runs once; the
+      // harness releases it via Caches.drain() after the action.
+      .transform(graft.Caches.persisted)
 
     // Verification: compute shingle sets ONLY for documents that appear in a
     // candidate pair (semi-join), then join the pairs against that small
@@ -197,8 +200,10 @@ object DedupQueries {
       .select(col("node").as("doc_id"), col("lab").as("canonical"))
       .withColumn("component_size",
         count(lit(1)).over(Window.partitionBy(col("canonical"))))
-    // labels (tiny) stays cached for `out`; the loop-only inputs are freed —
-    // the convergence actions above already materialized everything they feed
+    // labels (tiny) stays cached for `out` (drained by the harness after the
+    // action); the loop-only inputs are freed — the convergence actions above
+    // already materialized everything they feed
+    graft.Caches.register(labels)
     edges.unpersist()
     pairs.unpersist()
     out
@@ -267,11 +272,11 @@ object DedupQueries {
     // the scan's own splits parallelize the narrow compute and raw text
     // never shuffles); numerically equal to simhashN — the null filter
     // mirrors its dropped tokenless docs. persist: consumed 3×, small
-    // (doc_id, bigint) rows, caller-managed lifetime.
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), expr(s"simhash_sig(text, $WideHexDigits)").as("simhash"))
-      .filter(col("simhash").isNotNull)
-      .persist()
+    // (doc_id, bigint) rows, drained by the harness after the action.
+    val sh = graft.Caches.persisted(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), expr(s"simhash_sig(text, $WideHexDigits)").as("simhash"))
+        .filter(col("simhash").isNotNull))
     val bands = sh.select(
         col("doc_id"),
         explode(array((0 until 4).map(lit): _*)).as("band"),

@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Caches, Tables}
 import graft.dedup.DedupQueries
 import graft.text.TextQueries
 
@@ -21,28 +21,32 @@ import graft.text.TextQueries
   *   4. per-source accounting of the surviving corpus (docs, tokens,
   *      letters) — the numbers a dataset card reports.
   *
-  * Everything stays one lazy plan (the small keeper set is persisted so the
-  * fingerprint window runs once, not per consumer); every stage is the
+  * Everything stays one lazy plan (the small keeper-id set is persisted so
+  * the fingerprint window runs once, not per consumer); every stage is the
   * bucketed/partial-agg formulation its operator already proved, and the
   * DuckDB oracle recomposes the same stages from the same per-operator SQL. */
 object CorpusPipeline {
 
   def corpusSummary(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: the keeper set feeds the near-dup stage (twice, via
-    // dedupNearOn's two passes) and the final anti-join — without the
-    // persist, the md5-fingerprint window would re-execute per consumer
-    // (ReuseExchange shares the shuffle, not the window compute above it)
-    val keepers = DedupQueries.dedupExact(spark, dir)
-      .filter(!col("is_dup")).select(col("doc_id"))
-      .persist()
-    // near-dup stage runs on the exact-dedup SURVIVORS only (cheap md5
-    // dedup first, expensive shingling second — and a pair with a dropped
-    // exact-dup end could never affect the kept set anyway, so the result
-    // is identical to pairing the full corpus then filtering)
-    val keeperDocs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .join(keepers, "doc_id")
-    val dropB = DedupQueries.dedupNearOn(keeperDocs)
+    // persisted (ids only, never text): the keeper set feeds the pair
+    // filter and the final anti-join — without the persist, the
+    // md5-fingerprint window would re-execute per consumer (ReuseExchange
+    // shares the shuffle, not the window compute above it). Released by
+    // the harness via Caches.drain() after the action.
+    val keepers = Caches.persisted(
+      DedupQueries.dedupExact(spark, dir)
+        .filter(!col("is_dup")).select(col("doc_id")))
+    // near-dup pairs over the FULL corpus, then both ends filtered to
+    // exact-dedup survivors — provably the same kept set as pairing the
+    // survivors only (a pair with a dropped exact-dup end can never affect
+    // it), and exactly the oracle's formulation below. Running dedupNear on
+    // the raw scan instead of a (documents ⋈ keepers) frame means the
+    // expensive shingle/signature pass reads straight from parquet splits —
+    // nothing upstream of it recomputes, and no raw text is ever cached or
+    // shuffled (at 100 TB, caching a survivors⋈text frame is O(corpus)).
+    val dropB = DedupQueries.dedupNear(spark, dir)
+      .join(keepers.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(keepers.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
       .select(col("doc_b").as("doc_id")).distinct()
     val kept = keepers.join(dropB, Seq("doc_id"), "left_anti")
     val quality = TextQueries.textQuality(spark, dir)

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -17,7 +18,14 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
+  /** Default signature width: the multiprobe top-k bucket (`topkLsh`). */
   val NumPlanes = 8
+
+  /** Wide signature for the near-pair path: 64 planes banded 4 × 16 bits
+    * ([[graft.similarity.SimilarityQueries.nearPairs]]) so band buckets stay
+    * sparse as the corpus grows — the 8-bit single-bucket space is a
+    * constant 256 and goes quadratic within buckets at scale. */
+  val WidePlanes = 64
 
   /** splitmix64 — deterministic ±1 hyperplane component for (plane, dim). */
   def planeSign(p: Int, d: Int): Double = {
@@ -36,7 +44,12 @@ object VectorExpressions {
   val rhSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("rh_sig"),
     new ExpressionInfo(classOf[RandomHyperplaneSig].getName, "rh_sig"),
-    (args: Seq[Expression]) => RandomHyperplaneSig(args.head))
+    (args: Seq[Expression]) => args match {
+      case Seq(v)    => RandomHyperplaneSig(v, Literal(NumPlanes))
+      case Seq(v, n) => RandomHyperplaneSig(v, n)
+      case other => throw new IllegalArgumentException(
+        s"rh_sig expects 1 or 2 arguments, got ${other.size}")
+    })
 }
 
 /** The ordered-fold cosine kernel, shared by interpreted eval and generated
@@ -46,11 +59,11 @@ object VectorExpressions {
   * yields in SQL engines) rather than a silently-truncated or NaN value. */
 object VectorOps {
   /** The rh_sig kernel: sign bit per deterministic Rademacher hyperplane. */
-  def rhSig(v: ArrayData): Long = {
+  def rhSig(v: ArrayData, nPlanes: Int): Long = {
     val n = v.numElements()
     var sig = 0L
     var p = 0
-    while (p < VectorExpressions.NumPlanes) {
+    while (p < nPlanes) {
       var proj = 0.0
       var d = 0
       while (d < n) { proj += v.getDouble(d) * VectorExpressions.planeSign(p, d); d += 1 }
@@ -125,26 +138,41 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `rh_sig(array<double>)` → bigint: sign bit per deterministic Rademacher
-  * hyperplane, packed little-endian. Codegen calls the same static kernel
-  * as interpreted eval (null only propagates from a null input, so the
-  * default null-safe codegen applies). */
-case class RandomHyperplaneSig(child: Expression) extends UnaryExpression {
+/** `rh_sig(array<double>[, nPlanes])` → bigint: sign bit per deterministic
+  * Rademacher hyperplane, packed little-endian; `nPlanes` defaults to
+  * [[VectorExpressions.NumPlanes]] and must be a foldable int in [1, 64]
+  * (validated at analysis, not per-row at execution). Codegen calls the
+  * same static kernel as interpreted eval (null only propagates from a null
+  * vector, so the default null-safe codegen applies). */
+case class RandomHyperplaneSig(left: Expression, right: Expression)
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rh_sig"
 
-  override protected def nullSafeEval(input: Any): Any =
-    VectorOps.rhSig(input.asInstanceOf[ArrayData])
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!right.foldable || right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName nPlanes must be a foldable int literal, got ${right.sql}")
+    else right.eval() match {
+      case n: Int if n >= 1 && n <= 64 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName nPlanes must be in [1, 64], got $other")
+    }
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorOps.rhSig(l.asInstanceOf[ArrayData], r.asInstanceOf[Int])
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val kernel = VectorOps.getClass.getName.stripSuffix("$")
-    defineCodeGen(ctx, ev, c => s"$kernel.rhSig($c)")
+    defineCodeGen(ctx, ev, (c, n) => s"$kernel.rhSig($c, $n)")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): RandomHyperplaneSig =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RandomHyperplaneSig =
+    copy(left = newLeft, right = newRight)
 }

@@ -166,21 +166,33 @@ object DedupQueries {
     * round every node takes the min of its own and its neighbors' labels;
     * fixpoint in O(component diameter) rounds — near-dup clusters are tiny
     * chains, so 2-3 rounds in practice. Each round is two keyed shuffles
-    * over the EDGE set (|pairs|·2 rows, minuscule next to the corpus); the
-    * driver sees only the one-number convergence count per round. At a
-    * 100 TB deployment the loop adds `localCheckpoint` every few rounds to
-    * truncate lineage — the dataflow per round is unchanged. The fixpoint
-    * is unique, so the result is deterministic regardless of scheduling,
-    * and a DuckDB recursive CTE reproduces it exactly. */
+    * over the EDGE set (|pairs|·2 rows, minuscule next to the corpus).
+    *
+    * Every round `localCheckpoint`s its result. This is load-bearing, not
+    * hygiene: each round's plan references the previous labels TWICE (the
+    * propagation join and the carry-through), so without lineage truncation
+    * the logical plan doubles per round — analysis plus the plan-string the
+    * driver materializes per action (`SQLExecution.withNewExecutionId`)
+    * go exponential in the round count (measured: 33 s → minutes at sf0.1
+    * for a 477-row result; the tasks themselves were never the cost).
+    * With the checkpoint each round's plan is O(1): a scan of the
+    * previous round's materialized RDD. The convergence check rides the
+    * same pass as a `chg` flag column — no second join per round. On a
+    * multi-executor cluster `localCheckpoint` blocks are lost with an
+    * executor; a deployment that cannot afford a job restart uses reliable
+    * `checkpoint()` to the cluster FS instead — same dataflow. The
+    * fixpoint is unique, so the result is deterministic regardless of
+    * scheduling, and a DuckDB recursive CTE reproduces it exactly. */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNear(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    val pairs = dedupNear(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // materialize the tiny edge list once; loop plans stay O(1)
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
-      .persist()
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val prop = edges
@@ -189,24 +201,18 @@ object DedupQueries {
       val next = labels.as("l")
         .join(prop, col("l.node") === prop("src"), "left")
         .select(col("l.node").as("node"),
-          least(col("l.lab"), coalesce(col("nl"), col("l.lab"))).as("lab"))
-        .persist()
-      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lab") =!= col("o.lab")).count()
-      labels.unpersist()
-      labels = next
+          least(col("l.lab"), coalesce(col("nl"), col("l.lab"))).as("lab"),
+          (col("nl") < col("l.lab")).as("chg"))
+        .localCheckpoint() // eager: one job materializes the round
+      changed = next.filter(coalesce(col("chg"), lit(false))).count() // scan of the checkpointed RDD, no join
+      labels = next.select(col("node"), col("lab"))
+      // superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once unreferenced — nothing to unpersist by hand
     }
-    val out = labels
+    labels
       .select(col("node").as("doc_id"), col("lab").as("canonical"))
       .withColumn("component_size",
         count(lit(1)).over(Window.partitionBy(col("canonical"))))
-    // labels (tiny) stays cached for `out` (drained by the harness after the
-    // action); the loop-only inputs are freed — the convergence actions above
-    // already materialized everything they feed
-    graft.Caches.register(labels)
-    edges.unpersist()
-    pairs.unpersist()
-    out
   }
 
   /** Oracle: transitive closure as a recursive CTE (UNION dedup terminates

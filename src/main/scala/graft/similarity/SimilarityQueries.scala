@@ -81,15 +81,17 @@ object SimilarityQueries {
     (0 until Dim).map(d => if (VectorExpressions.planeSign(p, d) > 0) "1.0" else "-1.0")
       .mkString("[", ", ", "]::DOUBLE[]")
 
-  /** Oracle fragment: per-vector 8-bit random-hyperplane signature, matching
-    * `rh_sig` bit-for-bit (projections are the same ordered folds). */
-  private def sigCte: String = {
-    val planes = (0 until VectorExpressions.NumPlanes)
+  /** Oracle fragment: per-vector `nPlanes`-bit random-hyperplane signature,
+    * matching `rh_sig` bit-for-bit (projections are the same ordered folds;
+    * bit 63's `1L << 63` literal is the negative two's-complement value, so
+    * the sum reproduces the packed long exactly). */
+  private def sigCteN(nPlanes: Int): String = {
+    val planes = (0 until nPlanes)
       .map(p => s"${signListSql(p)} AS s$p").mkString(",\n    ")
-    val projs = (0 until VectorExpressions.NumPlanes)
+    val projs = (0 until nPlanes)
       .map(p => s"list_reduce(list_transform(range(1, len(e) + 1), i -> e[i] * s$p[i]), (a, x) -> a + x) AS proj$p")
       .mkString(",\n      ")
-    val bits = (0 until VectorExpressions.NumPlanes)
+    val bits = (0 until nPlanes)
       .map(p => s"(CASE WHEN proj$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
     s"""planes AS (
        |  SELECT $planes),
@@ -99,6 +101,9 @@ object SimilarityQueries {
        |      $projs
        |    FROM n, planes) pr)""".stripMargin
   }
+
+  /** The 8-plane signature CTE the top-k LSH oracle uses. */
+  private def sigCte: String = sigCteN(VectorExpressions.NumPlanes)
 
   /** Approximate top-k: score only corpus vectors whose 8-bit
     * random-hyperplane signature ([[graft.functions.RandomHyperplaneSig]])
@@ -152,36 +157,93 @@ object SimilarityQueries {
        |WHERE rank <= $K""".stripMargin
   }
 
-  /** Embedding-cosine near-duplicate pairs: vectors sharing a hyperplane
-    * bucket whose exact cosine clears the threshold. The self-join is on
-    * the 8-bit signature — the corpus shuffles once by bucket, never
-    * all-pairs — and exact cosine runs only within buckets. Bucket recall
-    * < 1 by construction, but the bucket assignment itself is deterministic,
-    * so the oracle reproduces the exact output; score agreement with brute
-    * force is asserted in SimilaritySuite. */
+  private val NearBands = 4
+  private val NearBandBits = 16 // 64 planes / 4 bands; 65,536-value band space
+
+  /** Embedding-cosine near-duplicate pairs: candidate pairs from banded
+    * random-hyperplane LSH, exact cosine only on candidates.
+    *
+    * Scale shape (the 8-bit single-bucket join this replaces had a CONSTANT
+    * 256-value key space — bucket occupancy N/256, within-bucket pair
+    * expansion ~N²/256, quadratic at 10⁹ vectors): the signature is 64
+    * planes ([[VectorExpressions.WidePlanes]]) banded 4 × 16 bits, so each
+    * band key ranges over 65,536 values, and a pair is a candidate iff some
+    * band differs in ≤ 1 bit (multiprobe: each vector also posts its chunk
+    * with every 1-bit flip, recovering the recall the narrower per-band
+    * match would lose). Candidates come from grouped bucket expansion —
+    * one shuffle by (band, key), pairs expanded only inside shared buckets,
+    * the signature pipeline evaluated once, never an all-pairs product.
+    * Growing the corpus further means growing `NearBandBits` (key space
+    * must track log₂ N) — the knob is a constant here, not a rewrite.
+    * Both the banding and the multiprobe are deterministic functions of
+    * the vector, so the oracle reproduces the exact output; score agreement
+    * with brute force is asserted in SimilaritySuite. */
   def nearPairs(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.3
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("sig", expr("rh_sig(e)"))
-    val a = base.select(col("sig"), col("vec_id").as("vec_a"), col("e").as("ea"))
-    val b = base.select(col("sig"), col("vec_id").as("vec_b"), col("e").as("eb"))
-    a.join(b, Seq("sig"))
-      .filter(col("vec_a") < col("vec_b"))
+    val sig = base
+      .select(col("vec_id"), expr(s"rh_sig(e, ${VectorExpressions.WidePlanes})").as("sig"))
+    val chunks = sig
+      .select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(NearBands - 1))).as("band"))
+      .select(col("vec_id"), col("band"),
+        expr(s"(sig >> (band * $NearBandBits)) & ${(1 << NearBandBits) - 1}").as("chunk"))
+    // every vector posts one base row + 17 probe rows (identity + each
+    // 1-bit flip) per band; a candidate pair is a (base, probe) meeting —
+    // covers band-hamming ≤ 1 exactly (d=0 via the identity probe, d=1 via
+    // the differing-bit flip), found from both sides, deduped below
+    val flips = lit(0L) +: (0 until NearBandBits).map(k => lit(1L << k))
+    val baseRows = chunks.select(col("band"), col("chunk").as("key"),
+      col("vec_id"), lit(true).as("is_base"))
+    val probeRows = chunks
+      .select(col("vec_id"), col("band"), col("chunk"), explode(array(flips: _*)).as("flip"))
+      .select(col("band"), col("chunk").bitwiseXOR(col("flip")).as("key"),
+        col("vec_id"), lit(false).as("is_base"))
+    val cand = baseRows.union(probeRows)
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("vec_id"), col("is_base"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(filter(vs, v -> v.is_base),
+          |  a -> transform(filter(vs, v -> NOT v.is_base AND v.vec_id <> a.vec_id),
+          |       b -> struct(least(a.vec_id, b.vec_id) AS vec_a,
+          |                   greatest(a.vec_id, b.vec_id) AS vec_b))))""".stripMargin)).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .distinct()
+      // tiny (LSH's point) and consumed twice below; released by the
+      // harness via Caches.drain() after the action
+      .transform(graft.Caches.persisted)
+    // exact cosine only for vectors that appear in a candidate pair
+    val candIds = cand
+      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .distinct()
+    val vecs = base.join(candIds, Seq("vec_id"), "left_semi")
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("e").as("ea")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")
       .withColumn("cosine", expr("cosine_sim(ea, eb)"))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  def nearPairsSql: String =
+  /** Exact oracle for [[nearPairs]]: all-pairs (fine for DuckDB at sf0.01)
+    * with the identical candidate predicate — some 16-bit band of the
+    * 64-plane signatures differs in ≤ 1 bit — and the same threshold. */
+  def nearPairsSql: String = {
+    val mask = (1 << NearBandBits) - 1
+    val bandPred = (0 until NearBands)
+      .map(b => s"bit_count(xor((a.sig >> ${b * NearBandBits}) & $mask, (b.sig >> ${b * NearBandBits}) & $mask)) <= 1")
+      .mkString("(", " OR ", ")")
     s"""WITH $normCte,
-       |$sigCte
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  list_reduce(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]), (a2, x) -> a2 + x)
-       |    / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
-       |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
-       |WHERE list_reduce(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]), (a2, x) -> a2 + x)
-       |    / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.3""".stripMargin
+       |${sigCteN(VectorExpressions.WidePlanes)}
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_reduce(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]), (a2, x) -> a2 + x)
+       |      / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+       |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND $bandPred) p
+       |WHERE cosine >= 0.3""".stripMargin
+  }
 
   private val CentScale = "10000000.0" // 1e7: exact integer-scaled component sums
 

@@ -1,6 +1,8 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
@@ -9,13 +11,17 @@ import graft.streaming.KvUpsert.{KvEntry, KvOp}
 
 /** The KV upsert surface (SURVEY §1.3/§7.6: the reference's latent
   * Get/Put/Append model) — distributed batch merge + incremental
-  * foreachBatch sink, checked against a sequential fold of the same ops. */
+  * foreachBatch sink over the bucketed, manifest-committed state table,
+  * checked against a sequential fold of the same ops. */
 class KvUpsertSuite extends SparkSpec {
 
   private def sequential(ops: Seq[KvOp]): Map[String, String] =
     ops.sortBy(_.seq).groupBy(_.key).flatMap { case (k, os) =>
       KvUpsert.applyOps(None, os).map(k -> _)
     }
+
+  private def stateMap(stateDir: String): Map[String, String] =
+    KvUpsert.readState(spark, stateDir).collect().map(e => e.key -> e.value).toMap
 
   test("mergeBatch folds put/append/del with the reference model's semantics") {
     import spark.implicits._
@@ -48,8 +54,7 @@ class KvUpsertSuite extends SparkSpec {
       input.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
 
-    val state = spark.read.parquet(stateDir).as[KvEntry]
-      .collect().map(e => e.key -> e.value).toMap
+    val state = stateMap(stateDir)
     assert(state == sequential(b1 ++ b2))
     assert(state == Map("k1" -> "abc", "k2" -> "v2", "k4" -> "fresh"))
   }
@@ -60,26 +65,64 @@ class KvUpsertSuite extends SparkSpec {
     val b = Seq(KvOp(1, "put", "k", "x"), KvOp(2, "append", "k", "y")).toDS()
     KvUpsert.applyBatchOnce(b, stateDir, batchId = 0L)
     KvUpsert.applyBatchOnce(b, stateDir, batchId = 0L) // crash-replay of the same batch
-    val state = spark.read.parquet(stateDir).as[KvEntry]
-      .collect().map(e => e.key -> e.value).toMap
-    assert(state == Map("k" -> "xy")) // not "xyy"
+    assert(stateMap(stateDir) == Map("k" -> "xy")) // not "xyy"
     KvUpsert.applyBatchOnce(Seq(KvOp(3, "append", "k", "z")).toDS(), stateDir, batchId = 1L)
-    val after = spark.read.parquet(stateDir).as[KvEntry]
-      .collect().map(e => e.key -> e.value).toMap
-    assert(after == Map("k" -> "xyz"))
+    assert(stateMap(stateDir) == Map("k" -> "xyz"))
   }
 
-  test("crash window is healed and a mismatched checkpoint fails loudly") {
+  test("a batch rewrites only the buckets its keys hash into") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft-kv-buckets").resolve("state").toString
+    // seed enough keys that several buckets are populated
+    val seed = (0 until 64).map(i => KvOp(i, "put", s"key-$i", s"v$i"))
+    KvUpsert.applyBatchOnce(seed.toDS(), stateDir, batchId = 0L)
+
+    def dataFiles(): Map[Path, (Long, Long)] = {
+      val root = Paths.get(stateDir)
+      Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => p -> (Files.getLastModifiedTime(p).toMillis, Files.size(p)))
+        .toMap
+    }
+
+    val before = dataFiles()
+    val touchedBucket = KvUpsert.bucketOf("key-7")
+    KvUpsert.applyBatchOnce(Seq(KvOp(100, "append", "key-7", "!")).toDS(), stateDir, 1L)
+    val after = dataFiles()
+
+    // every surviving pre-batch file is byte-identical (same mtime + size) …
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.nonEmpty, "no state files survived the single-key batch")
+    survivors.foreach(p => assert(before(p) == after(p), s"untouched file rewritten: $p"))
+    // … only the touched bucket's file was replaced …
+    val replaced = before.keySet.diff(after.keySet)
+    val added = after.keySet.diff(before.keySet)
+    (replaced ++ added).foreach { p =>
+      assert(p.toString.contains(s"bucket=$touchedBucket"),
+        s"file outside touched bucket $touchedBucket changed: $p")
+    }
+    // … and the merge itself is correct
+    assert(stateMap(stateDir)("key-7") == "v7!")
+    assert(stateMap(stateDir).size == 64)
+  }
+
+  test("crash before commit is invisible; orphans are GC'd; a mismatched checkpoint fails loudly") {
     import spark.implicits._
     val stateDir = Files.createTempDirectory("graft-kv-crash").resolve("state").toString
     KvUpsert.applyBatchOnce(Seq(KvOp(1, "put", "k", "x")).toDS(), stateDir, batchId = 0L)
-    // simulate a crash between swap()'s two moves: state moved aside, fresh never landed
-    Files.move(java.nio.file.Paths.get(stateDir),
-      java.nio.file.Paths.get(stateDir + "-old"))
+    // simulate a crash mid-batch-1: staged ops and a delta exist, but the
+    // manifest (the only commit point) was never replaced
+    val orphanOps = Paths.get(stateDir, "ops-1", "bucket=0")
+    val orphanDelta = Paths.get(stateDir, "delta-1", "bucket=0")
+    Files.createDirectories(orphanOps); Files.createDirectories(orphanDelta)
+    Files.write(orphanDelta.resolve("part-orphan.parquet"), Array[Byte](1, 2, 3))
+    assert(stateMap(stateDir) == Map("k" -> "x")) // orphans invisible to readers
+    // the replay of batch 1 applies cleanly over the prior state …
     KvUpsert.applyBatchOnce(Seq(KvOp(2, "append", "k", "y")).toDS(), stateDir, batchId = 1L)
-    val state = spark.read.parquet(stateDir).as[KvEntry]
-      .collect().map(e => e.key -> e.value).toMap
-    assert(state == Map("k" -> "xy")) // old state recovered, then batch applied
+    assert(stateMap(stateDir) == Map("k" -> "xy"))
+    // … and GC removed the crash leftovers (no ops staging, no orphan files)
+    assert(!Files.exists(Paths.get(stateDir, "ops-1")))
+    assert(!Files.exists(orphanDelta.resolve("part-orphan.parquet")))
     // a batch id BEHIND the state (fresh checkpoint against old state dir) must throw
     intercept[IllegalStateException] {
       KvUpsert.applyBatchOnce(Seq(KvOp(9, "put", "k", "boom")).toDS(), stateDir, batchId = 0L)

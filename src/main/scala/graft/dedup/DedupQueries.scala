@@ -156,6 +156,31 @@ object DedupQueries {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
       |WHERE jaccard >= 0.8""".stripMargin
 
+  /** Session conf selecting [[dedupComponents]]' lineage-truncation mode. */
+  val ReliableCheckpointConf = "spark.graft.components.reliableCheckpoint"
+
+  /** Eager lineage truncation for the label-propagation loop.
+    *
+    * Default: `localCheckpoint` — blocks live on executors, fastest, but an
+    * executor loss mid-loop loses them and fails the job (acceptable when a
+    * restart is cheap). With `spark.graft.components.reliableCheckpoint=true`
+    * the rounds use reliable `checkpoint()` to the SparkContext checkpoint
+    * dir (cluster FS on a real deployment) instead, surviving executor loss
+    * at the price of a write+read per round — the edge set and label table
+    * are |pairs|-sized, minuscule next to the corpus, so the premium is
+    * small. Requires `SparkContext.setCheckpointDir`; fails fast with a
+    * clear message if the knob is on without a dir. */
+  private def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption(ReliableCheckpointConf).exists(_.toBoolean)
+    if (!reliable) df.localCheckpoint()
+    else {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableCheckpointConf=true requires SparkContext.setCheckpointDir")
+      df.checkpoint()
+    }
+  }
+
   /** Transitive near-duplicate components: the closure of [[dedupNear]]'s
     * pair relation, each document labeled with its component's canonical
     * (minimum) doc_id — the "keep one per duplicate CLUSTER" operator that
@@ -168,7 +193,7 @@ object DedupQueries {
     * chains, so 2-3 rounds in practice. Each round is two keyed shuffles
     * over the EDGE set (|pairs|·2 rows, minuscule next to the corpus).
     *
-    * Every round `localCheckpoint`s its result. This is load-bearing, not
+    * Every round checkpoints its result. This is load-bearing, not
     * hygiene: each round's plan references the previous labels TWICE (the
     * propagation join and the carry-through), so without lineage truncation
     * the logical plan doubles per round — analysis plus the plan-string the
@@ -177,33 +202,37 @@ object DedupQueries {
     * for a 477-row result; the tasks themselves were never the cost).
     * With the checkpoint each round's plan is O(1): a scan of the
     * previous round's materialized RDD. The convergence check rides the
-    * same pass as a `chg` flag column — no second join per round. On a
-    * multi-executor cluster `localCheckpoint` blocks are lost with an
-    * executor; a deployment that cannot afford a job restart uses reliable
-    * `checkpoint()` to the cluster FS instead — same dataflow. The
+    * same pass as a `chg` flag column — no second join per round.
+    * Truncation mode is a deployment knob ([[truncate]]): fast
+    * executor-local `localCheckpoint` by default, reliable `checkpoint()`
+    * to the cluster FS when the session opts in — same dataflow. The
     * fixpoint is unique, so the result is deterministic regardless of
     * scheduling, and a DuckDB recursive CTE reproduces it exactly. */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNear(spark, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint() // materialize the tiny edge list once; loop plans stay O(1)
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lab"))
-      .localCheckpoint()
+    // scoped: truncate() materializes the edge list eagerly, so the LSH
+    // candidate cache dedupNear registers internally is dead once this block
+    // returns — release it here instead of leaking it to the harness drain
+    // (or forever, for a direct library caller).
+    val pairs = graft.Caches.scoped {
+      truncate( // materialize the tiny edge list once; loop plans stay O(1)
+        dedupNear(spark, dir).select(col("doc_a"), col("doc_b")))
+    }
+    val edges = truncate(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
+    var labels = truncate(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lab")))
     var changed = 1L
     while (changed > 0) {
       val prop = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("lab")).as("nl"))
-      val next = labels.as("l")
-        .join(prop, col("l.node") === prop("src"), "left")
-        .select(col("l.node").as("node"),
-          least(col("l.lab"), coalesce(col("nl"), col("l.lab"))).as("lab"),
-          (col("nl") < col("l.lab")).as("chg"))
-        .localCheckpoint() // eager: one job materializes the round
+      val next = truncate( // eager: one job materializes the round
+        labels.as("l")
+          .join(prop, col("l.node") === prop("src"), "left")
+          .select(col("l.node").as("node"),
+            least(col("l.lab"), coalesce(col("nl"), col("l.lab"))).as("lab"),
+            (col("nl") < col("l.lab")).as("chg")))
       changed = next.filter(coalesce(col("chg"), lit(false))).count() // scan of the checkpointed RDD, no join
       labels = next.select(col("node"), col("lab"))
       // superseded rounds' checkpoint blocks are reclaimed by the

@@ -340,11 +340,17 @@ object EventQueries {
 
   /** Approximate distinct users per event type — HLL++ as a first-class
     * operator with a VERIFIABLE contract: the comparable output carries the
-    * exact count plus a boolean asserting the sketch landed within 5% of
+    * exact count plus a boolean asserting the sketch landed within 10% of
     * it. The raw sketch estimate itself is engine-specific (DuckDB cannot
     * reproduce Spark's HLL++), but the accuracy flag is decidable by both:
     * the oracle emits TRUE alongside ITS exact count, so a drifting or
-    * broken sketch flips the flag and fails the hash-compare. At 100 TB the
+    * broken sketch flips the flag and fails the hash-compare.
+    *
+    * Why 10% against an rsd=0.02 sketch: rsd is ONE standard deviation of
+    * the (near-Gaussian) HLL++ relative error, so a 5% bound is only ~2.5σ —
+    * per-group exceedance ~1.2%, a coin-flip-per-fixture time bomb for a
+    * hash-compared oracle. 10% is 5σ (exceedance ~6e-7 per group): a FALSE
+    * here means the sketch is broken or drifted, not unlucky. At 100 TB the
     * sketch is the point: countDistinct shuffles every distinct key,
     * approx_count_distinct ships one fixed-size sketch per partition. */
   def userHll(spark: SparkSession, dir: String): DataFrame =
@@ -356,12 +362,12 @@ object EventQueries {
       .select(
         col("event_type"), col("n_exact_users"),
         (abs(col("n_hll") - col("n_exact_users")).cast("double")
-          / col("n_exact_users").cast("double") < 0.05).as("hll_within_5pct"))
+          / col("n_exact_users").cast("double") < 0.10).as("hll_within_10pct"))
 
   def userHllSql: String =
     """SELECT event_type,
       |  count(DISTINCT user_id) AS n_exact_users,
-      |  TRUE AS hll_within_5pct
+      |  TRUE AS hll_within_10pct
       |FROM events GROUP BY event_type""".stripMargin
 
   /** Ordered-funnel analysis: view → first click AFTER that view → first

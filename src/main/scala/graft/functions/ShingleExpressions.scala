@@ -3,6 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -122,6 +123,24 @@ case class SimHashSig(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_sig"
   override def nullable: Boolean = true
+
+  /** `nHexDigits` must be a foldable int in [1, 15], validated here at
+    * analysis (mirrors [[RandomHyperplaneSig.checkInputDataTypes]]) — a bad
+    * or column-valued width should fail when the plan is built, not
+    * row-by-row at execution. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName text must be a string, got ${left.dataType.sql}")
+    else if (!right.foldable || right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName nHexDigits must be a foldable int literal, got ${right.sql}")
+    else right.eval() match {
+      case n: Int if n >= 1 && n <= 15 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName nHexDigits must be in [1, 15], got $other")
+    }
+  }
 
   override protected def nullSafeEval(input: Any, nHex: Any): Any =
     SimHashKernel.sigOrNull(input.asInstanceOf[UTF8String], nHex.asInstanceOf[Int])

@@ -735,15 +735,29 @@ object RelationalQueries {
 
   /** Correlated scalar subquery through the SQL API — Catalyst decorrelates
     * it into an aggregate + (broadcast) join; `max` is order-free so the
-    * value is engine-exact. */
+    * value is engine-exact.
+    *
+    * The SQL surface needs named relations, but session-global view names
+    * would be a side effect (and a collision hazard for a long-lived
+    * multi-tenant session), so the views are registered under query-unique
+    * names and dropped as soon as the statement is analyzed — `spark.sql`
+    * resolves eagerly, so the returned (lazy) DataFrame keeps its resolved
+    * relations and executes fine after the drop. */
   def customerMaxOrder(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
-    spark.sql(
-      """SELECT c_custkey, c_name,
-        |  (SELECT max(o_totalprice) FROM orders_v WHERE o_custkey = c_custkey) AS max_order
-        |FROM customer_v
-        |WHERE c_acctbal > 9000""".stripMargin)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val customerV = s"graft_customer_$tag"
+    val ordersV = s"graft_orders_$tag"
+    Tables.customer(spark, dir).createOrReplaceTempView(customerV)
+    Tables.orders(spark, dir).createOrReplaceTempView(ordersV)
+    try spark.sql(
+      s"""SELECT c_custkey, c_name,
+         |  (SELECT max(o_totalprice) FROM $ordersV WHERE o_custkey = c_custkey) AS max_order
+         |FROM $customerV
+         |WHERE c_acctbal > 9000""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(customerV)
+      spark.catalog.dropTempView(ordersV)
+    }
   }
 
   def customerMaxOrderSql: String =

@@ -106,6 +106,42 @@ class KvUpsertSuite extends SparkSpec {
     assert(stateMap(stateDir).size == 64)
   }
 
+  test("ScalaCheck: mergeBatch across random micro-batch boundaries equals the sequential fold") {
+    // The history-based semantics check the reference ships porcupine for
+    // (/root/reference/src/models/kv.go:40-54): for ANY op history and ANY
+    // way of slicing it into micro-batches, folding the slices through the
+    // distributed mergeBatch must equal the one-shot sequential fold —
+    // i.e. batching is an implementation detail invisible in the state.
+    // Put/append/del with colliding keys; append is the order-sensitive op
+    // that makes this non-trivial.
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val opGen: Gen[(String, String, String)] = for {
+      op <- Gen.frequency(4 -> Gen.const("put"), 4 -> Gen.const("append"), 2 -> Gen.const("del"))
+      k <- Gen.oneOf("a", "b", "c", "d", "e")
+      v <- Gen.oneOf("x", "y", "zz", "")
+    } yield (op, k, v)
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 24)
+      raw <- Gen.listOfN(n, opGen)
+      nCuts <- Gen.chooseNum(0, math.min(4, n - 1))
+      cuts <- Gen.pick(nCuts, 1 until n)
+    } yield (raw, cuts.toList)
+    val prop = Prop.forAll(caseGen) { case (raw, cuts) =>
+      val ops = raw.zipWithIndex.map { case ((op, k, v), i) => KvOp(i.toLong, op, k, v) }
+      val bounds = (0 +: cuts.sorted) :+ ops.length
+      val batches = bounds.sliding(2).collect {
+        case Seq(a, b) if a < b => ops.slice(a, b)
+      }.toList
+      var state = spark.emptyDataset[KvEntry]
+      batches.foreach(b => state = KvUpsert.mergeBatch(state, b.toDS()))
+      val got = state.collect().map(e => e.key -> e.value).toMap
+      got == sequential(ops)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("crash before commit is invisible; orphans are GC'd; a mismatched checkpoint fails loudly") {
     import spark.implicits._
     val stateDir = Files.createTempDirectory("graft-kv-crash").resolve("state").toString

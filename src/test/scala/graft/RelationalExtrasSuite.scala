@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.functions._
 
 import graft.dedup.DedupQueries
@@ -123,6 +125,37 @@ class RelationalExtrasSuite extends SparkSpec {
       assert(ms.values.forall(_._2 == ms.size))
       assert(ms.keys.min == canon) // canonical IS the minimum member
     }
+  }
+
+  test("dedup_components: reliable mode without a checkpoint dir fails fast") {
+    // Must run before the reliable-mode test below: setCheckpointDir is
+    // one-way on the shared session. Skip (vacuous) if one is already set.
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    spark.conf.set(DedupQueries.ReliableCheckpointConf, "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DedupQueries.dedupComponents(spark, Sf0001).collect()
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    } finally spark.conf.unset(DedupQueries.ReliableCheckpointConf)
+  }
+
+  test("dedup_components: reliable-checkpoint mode produces identical labels") {
+    // The deployment knob for executor-loss tolerance: rounds truncate via
+    // reliable checkpoint() to a cluster-FS dir instead of localCheckpoint.
+    // Same dataflow, same unique fixpoint — assert equal results.
+    val base = DedupQueries.dedupComponents(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ckptDir = Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set(DedupQueries.ReliableCheckpointConf, "true")
+    try {
+      val reliable = DedupQueries.dedupComponents(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(reliable == base)
+      // the rounds actually wrote through the reliable dir
+      assert(Files.list(Paths.get(ckptDir)).iterator().hasNext)
+    } finally spark.conf.unset(DedupQueries.ReliableCheckpointConf)
   }
 
   test("events_funnel: stages are ordered and monotonically shrinking") {

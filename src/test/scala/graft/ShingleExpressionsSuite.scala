@@ -122,6 +122,25 @@ class ShingleExpressionsSuite extends SparkSpec {
     }
   }
 
+  test("simhash_sig rejects bad nHexDigits at analysis, not per-row") {
+    import spark.implicits._
+    // Out-of-range literal: must throw when the plan is analyzed (collect on
+    // a lazy DataFrame), with the analysis-time message, before any row runs.
+    val outOfRange = intercept[Exception] {
+      spark.sql("SELECT simhash_sig('one two three', 16)").collect()
+    }
+    assert(outOfRange.getMessage.contains("nHexDigits must be in [1, 15]"),
+      outOfRange.getMessage)
+    // Column-valued (non-foldable) width: same — analysis failure, even
+    // though every row's value would individually be in range.
+    val nonFoldable = intercept[Exception] {
+      Seq(("one two three", 4)).toDF("text", "n")
+        .selectExpr("simhash_sig(text, n)").collect()
+    }
+    assert(nonFoldable.getMessage.contains("foldable int literal"),
+      nonFoldable.getMessage)
+  }
+
   test("simhash_sig is null only for tokenless documents") {
     import spark.implicits._
     val rows = Seq("", "123 456", "one two one").toDF("text")

@@ -3,21 +3,36 @@ package graft
 import graft.plans.GraftSession
 
 /** Benchmark main: runs every registered query against
-  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
+  * `SPARK_GRAFT_SF_DIR` and prints, as the LAST line on stdout, ONE compact
+  * JSON object `{"metric":"total","value":…,"unit":"sec","queries":{…},…}`.
   *
-  * Each query is timed over `SPARK_GRAFT_REPS` repetitions (default 3) and
-  * the reported number is the per-query MEDIAN wall time — a single
-  * contended repetition (another process stealing the box's cores during
-  * one rep) can no longer masquerade as a code regression, which is exactly
-  * what r5's driver bench did: corpus_pipeline reported 322 s against a
-  * re-measured 4.5 s. The JSON also carries, per query:
-  *   - `queries_reps`: every raw wall time, so outliers stay visible;
-  *   - `queries_cpu`: JVM process-CPU seconds for the median-wall rep.
-  * In local mode the whole "cluster" is this one JVM, so process CPU time
-  * is the work actually done; wall >> cpu/cores on a rep whose siblings
-  * are fast means external contention, not a slower plan. Failed queries
-  * report -1 (and are excluded from the total) so an error is never
-  * mistaken for a fast run. */
+  * Two hard-won constraints shape the output:
+  *
+  *   1. **The final line must fit the harness's tail capture.** The driver
+  *      keeps only the last ~2000 characters of stdout; every earlier
+  *      round's bench line overflowed that window (verbose per-rep arrays
+  *      inline) and parsed as nothing. The compact line therefore carries
+  *      per-query MEDIANS only, at centisecond resolution; the full
+  *      per-rep wall and CPU detail is printed on an earlier
+  *      `"metric":"detail"` line (readable in the full log, sacrificial in
+  *      the tail). A length guard drops to 1-decimal formatting if the
+  *      query set ever grows the line past the window.
+  *
+  *   2. **Repetitions are interleaved, not consecutive.** Round-robin
+  *      (rep 1 of every query, then rep 2, …) decorrelates external
+  *      contention from any single query: a noisy window on a shared box
+  *      inflates one rep of many queries — survivable by a per-query
+  *      median — rather than all reps of a few queries, which is exactly
+  *      how r6's bench manufactured a phantom 8–27 s block out of
+  *      sub-second queries even WITH median-of-3.
+  *
+  * Failure accounting: a query with zero successful reps reports -1 and is
+  * excluded from the total; a query with ANY failed rep counts toward
+  * `failed` and appears in an `errors` object (name → failed-rep count,
+  * omitted when empty), so an intermittent failure can never hide behind
+  * one lucky rep's clean median. All numbers are formatted with an
+  * explicit ROOT locale — a comma-decimal default locale must not be able
+  * to emit invalid JSON. */
 object Bench {
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -31,6 +46,9 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
   }
 
+  private def fmt(d: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,53 +58,68 @@ object Bench {
     // JVM/codegen warmup outside the timed region, like any JVM benchmark:
     // run every query once at sf0.001 so janino compilation and JIT of each
     // plan shape happen before timing starts — otherwise whichever query
-    // runs first alphabetically absorbs the session's whole cold-start cost
-    // (r3: corpus_pipeline at position 2 measured 28 s of which ~20 s was
-    // first-touch codegen for the dedup machinery). The measured numbers
-    // then reflect data-proportional work, which is what a 100 TB projection
-    // scales from. Guarded: a broken warmup dir must still produce the JSON
-    // result line.
+    // runs first absorbs the session's whole cold-start cost (r3:
+    // corpus_pipeline at position 2 measured 28 s of which ~20 s was
+    // first-touch codegen for the dedup machinery). Guarded: a broken
+    // warmup dir must still produce the JSON result line.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
       finally Caches.drain()
     }
-    // samples: per query, the (wall, cpu) of every successful rep, oldest
-    // first; an empty list means every rep failed.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to reps).flatMap { _ =>
-        try Some(timed(fn(spark, sfDir).count()))
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            None
-        }
-        finally Caches.drain()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // samples(name): (wall, cpu) of each successful rep; failures(name):
+    // count of reps that threw. Reps run round-robin across queries (see
+    // scaladoc point 2).
+    val samples = collection.mutable.Map.empty[String, Vector[(Double, Double)]].withDefaultValue(Vector.empty)
+    val failures = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (r <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
+      try samples(name) = samples(name) :+ timed(fn(spark, sfDir).count())
+      catch {
+        case e: Throwable =>
+          failures(name) += 1
+          System.err.println(s"[bench] rep $r $name FAILED: ${e.getMessage}")
       }
-      name -> samples
+      finally Caches.drain()
+      if (name == names.last)
+        System.err.println(s"[bench] rep $r/$reps done")
     }
-    def fmt(d: Double): String = f"$d%.3f"
-    val medians = results.map { case (name, samples) =>
-      if (samples.isEmpty) name -> (-1.0, -1.0, Seq.empty[Double])
-      else {
-        // Median by wall time; report that rep's CPU alongside so the two
-        // numbers describe the same execution.
-        val byWall = samples.sortBy(_._1)
-        val (wall, cpu) = byWall(byWall.size / 2)
-        name -> (wall, cpu, samples.map(_._1))
-      }
+    // Median by wall time; the CPU reported on the detail line is the
+    // median-wall rep's, so the two numbers describe the same execution.
+    // wall >> cpu/cores on a rep whose siblings are fast means external
+    // contention, not a slower plan (local mode: this JVM is the cluster).
+    val medians = names.map { name =>
+      val ss = samples(name)
+      if (ss.isEmpty) name -> (-1.0, -1.0)
+      else { val byWall = ss.sortBy(_._1); name -> byWall(byWall.size / 2) }
     }
-    val qs = medians.map { case (k, (w, _, _)) => "\"" + k + "\":" + fmt(w) }
-      .mkString("{", ",", "}")
-    val qsCpu = medians.map { case (k, (_, c, _)) => "\"" + k + "\":" + fmt(c) }
-      .mkString("{", ",", "}")
-    val qsReps = medians.map { case (k, (_, _, walls)) =>
-      "\"" + k + "\":" + walls.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = medians.collect { case (_, (w, _, _)) if w >= 0 => w }.sum
-    val nFailed = medians.count(_._2._1 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_reps":$qsReps,"reps":$reps,"failed":$nFailed,"sf":"$sfDir"}""")
+    def obj(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Full per-rep detail first: this line may be (harmlessly) cut from the
+    // harness tail; the compact line below must come LAST.
+    println(obj(Seq(
+      "metric" -> "\"detail\"",
+      "queries_reps" -> obj(names.map(n => n -> samples(n).map(s => fmt(s._1, 3)).mkString("[", ",", "]"))),
+      "queries_cpu" -> obj(names.map(n => n -> samples(n).map(s => fmt(s._2, 3)).mkString("[", ",", "]"))))))
+    val total = medians.collect { case (_, (w, _)) if w >= 0 => w }.sum
+    val nFailed = names.count(n => failures(n) > 0 || samples(n).isEmpty)
+    def compact(decimals: Int): String = obj(Seq(
+      "metric" -> "\"total\"",
+      "value" -> fmt(total, decimals),
+      "unit" -> "\"sec\"",
+      "queries" -> obj(medians.map { case (n, (w, _)) => n -> fmt(w, decimals) }),
+      "reps" -> reps.toString,
+      "failed" -> nFailed.toString) ++
+      (if (failures.nonEmpty)
+        Seq("errors" -> obj(failures.toSeq.sortBy(_._1).map { case (n, c) => n -> c.toString }))
+      else Nil) ++
+      Seq("sf" -> ("\"" + sfDir + "\"")))
+    // Tail-window guard: the driver keeps ~2000 chars and sbt appends a
+    // ~90-char footer after us; degrade resolution before overflowing.
+    val line = Seq(2, 1).map(compact).find(_.length <= 1850).getOrElse(compact(0))
+    println(line)
     spark.stop()
   }
 }

@@ -175,8 +175,16 @@ object DedupQueries {
     val reliable = spark.conf.getOption(ReliableCheckpointConf).exists(_.toBoolean)
     if (!reliable) df.localCheckpoint()
     else {
-      require(spark.sparkContext.getCheckpointDir.isDefined,
+      val sc = spark.sparkContext
+      require(sc.getCheckpointDir.isDefined,
         s"$ReliableCheckpointConf=true requires SparkContext.setCheckpointDir")
+      // Checkpoint FILES outlive the ContextCleaner unless this static conf
+      // was set at context creation (GraftSession sets it); an externally
+      // built session without it leaks one dir per round to the cluster FS.
+      if (!sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false))
+        System.err.println(s"[graft] WARNING: $ReliableCheckpointConf=true but " +
+          "spark.cleaner.referenceTracking.cleanCheckpoints is false — superseded round " +
+          "checkpoint dirs will accumulate; set it at context creation (GraftSession does)")
       df.checkpoint()
     }
   }
@@ -235,8 +243,10 @@ object DedupQueries {
             (col("nl") < col("l.lab")).as("chg")))
       changed = next.filter(coalesce(col("chg"), lit(false))).count() // scan of the checkpointed RDD, no join
       labels = next.select(col("node"), col("lab"))
-      // superseded rounds' checkpoint blocks are reclaimed by the
-      // ContextCleaner once unreferenced — nothing to unpersist by hand
+      // superseded rounds: localCheckpoint blocks are reclaimed by the
+      // ContextCleaner once unreferenced; reliable-mode checkpoint FILES
+      // need spark.cleaner.referenceTracking.cleanCheckpoints=true as well
+      // (GraftSession sets it; truncate() warns when it's missing)
     }
     labels
       .select(col("node").as("doc_id"), col("lab").as("canonical"))

@@ -42,10 +42,12 @@ object Soak {
           val rowHash = org.apache.spark.sql.functions.xxhash64(
             org.apache.spark.sql.functions.to_json(
               org.apache.spark.sql.functions.struct(df.columns.map(df.col).toSeq: _*)))
+          // single-row fetch of a fully aggregated result — O(1) driver
+          // transfer, the one shape of action a harness is allowed
           val agg = df.select(
             org.apache.spark.sql.functions.sum(rowHash).as("h"),
             org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
-            .collect()(0)
+            .head()
           s"${agg.get(0)}/${agg.getLong(1)}"
         }
         catch { case e: Throwable => System.err.println(s"[soak] trial $t $name FAILED: ${e.getMessage}"); "ERR" }

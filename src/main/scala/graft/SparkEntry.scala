@@ -76,6 +76,7 @@ object SparkEntry {
     // Dedup pipeline
     "doc_fingerprint" -> (DedupQueries.docFingerprint _),
     "dedup_exact" -> (DedupQueries.dedupExact _),
+    "dedup_jaccard" -> (DedupQueries.dedupJaccard _),
     "dedup_near" -> (DedupQueries.dedupNear _),
     "simhash" -> (DedupQueries.simhash _),
     "dedup_simhash_pairs" -> (DedupQueries.simhashPairs _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "events_running_totals" -> EventQueries.runningTotalsSql,
     "doc_fingerprint" -> DedupQueries.docFingerprintSql,
     "dedup_exact" -> DedupQueries.dedupExactSql,
+    "dedup_jaccard" -> DedupQueries.dedupJaccardSql,
     "dedup_near" -> DedupQueries.dedupNearSql,
     "simhash" -> DedupQueries.simhashSql,
     "dedup_simhash_pairs" -> DedupQueries.simhashPairsSql,

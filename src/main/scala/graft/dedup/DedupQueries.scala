@@ -116,14 +116,19 @@ object DedupQueries {
       // harness releases it via Caches.drain() after the action.
       .transform(graft.Caches.persisted)
 
-    // Verification: compute shingle sets ONLY for documents that appear in a
-    // candidate pair (semi-join), then join the pairs against that small
-    // set. At 100 TB this is the difference between shingling the whole
-    // corpus again and shingling the ~0.x% of documents LSH flagged. Join
-    // strategies are left to Catalyst/AQE on purpose: the candidate side is
-    // usually broadcast-small, but it is proportional to the duplicate rate,
-    // and a forced broadcast would hit the 8 GB limit on a pathological
-    // corpus where a shuffle join still scales.
+    verifyPairs(docs, cand)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set: compute shingle
+    * sets ONLY for documents that appear in a candidate pair (semi-join),
+    * then join the pairs against that small set. At 100 TB this is the
+    * difference between shingling the whole corpus again and shingling the
+    * ~0.x% of documents the candidate generator flagged. Join strategies
+    * are left to Catalyst/AQE on purpose: the candidate side is usually
+    * broadcast-small, but it is proportional to the duplicate rate, and a
+    * forced broadcast would hit the 8 GB limit on a pathological corpus
+    * where a shuffle join still scales. */
+  private def verifyPairs(docs: DataFrame, cand: DataFrame): DataFrame = {
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -155,6 +160,83 @@ object DedupQueries {
       |    len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS jaccard
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
       |WHERE jaccard >= 0.8""".stripMargin
+
+  /** Near-duplicate pairs at 3-gram Jaccard ≥ 0.8 via an EXACT prefix-filter
+    * similarity join (the AllPairs/PPJoin family) — the deterministic
+    * counterpart to [[dedupNear]]: complete recall by construction, no
+    * probabilistic banding, same verified output.
+    *
+    * Candidate generation rests on the prefix-filter theorem: order every
+    * document's shingle set by a single GLOBAL total order (here: ascending
+    * document frequency, rarest first, ties by token) and keep only each
+    * set's first `n - ⌈t·n⌉ + 1` tokens as its prefix. For any pair with
+    * J(A,B) ≥ t, the rarest COMMON token must sit inside both prefixes —
+    * if it didn't, all `|A∩B| ≥ ⌈t·n⌉` common tokens would have to fit in a
+    * suffix of length `⌈t·n⌉ - 1`. So pairing documents that share a
+    * prefix token (plus the length filter `t·max(|A|,|B|) ≤ min(|A|,|B|)`)
+    * is a complete candidate set, and [[verifyPairs]] makes it exact.
+    *
+    * Scale shape, all linear in the corpus:
+    *  1. narrow: distinct 3-gram shingles hashed to 64-bit ids per document
+    *     — raw shingle strings never shuffle (collision math below);
+    *  2. one map-combined shuffle for the document-frequency table and one
+    *     co-partitioned shuffle join to attach `freq` to each posting (at
+    *     deployment scale a broadcast dictionary of the frequent tail is
+    *     the standard refinement; the full join is the no-driver-state
+    *     baseline and stays a linear keyed shuffle);
+    *  3. one shuffle by doc_id: a window computes set size and rarity rank
+    *     in the same pass, then the prefix filter drops ~`t` of all
+    *     postings — at t=0.8 the index is 5× smaller than a full inverted
+    *     index, and frequency ordering puts only RARE tokens in prefixes,
+    *     so buckets stay small;
+    *  4. one shuffle by token groups the prefix postings; pairs expand
+    *     inside each bucket with the integer length filter applied before
+    *     anything materializes. Massive exact-duplicate clusters still
+    *     expand quadratically — as they must: those pairs are true output.
+    *
+    * Arithmetic is integer-exact on purpose: `⌈0.8·n⌉ = (4n+4) div 5` and
+    * the length filter `5·min ≥ 4·max` — a float `ceil(0.8·n)` can land on
+    * 4.0000…01 and silently shorten a prefix, which costs recall, which is
+    * the one thing this operator exists to guarantee. Hashing shingles to
+    * 64 bits risks recall only if a collision WITHIN one pair's union
+    * changes its id-Jaccard across the threshold: probability ≈ u²/2⁶⁴ for
+    * union size u (~1e-11 at u = 10⁴), the same class of bound as
+    * [[dedupNear]]'s 6e-15 band-miss probability, and precision is immune
+    * because verification runs on the string shingle sets. */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"),
+      explode(expr("transform(shingle_set(text), s -> xxhash64(s))")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val prefixes = toks.join(freq, "tok")
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .withColumn("rk", row_number().over(wDoc.orderBy(col("freq"), col("tok"))))
+      .filter(col("rk") <= col("sz") - expr("(sz * 4 + 4) div 5") + 1)
+    // One shuffle by token, pairs expanded inside each (rare) multi-doc
+    // bucket with the length filter inline — same grouped expansion shape
+    // as dedupNear, never an all-pairs product.
+    val cand = prefixes
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> filter(
+          |    transform(slice(ds, i + 2, size(ds) - i - 1),
+          |      b -> struct(ds[i].doc_id AS doc_a, b.doc_id AS doc_b,
+          |                  ds[i].sz AS sza, b.sz AS szb)),
+          |    p -> least(p.sza, p.szb) * 5 >= greatest(p.sza, p.szb) * 4)))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+      // consumed three times by verification; released by the harness drain
+      .transform(graft.Caches.persisted)
+    verifyPairs(docs, cand)
+  }
+
+  /** Oracle: identical to [[dedupNearSql]] — both operators must reproduce
+    * the brute-force pair set exactly; only the candidate strategy differs. */
+  def dedupJaccardSql: String = dedupNearSql
 
   /** Session conf selecting [[dedupComponents]]' lineage-truncation mode. */
   val ReliableCheckpointConf = "spark.graft.components.reliableCheckpoint"

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupQueries
+
+/** The prefix-filter similarity join ([[DedupQueries.dedupJaccard]]) claims
+  * EXACT recall by construction; MinHash-LSH ([[DedupQueries.dedupNear]])
+  * claims it probabilistically (band-miss ≈ 6e-15). Both therefore must
+  * produce the identical verified pair set — checking them against each
+  * other is an engine-internal oracle parity test, independent of (and
+  * cheaper than) the driver's DuckDB brute-force compare. */
+class DedupJaccardSuite extends SparkSpec {
+
+  test("dedup_jaccard: pair set identical to dedup_near on the same corpus") {
+    val jac = DedupQueries.dedupJaccard(spark, Sf0001)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9).as("j"))
+    val lsh = DedupQueries.dedupNear(spark, Sf0001)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9).as("j"))
+    val onlyJac = jac.exceptAll(lsh).count()
+    val onlyLsh = lsh.exceptAll(jac).count()
+    Caches.drain()
+    assert(onlyJac == 0 && onlyLsh == 0,
+      s"pair sets diverge: $onlyJac only in prefix-filter, $onlyLsh only in LSH")
+  }
+
+  test("dedup_jaccard: nonempty, ordered pairs, threshold respected") {
+    val rows = DedupQueries.dedupJaccard(spark, Sf0001)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+    Caches.drain()
+    assert(rows.nonEmpty, "fixture corpus contains near-duplicates; none found")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), s"unordered pair $r")
+      assert(r.getDouble(2) >= 0.8, s"below-threshold pair survived verification: $r")
+    }
+  }
+}

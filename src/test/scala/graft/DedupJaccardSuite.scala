@@ -24,6 +24,22 @@ class DedupJaccardSuite extends SparkSpec {
       s"pair sets diverge: $onlyJac only in prefix-filter, $onlyLsh only in LSH")
   }
 
+  test("dedup_jaccard ≡ dedup_near at sf0.1: MinHash banding re-validated at 10× corpus") {
+    // The strongest scale re-validation available: the prefix-filter join's
+    // recall is exact BY CONSTRUCTION, so any pair it finds that LSH lost
+    // is a real band-miss — the (1-0.8²)³² ≈ 6e-15 claim checked against
+    // 5,000 documents instead of the 500 the driver's oracle covers.
+    val sf01 = "/root/testdata/sf0.1"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sf01)), s"$sf01 not present")
+    val jac = DedupQueries.dedupJaccard(spark, sf01).select(col("doc_a"), col("doc_b"))
+    val lsh = DedupQueries.dedupNear(spark, sf01).select(col("doc_a"), col("doc_b"))
+    val missedByLsh = jac.exceptAll(lsh).count()
+    val phantomInLsh = lsh.exceptAll(jac).count()
+    Caches.drain()
+    assert(missedByLsh == 0, s"MinHash bands missed $missedByLsh true pairs at sf0.1")
+    assert(phantomInLsh == 0, s"$phantomInLsh LSH pairs escaped exact verification")
+  }
+
   test("dedup_jaccard: nonempty, ordered pairs, threshold respected") {
     val rows = DedupQueries.dedupJaccard(spark, Sf0001)
       .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()

@@ -96,6 +96,12 @@ object SparkEntry {
     "events_type_share" -> (EventQueries.typeShare _),
     // Multimodal plumbing
     "media_features" -> (MultimodalPipeline.mediaFeatures _),
+    // Training-data preparation (decontamination, packing, splitting)
+    "decontaminate" -> (graft.pipelines.TrainingPrep.decontaminate _),
+    "seq_pack" -> (graft.pipelines.TrainingPrep.seqPack _),
+    "doc_repetition" -> (graft.pipelines.TrainingPrep.docRepetition _),
+    "train_split" -> (graft.pipelines.TrainingPrep.trainSplit _),
+    "bigram_topk" -> (graft.pipelines.TrainingPrep.bigramTopk _),
     // Flagship composition: dedup → near-dup removal → quality/lang gate →
     // per-source accounting, one lazy plan
     "corpus_pipeline" -> (graft.pipelines.CorpusPipeline.corpusSummary _),
@@ -173,6 +179,11 @@ object SparkEntry {
     "events_top3_agg" -> EventQueries.top3PerTypeSql,
     "events_type_share" -> EventQueries.typeShareSql,
     "media_features" -> MultimodalPipeline.mediaFeaturesSql,
+    "decontaminate" -> graft.pipelines.TrainingPrep.decontaminateSql,
+    "seq_pack" -> graft.pipelines.TrainingPrep.seqPackSql,
+    "doc_repetition" -> graft.pipelines.TrainingPrep.docRepetitionSql,
+    "train_split" -> graft.pipelines.TrainingPrep.trainSplitSql,
+    "bigram_topk" -> graft.pipelines.TrainingPrep.bigramTopkSql,
     "corpus_pipeline" -> graft.pipelines.CorpusPipeline.corpusSummarySql,
   )
 }

@@ -1,0 +1,217 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data preparation operators beyond cleaning/dedup: benchmark
+  * decontamination, sequence packing, repetition-based quality signals, and
+  * deterministic corpus splitting. These are the steps between "deduped
+  * corpus" and "tokens on the training cluster" in an LLM data pipeline; the
+  * reference engine's (map, reduce) model can express each of them
+  * (`/root/reference/src/mr/worker.go:39`), but no shipped app does — they
+  * are extension surface, like the dedup family in [[graft.dedup.DedupQueries]].
+  *
+  * Tokenization here is plain space-splitting: these operators model the
+  * *pipeline shapes* (n-gram join, prefix-sum packing, per-doc frequency
+  * profile, hash bucketing), for which the tokenizer is a pluggable detail —
+  * the reference-faithful `\p{L}` tokenizer and the BPE-ish pass live in
+  * [[graft.text.TextQueries]] / [[graft.text.LangQueries]].
+  *
+  * Every query is a declarative plan built from codegen'd built-ins: narrow
+  * per-document work, partial aggregation before every shuffle, and joins
+  * shaped so the small side broadcasts.
+  */
+object TrainingPrep {
+
+  /** Source tag whose documents act as the held-out benchmark set for
+    * [[decontaminate]]. In a real pipeline this is the eval-suite corpus
+    * (tiny) joined against the training corpus (enormous). */
+  private val BenchmarkSource = "src0"
+
+  private val NGram = 5
+
+  /** Distinct word `n`-grams of a space-tokenized text column, as strings. */
+  private def ngrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Benchmark decontamination (the GPT-3/Gopher n-gram overlap rule): a
+    * training document is contaminated if it shares at least one word
+    * 5-gram with any benchmark document. Returns the contaminated doc ids
+    * with the number of distinct shared 5-grams.
+    *
+    * Scale shape: the benchmark side is eval suites — megabytes against a
+    * 100 TB corpus — so its distinct-gram set `broadcast`s and the corpus
+    * side never shuffles: per-doc gram explosion is narrow, the inner join
+    * is map-side, and the only exchange is the final count-by-doc on ids.
+    * Grams stay strings here for oracle exactness; at petabyte scale the
+    * broadcast set and probe keys would be 64-bit fingerprints via
+    * [[graft.functions.ShingleExpressions]], shrinking the broadcast ~5×. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("source") === BenchmarkSource)
+      .select(explode(ngrams(col("text"), NGram)).as("gram"))
+      .distinct()
+    docs.filter(col("source") =!= BenchmarkSource)
+      .select(col("doc_id"), explode(ngrams(col("text"), NGram)).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  def decontaminateSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |g AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+${NGram - 1}], ' ') AS gram
+       |      FROM tok, UNNEST(range(1, len(t) - ${NGram - 2})) AS u(i)),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE source = '$BenchmarkSource')
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM (SELECT DISTINCT doc_id, gram FROM g WHERE source <> '$BenchmarkSource') c
+       |JOIN bench USING (gram)
+       |GROUP BY doc_id""".stripMargin
+
+  /** Tokens per training sequence for [[seqPack]]. */
+  private val ChunkTokens = 512
+
+  /** Sequence packing, concat-then-chunk style (how pretraining corpora are
+    * actually packed): within each source shard, documents are concatenated
+    * in doc_id order and cut into fixed `ChunkTokens` windows; a document's
+    * chunk is the one containing its first token. Returns per-chunk
+    * accounting (doc count, token sum, doc-id span).
+    *
+    * Scale shape: the prefix sum is windowed **per source shard**, so each
+    * shard's running total is one partition's sequential scan after a hash
+    * exchange on `source` — there is no global ordering anywhere. A corpus
+    * is sharded far finer than 20 sources at 100 TB (date × domain ×
+    * crawl), keeping every partition bounded; packing across *all* shards
+    * would serialize the cluster on one global cumulative sum, which is why
+    * no production pipeline asks for it. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - n_tokens) DIV $ChunkTokens"))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  def seqPackSql: String =
+    s"""SELECT source, CAST((cum - n_tokens) // $ChunkTokens AS BIGINT) AS chunk_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM (SELECT doc_id, source, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM (SELECT doc_id, source,
+       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |            FROM documents) t) c
+       |GROUP BY source, chunk_id""".stripMargin
+
+  /** Repetition-based quality signals (the Gopher repetition rules, adapted
+    * to single-line docs): per document, the most-frequent-token share and
+    * the distinct-token ratio, plus the combined gate. High top-share or
+    * low distinct-ratio marks boilerplate/spam.
+    *
+    * Scale shape: two hash aggregations — (doc_id, token) then doc_id —
+    * both with map-side partial aggregation; keys are bounded by document
+    * length so no key is ever hot, and text itself never shuffles (only
+    * token strings, and only to the first agg). */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .withColumn("top_share", col("top_cnt") / col("n_tokens"))
+      .withColumn("distinct_ratio", col("n_distinct") / col("n_tokens"))
+      .withColumn("is_repetitive",
+        col("top_share") > lit(0.15) || col("distinct_ratio") < lit(0.35))
+
+  def docRepetitionSql: String =
+    """SELECT doc_id, n_tokens, n_distinct, top_cnt,
+      |  top_cnt / n_tokens AS top_share,
+      |  n_distinct / n_tokens AS distinct_ratio,
+      |  (top_cnt / n_tokens > 0.15 OR n_distinct / n_tokens < 0.35) AS is_repetitive
+      |FROM (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_distinct, max(cnt) AS top_cnt
+      |  FROM (SELECT doc_id, tok, count(*) AS cnt
+      |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) e
+      |        GROUP BY doc_id, tok) pc
+      |  GROUP BY doc_id) s""".stripMargin
+
+  /** Deterministic train/validation/test assignment by multiplicative hash
+    * (Knuth-style), 80/10/10, reported per (split, lang). The bucket is a
+    * pure arithmetic function of doc_id — reproducible across engines,
+    * stable under repartitioning, and O(0) state: no sampling RNG, no
+    * persisted assignment table. The multiplier/modulus stay comfortably
+    * inside int64 for any doc_id below ~9.2e12 (a 100 TB corpus at 10 KB a
+    * doc is ~1e10 ids).
+    *
+    * Scale shape: one narrow projection plus one partial-aggregated
+    * group-by on a 15-value key space. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", ((col("doc_id") * lit(1000003L)) % lit(999999937L)) % lit(100L))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  def trainSplitSql: String =
+    """SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'validation'
+      |            ELSE 'test' END AS split,
+      |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM (SELECT lang, n_chars, ((doc_id * 1000003) % 999999937) % 100 AS bucket
+      |      FROM documents) b
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Corpus-level top-50 word bigrams with a total tie-break (count desc,
+    * then bigram asc), so the selected set is exact and order-free.
+    *
+    * Scale shape: partial-aggregated count per bigram, then
+    * `TakeOrderedAndProject` — each partition keeps its local top-50 and
+    * the driver merges 50 × partitions rows; no global sort ever
+    * materializes (same pattern as `lineitem_topk`). */
+  def bigramTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2), i => array_join(slice(toks, i + 1, lit(2)), " ")))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(50)
+  }
+
+  def bigramTopkSql: String =
+    """SELECT array_to_string(t[i:i+1], ' ') AS bigram, count(*) AS cnt
+      |FROM (SELECT string_split(text, ' ') AS t FROM documents) tok,
+      |     UNNEST(range(1, len(t))) AS u(i)
+      |GROUP BY 1
+      |ORDER BY cnt DESC, bigram ASC
+      |LIMIT 50""".stripMargin
+}

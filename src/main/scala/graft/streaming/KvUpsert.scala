@@ -39,8 +39,12 @@ object KvUpsert {
 
   case class KvEntry(key: String, value: String)
 
-  private case class BucketedOp(bucket: Int, seq: Long, op: String, key: String, value: String)
-  private case class BucketedEntry(bucket: Int, key: String, value: String)
+  // Public (not `private`) on purpose: Janino-generated encoder projections
+  // live outside this object and cannot call accessors on a private class —
+  // `private` here silently drops every per-batch projection out of codegen
+  // ("Expr codegen error and falling back to interpreter mode").
+  case class BucketedOp(bucket: Int, seq: Long, op: String, key: String, value: String)
+  case class BucketedEntry(bucket: Int, key: String, value: String)
 
   /** Buckets per state table. Fixed for the life of a state dir (recorded in
     * the manifest and validated): pruning routes each key by

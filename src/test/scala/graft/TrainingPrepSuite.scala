@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.TrainingPrep
+
+/** Engine-internal invariants for the training-prep operators — conservation
+  * laws and plan shapes that hold independently of the driver's DuckDB
+  * compare (which pins exact values at sf0.01). */
+class TrainingPrepSuite extends SparkSpec {
+
+  test("decontaminate: only non-benchmark docs, each sharing >= 1 gram; benchmark side broadcasts") {
+    val df = TrainingPrep.decontaminate(spark, Sf0001)
+    val benchIds = Tables.documents(spark, Sf0001)
+      .filter(col("source") === "src0").select("doc_id")
+    assert(df.join(benchIds, "doc_id").count() == 0,
+      "a benchmark doc flagged itself as contaminated")
+    assert(df.filter(col("n_shared") < 1).count() == 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark gram set must broadcast, got:\n$plan")
+  }
+
+  test("seq_pack: token mass is conserved per source and chunk ids are dense from 0") {
+    val packed = TrainingPrep.seqPack(spark, Sf0001)
+    val bySource = packed.groupBy("source")
+      .agg(sum("chunk_tokens").as("packed_tokens"),
+        min("chunk_id").as("min_chunk"), max("chunk_id").as("max_chunk"),
+        countDistinct("chunk_id").as("n_chunks"))
+    val direct = Tables.documents(spark, Sf0001)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("bigint")).as("direct_tokens"))
+    val joined = bySource.join(direct, "source").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("packed_tokens") == r.getAs[Long]("direct_tokens"),
+        s"token mass not conserved for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("min_chunk") == 0L)
+      // Chunks cover a contiguous token range, so ids are dense 0..max.
+      assert(r.getAs[Long]("n_chunks") == r.getAs[Long]("max_chunk") + 1,
+        s"chunk ids not dense for ${r.getAs[String]("source")}")
+    }
+    // The prefix sum must stay per-shard: no global single-partition window.
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"seq_pack window must partition by source, not collapse to one partition:\n$plan")
+  }
+
+  test("doc_repetition: per-doc counters are mutually consistent") {
+    val bad = TrainingPrep.docRepetition(spark, Sf0001)
+      .filter(col("n_distinct") > col("n_tokens") ||
+        col("top_cnt") > col("n_tokens") ||
+        col("top_cnt") * col("n_distinct") < col("n_tokens"))
+    assert(bad.count() == 0, "pigeonhole violated: top_cnt * n_distinct >= n_tokens must hold")
+  }
+
+  test("train_split: partition of the corpus, deterministic, ~80/10/10") {
+    val docs = Tables.documents(spark, Sf0001)
+    val total = docs.count()
+    val split = TrainingPrep.trainSplit(spark, Sf0001)
+    assert(split.agg(sum("n_docs")).head.getLong(0) == total,
+      "splits must partition the corpus exactly")
+    val byName = split.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val train = byName.getOrElse("train", 0L).toDouble / total
+    assert(train > 0.6 && train < 0.95, s"train share $train out of tolerance for 0.8")
+    // Re-running yields byte-identical assignment (pure arithmetic, no RNG).
+    val again = TrainingPrep.trainSplit(spark, Sf0001)
+    assert(split.exceptAll(again).count() == 0 && again.exceptAll(split).count() == 0)
+  }
+
+  test("bigram_topk: 50 rows, counts non-increasing, selection via TakeOrdered (no global sort)") {
+    val top = TrainingPrep.bigramTopk(spark, Sf0001)
+    val rows = top.collect()
+    assert(rows.length == 50)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must use TakeOrderedAndProject, not a global Sort:\n$plan")
+  }
+}

@@ -323,14 +323,20 @@ object EventQueries {
       .toDF("event_type", "rn", "event_id", "value")
   }
 
-  /** Share of traffic per event type — global-window aggregate; the share is
-    * one int/int division so it is engine-exact. */
+  /** Share of traffic per event type; the share is one int/int division so
+    * it is engine-exact. The corpus-wide total joins in as a broadcast
+    * scalar rather than an unpartitioned window: `sum(...) over ()` would
+    * exchange the aggregated rows to a single partition (and WARNs about
+    * it), while the cross join keeps the plan exchange-free — the per-type
+    * counts are already bounded by the event_type cardinality. */
   def typeShare(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    counts
-      .withColumn("share", col("n_events") / sum(col("n_events")).over(Window.partitionBy()))
+    val total = counts.agg(sum(col("n_events")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n_events") / col("total"))
+      .drop("total")
   }
 
   def typeShareSql: String =

@@ -63,3 +63,10 @@ object ReferenceApps {
         count(lit(1)).cast("string"),
         concat_ws(",", sort_array(collect_set(col("doc"))))).as("value"))
 }
+
+/** [[graft.core.MrPlugin]] face of the wc job — loadable by name at runtime
+  * (`MrRun plugin:graft.apps.WcPlugin`), the shipped example of the
+  * reference's `mrworker wc.so` flow. */
+object WcPlugin extends graft.core.MrPlugin {
+  def job: MapReduceJob = ReferenceApps.wcJob
+}

@@ -31,10 +31,10 @@ object TrainingPrep {
     * (tiny) joined against the training corpus (enormous). */
   private val BenchmarkSource = "src0"
 
-  private val NGram = 5
+  private[graft] val NGram = 5
 
   /** Distinct word `n`-grams of a space-tokenized text column, as strings. */
-  private def ngrams(text: Column, n: Int): Column = {
+  private[graft] def ngrams(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     array_distinct(
       when(size(toks) >= n,
@@ -56,15 +56,21 @@ object TrainingPrep {
     * [[graft.functions.ShingleExpressions]], shrinking the broadcast ~5×. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val bench = docs.filter(col("source") === BenchmarkSource)
-      .select(explode(ngrams(col("text"), NGram)).as("gram"))
-      .distinct()
     docs.filter(col("source") =!= BenchmarkSource)
       .select(col("doc_id"), explode(ngrams(col("text"), NGram)).as("gram"))
-      .join(broadcast(bench), "gram")
+      .join(broadcast(benchmarkGrams(spark, dir)), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The static side of the decontamination join: the benchmark corpus's
+    * distinct gram set. Also the static side of the streaming variant
+    * ([[graft.streaming.StreamingCorpus.decontaminate]]). */
+  private[graft] def benchmarkGrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("source") === BenchmarkSource)
+      .select(explode(ngrams(col("text"), NGram)).as("gram"))
+      .distinct()
 
   def decontaminateSql: String =
     s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),

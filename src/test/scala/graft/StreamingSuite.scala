@@ -197,6 +197,41 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static decontamination equals the batch result (broadcast join, bounded state)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    // Stream the non-benchmark documents in two micro-batches against the
+    // static benchmark gram set; final (doc_id, n_shared) must equal the
+    // batch operator's output on the same corpus.
+    val corpus = Tables.documents(spark, Sf0001)
+      .filter($"source" =!= "src0")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) => StreamingSuite.Doc(id, text, ts(id % 30)) }
+    val bench = graft.pipelines.TrainingPrep.benchmarkGrams(spark, Sf0001)
+
+    val input = MemoryStream[StreamingSuite.Doc]
+    val q = graft.streaming.StreamingCorpus.decontaminate(input.toDF(), bench)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("update").start()
+    try {
+      val (first, second) = corpus.splitAt(corpus.length / 2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      // update mode re-emits refined rows; the latest row per doc is final
+      // (each doc arrives in exactly one batch, so rows never refine here)
+      val streamed = spark.table("decon_stream")
+        .groupBy($"doc_id").agg(org.apache.spark.sql.functions.max($"n_shared").as("n_shared"))
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.pipelines.TrainingPrep.decontaminate(spark, Sf0001)
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path
@@ -208,4 +243,9 @@ class StreamingSuite extends SparkSpec {
       assert(r.getLong(2) >= 1L) // max_session_events
     }
   }
+}
+
+object StreamingSuite {
+  /** Top-level so spark.implicits can derive its encoder. */
+  case class Doc(doc_id: Long, text: String, ingest_ts: java.sql.Timestamp)
 }

@@ -43,9 +43,13 @@ object Soak {
             org.apache.spark.sql.functions.to_json(
               org.apache.spark.sql.functions.struct(df.columns.map(df.col).toSeq: _*)))
           // single-row fetch of a fully aggregated result — O(1) driver
-          // transfer, the one shape of action a harness is allowed
+          // transfer, the one shape of action a harness is allowed. The
+          // fold sums in decimal(38,0): a long sum of 64-bit hashes
+          // overflows after a handful of rows, which under ANSI mode
+          // (Spark 4's default) is an ARITHMETIC_OVERFLOW error, not a wrap.
           val agg = df.select(
-            org.apache.spark.sql.functions.sum(rowHash).as("h"),
+            org.apache.spark.sql.functions.sum(
+              rowHash.cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h"),
             org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
             .head()
           s"${agg.get(0)}/${agg.getLong(1)}"
@@ -73,6 +77,6 @@ object Soak {
       System.err.println(s"[soak] FAILED — errors: ${errored.mkString(",")} flaky: ${flaky.mkString(",")}")
       sys.exit(1)
     }
-    println(s"[soak] PASSED: ${names.size} queries × $trials trials, deterministic")
+    println(s"[soak] PASSED: ${names.size} queries x $trials trials, deterministic")
   }
 }

@@ -94,6 +94,7 @@ object SparkEntry {
     "events_top3_per_type" -> (EventQueries.top3PerType _),
     "events_top3_agg" -> (EventQueries.top3PerTypeAgg _),
     "events_type_share" -> (EventQueries.typeShare _),
+    "events_quantile_sketch" -> (EventQueries.quantileSketch _),
     // Multimodal plumbing
     "media_features" -> (MultimodalPipeline.mediaFeatures _),
     // Training-data preparation (decontamination, packing, splitting)
@@ -178,6 +179,7 @@ object SparkEntry {
     "events_top3_per_type" -> EventQueries.top3PerTypeSql,
     "events_top3_agg" -> EventQueries.top3PerTypeSql,
     "events_type_share" -> EventQueries.typeShareSql,
+    "events_quantile_sketch" -> EventQueries.quantileSketchSql,
     "media_features" -> MultimodalPipeline.mediaFeaturesSql,
     "decontaminate" -> graft.pipelines.TrainingPrep.decontaminateSql,
     "seq_pack" -> graft.pipelines.TrainingPrep.seqPackSql,

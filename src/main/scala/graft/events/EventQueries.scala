@@ -376,6 +376,50 @@ object EventQueries {
       |  TRUE AS hll_within_10pct
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Approximate quantiles as a first-class sketch operator — the rank
+    * sibling of [[userHll]]'s cardinality sketch, with a STRONGER contract:
+    * `percentile_approx` (Greenwald-Khanna family) guarantees rank error
+    * ≤ 1/accuracy DETERMINISTICALLY, so unlike HLL's ~2.5σ probabilistic
+    * bound the verified booleans can never flip on a lucky dataset. The
+    * check is tie-aware — `count(< a) ≤ (q+ε)n AND count(≤ a) ≥ (q-ε)n`
+    * asserts SOME rank of the returned element lies within ε of the target,
+    * which duplicates of the quantile value cannot break. ε here is 0.01
+    * against the sketch's guaranteed 0.001 (accuracy=1000) — margin, not
+    * slack in the claim.
+    *
+    * Scale shape: one partial-aggregable pass builds the fixed-size sketch
+    * per type; the 5-row sketch output broadcasts back onto the events scan
+    * for the rank audit (second pass, also partial-aggregable). The sketch
+    * itself is O(accuracy · log n) memory regardless of n — the point of
+    * using it at 100 TB instead of the exact two-phase selection
+    * (`median_price`), which needs a histogram shuffle. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val approx = ev.groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(1000)).as("ap"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        col("ap")(0).as("a50"), col("ap")(1).as("a90"))
+    val eps = 0.01
+    def rankOk(a: org.apache.spark.sql.Column, q: Double): org.apache.spark.sql.Column = {
+      val lt = sum(when(col("value") < a, 1L).otherwise(0L))
+      val le = sum(when(col("value") <= a, 1L).otherwise(0L))
+      lt <= first(col("n_events")) * lit(q + eps) && le >= first(col("n_events")) * lit(q - eps)
+    }
+    ev.join(broadcast(approx), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("n_events")).as("n_events"),
+        rankOk(col("a50"), 0.5).as("p50_rank_ok"),
+        rankOk(col("a90"), 0.9).as("p90_rank_ok"))
+  }
+
+  def quantileSketchSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Ordered-funnel analysis: view → first click AFTER that view → first
     * purchase AFTER that click, per user — the product-analytics staple.
     * Each stage is one filtered aggregate joined to the previous stage's

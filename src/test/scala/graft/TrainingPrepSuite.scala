@@ -69,6 +69,25 @@ class TrainingPrepSuite extends SparkSpec {
     assert(split.exceptAll(again).count() == 0 && again.exceptAll(split).count() == 0)
   }
 
+  test("results invariant under shuffle partition count (driver hash-compare depends on it)") {
+    // The DuckDB oracle hash-compares values, so any partition-count
+    // sensitivity (order-dependent double folds, first() without ordering)
+    // is a latent correctness flake. Run each new query under two partition
+    // counts and require identical sorted output.
+    val queries = Seq("decontaminate", "seq_pack", "doc_repetition", "train_split",
+      "bigram_topk", "events_quantile_sketch")
+    val original = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(name: String, parts: String): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries(name)(spark, Sf0001)
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", original)
+    }
+    queries.foreach { q =>
+      assert(run(q, "3") == run(q, "17"), s"$q output depends on shuffle partition count")
+    }
+  }
+
   test("bigram_topk: 50 rows, counts non-increasing, selection via TakeOrdered (no global sort)") {
     val top = TrainingPrep.bigramTopk(spark, Sf0001)
     val rows = top.collect()

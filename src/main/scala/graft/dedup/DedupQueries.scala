@@ -60,7 +60,7 @@ object DedupQueries {
       |FROM (SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
       |      FROM documents) t""".stripMargin
 
-  private val NumBands = 32 // × 2 rows = the 64 hashes of MinHashSig
+  private[graft] val NumBands = 32 // × 2 rows = the 64 hashes of MinHashSig
 
   /** Near-duplicate pairs at 3-gram Jaccard ≥ 0.8 via MinHash-LSH.
     *

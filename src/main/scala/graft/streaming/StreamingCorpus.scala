@@ -1,8 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import java.sql.Timestamp
 
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.dedup.DedupQueries
 import graft.pipelines.TrainingPrep
 
 /** Streaming face of the corpus-prep operators: documents arrive as a
@@ -40,4 +44,85 @@ object StreamingCorpus {
       .groupBy(window(col("ingest_ts"), "1 hour"), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .select(col("doc_id"), col("n_shared"))
+
+  /** One LSH band-bucket posting of one streaming document. */
+  case class BandDoc(band: Int, bh: Long, doc_id: Long, ingest_ts: Timestamp, sig: Seq[Long])
+
+  /** A streamed near-dup candidate: the pair and its MinHash-estimated
+    * Jaccard ((matching signature positions)/64, the unbiased estimator).
+    * Exact verification stays a batch concern ([[DedupQueries.dedupNear]]'s
+    * `shingle_set` pass) — the stream carries signatures, never text. */
+  case class NearDupCandidate(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  // Public for the same reason as KvUpsert's BucketedOp: Janino-generated
+  // encoder code cannot call accessors on a private class.
+  case class BucketEntry(docId: Long, sig: Seq[Long], tsMs: Long)
+
+  /** Streaming near-duplicate detection — the crawl-ingest question "is
+    * this new document a near-dup of anything recently seen?" answered
+    * online with the SAME banding scheme as the batch path
+    * ([[DedupQueries.dedupNear]]: 64-hash `minhash_sig`, 32 bands × 2
+    * rows): each arriving doc posts one row per band; per (band, hash)
+    * bucket, `flatMapGroupsWithState` pairs it against the bucket's live
+    * members and emits candidates with the signature-estimated Jaccard.
+    *
+    * State shape at scale: one entry per posting within the dedup horizon —
+    * exactly the batch index, sliced to the horizon and spread across
+    * (band, hash) buckets that SCALING.md rule 10 keeps sparse. Entries
+    * evict by event time (`horizonMs`), so state is O(docs in horizon × 32),
+    * never O(stream history). A pair sharing k bands is emitted k times
+    * (at-least-once per band, as in any per-band LSH index); downstream
+    * dedups with `dropDuplicatesWithinWatermark` or batch `distinct`.
+    *
+    * @param docs streaming `doc_id`/`text`/`ingest_ts` frame
+    * @param horizonMs dedup horizon: how far back a new doc is compared
+    */
+  def nearDupCandidates(docs: DataFrame, watermark: String = "1 hour",
+      horizonMs: Long = 3600L * 1000): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val nb = DedupQueries.NumBands
+    docs.withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"), expr("minhash_sig(text)").as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id"), col("ingest_ts"), col("sig"),
+        explode(sequence(lit(0), lit(nb - 1))).as("band"))
+      .select(col("band"),
+        xxhash64(element_at(col("sig"), col("band") * 2 + 1),
+                 element_at(col("sig"), col("band") * 2 + 2)).as("bh"),
+        col("doc_id"), col("ingest_ts"), col("sig"))
+      .as[BandDoc]
+      .groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        updateBucket(horizonMs))
+  }
+
+  /** Bucket-state update: pair each arriving doc against live members (and
+    * earlier arrivals in the same batch), append it, evict by horizon. */
+  private def updateBucket(horizonMs: Long)(
+      key: (Int, Long),
+      rows: Iterator[BandDoc],
+      state: GroupState[List[BucketEntry]]): Iterator[NearDupCandidate] = {
+    val wm = state.getCurrentWatermarkMs()
+    var live = state.getOption.getOrElse(Nil).filter(_.tsMs >= wm - horizonMs)
+    val out = List.newBuilder[NearDupCandidate]
+    rows.toSeq.sortBy(d => (d.ingest_ts.getTime, d.doc_id)).foreach { d =>
+      live.foreach { e =>
+        if (e.docId != d.doc_id) {
+          val matches = e.sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
+          out += NearDupCandidate(
+            math.min(e.docId, d.doc_id), math.max(e.docId, d.doc_id),
+            matches.toDouble / e.sig.length)
+        }
+      }
+      live ::= BucketEntry(d.doc_id, d.sig, d.ingest_ts.getTime)
+    }
+    if (live.isEmpty) state.remove()
+    else {
+      state.update(live)
+      // wake up once the horizon has certainly passed the newest entry;
+      // must stay ahead of the watermark or Spark rejects the timestamp
+      state.setTimeoutTimestamp(math.max(live.map(_.tsMs).max + horizonMs, wm + 1))
+    }
+    out.result().iterator
+  }
 }

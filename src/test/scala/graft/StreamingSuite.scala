@@ -232,6 +232,56 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates equal the batch band self-join across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val corpus = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) => StreamingSuite.Doc(id, text, ts(id % 10)) }
+
+    val input = MemoryStream[StreamingSuite.Doc]
+    val q = graft.streaming.StreamingCorpus.nearDupCandidates(input.toDF())
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      val (first, second) = corpus.splitAt(corpus.length / 2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_stream")
+        .select($"doc_a", $"doc_b", round($"est_jaccard", 9).as("e"))
+        .distinct().as[(Long, Long, Double)].collect().toSet
+
+      // batch twin: identical banding, candidate = any shared (band, hash)
+      // bucket, estimate = matching signature positions / 64
+      val nb = graft.dedup.DedupQueries.NumBands
+      val sigs = Tables.documents(spark, Sf0001)
+        .select($"doc_id", expr("minhash_sig(text)").as("sig"))
+        .filter(size($"sig") > 0)
+      val bands = sigs
+        .select($"doc_id", $"sig", explode(sequence(lit(0), lit(nb - 1))).as("band"))
+        .select($"doc_id", $"sig", $"band",
+          xxhash64(element_at($"sig", $"band" * 2 + 1),
+                   element_at($"sig", $"band" * 2 + 2)).as("bh"))
+      val expected = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          round(
+            aggregate(zip_with(col("x.sig"), col("y.sig"),
+                (a, b) => when(a === b, 1).otherwise(0)),
+              lit(0), (acc, m) => acc + m).cast("double") / lit(nb * 2), 9).as("e"))
+        .distinct().as[(Long, Long, Double)].collect().toSet
+
+      assert(streamed == expected,
+        s"only streamed: ${streamed -- expected}; only batch: ${expected -- streamed}")
+      assert(streamed.nonEmpty)
+      // self-consistency: the estimator is a fraction of 64
+      streamed.foreach { case (_, _, e) => assert(e >= 0.0 && e <= 1.0) }
+    } finally q.stop()
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path

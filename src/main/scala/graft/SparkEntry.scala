@@ -103,6 +103,7 @@ object SparkEntry {
     "doc_repetition" -> (graft.pipelines.TrainingPrep.docRepetition _),
     "train_split" -> (graft.pipelines.TrainingPrep.trainSplit _),
     "bigram_topk" -> (graft.pipelines.TrainingPrep.bigramTopk _),
+    "training_pipeline" -> (graft.pipelines.TrainingPrep.trainingPipeline _),
     // Flagship composition: dedup → near-dup removal → quality/lang gate →
     // per-source accounting, one lazy plan
     "corpus_pipeline" -> (graft.pipelines.CorpusPipeline.corpusSummary _),
@@ -186,6 +187,7 @@ object SparkEntry {
     "doc_repetition" -> graft.pipelines.TrainingPrep.docRepetitionSql,
     "train_split" -> graft.pipelines.TrainingPrep.trainSplitSql,
     "bigram_topk" -> graft.pipelines.TrainingPrep.bigramTopkSql,
+    "training_pipeline" -> graft.pipelines.TrainingPrep.trainingPipelineSql,
     "corpus_pipeline" -> graft.pipelines.CorpusPipeline.corpusSummarySql,
   )
 }

@@ -193,6 +193,54 @@ object TrainingPrep {
       |      FROM documents) b
       |GROUP BY 1, 2""".stripMargin
 
+  /** The training-prep composition — the downstream half of the corpus
+    * story ([[CorpusPipeline]] is the cleaning half): exclude documents
+    * contaminated by the benchmark ([[decontaminate]]), gate out repetitive
+    * boilerplate ([[docRepetition]]), then account the survivors per
+    * deterministic train/val/test split ([[trainSplit]]) — the numbers a
+    * dataset card reports per split. One lazy plan; the oracle recomposes
+    * the same stage SQL.
+    *
+    * Scale shape: both exclusion sets are flagged minorities anti-joined on
+    * doc_id (partial-agg upstream, keyed shuffle, no text); the benchmark
+    * gram join inside [[decontaminate]] stays broadcast; the final
+    * aggregation is a 15-key group-by. */
+  def trainingPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val contaminated = decontaminate(spark, dir).select(col("doc_id"))
+    val repetitive = docRepetition(spark, dir)
+      .filter(col("is_repetitive")).select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .filter(col("source") =!= BenchmarkSource)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(repetitive, Seq("doc_id"), "left_anti")
+      .withColumn("bucket", ((col("doc_id") * lit(1000003L)) % lit(999999937L)) % lit(100L))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("bigint")).as("total_tokens"))
+  }
+
+  def trainingPipelineSql: String =
+    s"""WITH deco AS ($decontaminateSql),
+       |rep AS ($docRepetitionSql)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'validation'
+       |            ELSE 'test' END AS split,
+       |  lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM (SELECT lang,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |        ((doc_id * 1000003) % 999999937) % 100 AS bucket
+       |      FROM documents d
+       |      WHERE d.source <> '$BenchmarkSource'
+       |        AND d.doc_id NOT IN (SELECT doc_id FROM deco)
+       |        AND d.doc_id NOT IN (SELECT doc_id FROM rep WHERE is_repetitive)) b
+       |GROUP BY 1, 2""".stripMargin
+
   /** Corpus-level top-50 word bigrams with a total tie-break (count desc,
     * then bigram asc), so the selected set is exact and order-free.
     *

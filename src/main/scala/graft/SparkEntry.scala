@@ -69,6 +69,7 @@ object SparkEntry {
     "events_sliding" -> (EventQueries.sliding _),
     "events_daily" -> (EventQueries.daily _),
     "orders_rollup" -> (RelationalQueries.ordersRollup _),
+    "orders_cube" -> (RelationalQueries.ordersCube _),
     "lang_id" -> (LangQueries.langId _),
     "token_count_bpe" -> (LangQueries.tokenCountBpe _),
     "rolling_fingerprint" -> (LangQueries.rollingFingerprint _),
@@ -155,6 +156,7 @@ object SparkEntry {
     "events_sliding" -> EventQueries.slidingSql,
     "events_daily" -> EventQueries.dailySql,
     "orders_rollup" -> RelationalQueries.ordersRollupSql,
+    "orders_cube" -> RelationalQueries.ordersCubeSql,
     "lang_id" -> LangQueries.langIdSql,
     "token_count_bpe" -> LangQueries.tokenCountBpeSql,
     "rolling_fingerprint" -> LangQueries.rollingFingerprintSql,

@@ -265,18 +265,19 @@ object RelationalQueries {
   /** Grouping sets via ROLLUP, expressed through the SQL API (temp views +
     * `spark.sql`) — the declared-SQL surface of the engine. Rolled-up nulls
     * are COALESCEd to 'ALL' so the hierarchy is explicit and portable. */
-  def ordersRollup(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
-    spark.sql(
-      // 100.0D: Spark SQL parses a bare 100.0 as DECIMAL (DuckDB: DOUBLE);
-      // the D suffix pins the division to double on both engines' plans.
-      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-        |       COALESCE(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n_orders,
-        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0D AS total_price
-        |FROM orders_v
-        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
-  }
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    // Dataset-native rollup — the earlier spark.sql formulation registered
+    // a fixed-name temp view (`orders_v`), a session-global side effect and
+    // collision hazard a registered query must not have.
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(round(col("o_totalprice") * 100).cast("bigint")) / 100.0).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
 
   def ordersRollupSql: String =
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
@@ -285,6 +286,28 @@ object RelationalQueries {
       |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_price
       |FROM orders
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Full grouping-sets sibling of [[ordersRollup]]: CUBE adds the
+    * priority-only marginal the rollup lacks (4 grouping sets vs 3). Same
+    * one-shuffle partial-agg plan — Spark expands the sets map-side. */
+  def ordersCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(round(col("o_totalprice") * 100).cast("bigint")) / 100.0).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+
+  def ordersCubeSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
   /** Range join: line items classified into literal price bands via a
     * non-equi join against a broadcast 3-row band table. At a scale where

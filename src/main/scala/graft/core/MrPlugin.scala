@@ -29,16 +29,21 @@ object MrPlugin {
     // A Scala `object Foo` compiles to class `Foo$` holding `MODULE$`; the
     // mirror class `Foo` (static forwarders only) has neither MODULE$ nor a
     // usable constructor — so try the object shape first, then a plain
-    // class with a no-arg constructor.
+    // class with a no-arg constructor. The last real failure is chained as
+    // the cause: "no such class" alone would send a user whose plugin's
+    // INITIALIZER threw down the wrong debugging path.
+    var lastFailure: Throwable = null
     val instance = Iterator(name + "$", name)
-      .flatMap(n => scala.util.Try(Class.forName(n)).toOption)
+      .flatMap(n => scala.util.Try(Class.forName(n))
+        .recoverWith { case e => lastFailure = e; scala.util.Failure(e) }.toOption)
       .flatMap(cls =>
         scala.util.Try(cls.getField("MODULE$").get(null))
           .orElse(scala.util.Try(cls.getDeclaredConstructor().newInstance()))
-          .toOption)
+          .recoverWith { case e => lastFailure = e; scala.util.Failure(e) }.toOption)
       .nextOption()
       .getOrElse(throw new IllegalArgumentException(
-        s"cannot load plugin $name: no such class, or it has no object instance / no-arg constructor"))
+        s"cannot load plugin $name: no such class, or it has no object instance / no-arg constructor",
+        lastFailure))
     instance match {
       case p: MrPlugin => p
       case other => throw new IllegalArgumentException(

@@ -87,16 +87,7 @@ object DedupQueries {
     val sig = docs
       .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(size(col("sig")) > 0)
-    // one generate + one hash expression, not 32 inlined struct/hash columns
-    // — same (doc_id, band, bh) rows, but a fraction of the generated code
-    // (the 32-struct array form compiled a multi-thousand-line method) and
-    // no 32-struct array materialized per row before the explode
-    val bands = sig
-      .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(element_at(col("sig"), col("band") * 2 + 1),
-                 element_at(col("sig"), col("band") * 2 + 2)).as("bh"))
+    val bands = withBandBuckets(sig).select(col("doc_id"), col("band"), col("bh"))
 
     // One shuffle by bucket, pairs expanded inside each (rare) multi-doc
     // bucket — the signature pipeline is evaluated once, unlike a self-join
@@ -118,6 +109,20 @@ object DedupQueries {
 
     verifyPairs(docs, cand)
   }
+
+  /** THE banding scheme, defined once: appends `band` (0 until
+    * [[NumBands]]) and `bh` (bucket hash of the band's two signature rows)
+    * to any frame with a `sig` column, preserving every other column. One
+    * generate + one hash expression, not 32 inlined struct/hash columns —
+    * the 32-struct array form compiled a multi-thousand-line codegen
+    * method. Shared by the batch path, the streaming path
+    * ([[graft.streaming.StreamingCorpus.nearDupCandidates]]) and the
+    * stream/batch parity test, so the three cannot silently diverge. */
+  private[graft] def withBandBuckets(df: DataFrame): DataFrame =
+    df.withColumn("band", explode(sequence(lit(0), lit(NumBands - 1))))
+      .withColumn("bh",
+        xxhash64(element_at(col("sig"), col("band") * 2 + 1),
+                 element_at(col("sig"), col("band") * 2 + 2)))
 
   /** Exact-Jaccard verification of a candidate pair set: compute shingle
     * sets ONLY for documents that appear in a candidate pair (semi-join),

@@ -33,14 +33,33 @@ object TrainingPrep {
 
   private[graft] val NGram = 5
 
-  /** Distinct word `n`-grams of a space-tokenized text column, as strings. */
-  private[graft] def ngrams(text: Column, n: Int): Column = {
+  /** Word `n`-grams of a space-tokenized text column, as strings;
+    * `distinct` = per-document set semantics (joins) vs multiset
+    * (frequency counting, [[bigramTopk]]). */
+  private[graft] def ngrams(text: Column, n: Int, distinct: Boolean = true): Column = {
     val toks = split(text, " ")
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n), i => array_join(slice(toks, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>")))
+    val all = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    if (distinct) array_distinct(all) else all
   }
+
+  /** The deterministic corpus-split assignment, defined once for
+    * [[trainSplit]] and [[trainingPipeline]] (and mirrored by
+    * [[splitSqlFragment]] for their oracles): Knuth-style multiplicative
+    * hash of doc_id into 100 buckets, 80/10/10. Changing the constants in
+    * one consumer but not the other would silently assign the same doc to
+    * different splits in different queries. */
+  private def splitCol(docId: Column): Column = {
+    val bucket = ((docId * lit(1000003L)) % lit(999999937L)) % lit(100L)
+    when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitCol]]: `(bucketExpr, splitCaseExpr)` over a
+    * relation exposing `doc_id`. */
+  private val SplitBucketSql = "((doc_id * 1000003) % 999999937) % 100"
+  private val SplitCaseSql =
+    "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END"
 
   /** Benchmark decontamination (the GPT-3/Gopher n-gram overlap rule): a
     * training document is contaminated if it shares at least one word
@@ -176,22 +195,16 @@ object TrainingPrep {
     * group-by on a 15-value key space. */
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket", ((col("doc_id") * lit(1000003L)) % lit(999999937L)) % lit(100L))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "validation")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
 
   def trainSplitSql: String =
-    """SELECT CASE WHEN bucket < 80 THEN 'train'
-      |            WHEN bucket < 90 THEN 'validation'
-      |            ELSE 'test' END AS split,
-      |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-      |FROM (SELECT lang, n_chars, ((doc_id * 1000003) % 999999937) % 100 AS bucket
-      |      FROM documents) b
-      |GROUP BY 1, 2""".stripMargin
+    s"""SELECT $SplitCaseSql AS split,
+       |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM (SELECT lang, n_chars, $SplitBucketSql AS bucket
+       |      FROM documents) b
+       |GROUP BY 1, 2""".stripMargin
 
   /** The training-prep composition — the downstream half of the corpus
     * story ([[CorpusPipeline]] is the cleaning half): exclude documents
@@ -213,11 +226,7 @@ object TrainingPrep {
       .filter(col("source") =!= BenchmarkSource)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(repetitive, Seq("doc_id"), "left_anti")
-      .withColumn("bucket", ((col("doc_id") * lit(1000003L)) % lit(999999937L)) % lit(100L))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "validation")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("split"), col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -227,14 +236,12 @@ object TrainingPrep {
   def trainingPipelineSql: String =
     s"""WITH deco AS ($decontaminateSql),
        |rep AS ($docRepetitionSql)
-       |SELECT CASE WHEN bucket < 80 THEN 'train'
-       |            WHEN bucket < 90 THEN 'validation'
-       |            ELSE 'test' END AS split,
+       |SELECT $SplitCaseSql AS split,
        |  lang, count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
        |FROM (SELECT lang,
        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |        ((doc_id * 1000003) % 999999937) % 100 AS bucket
+       |        $SplitBucketSql AS bucket
        |      FROM documents d
        |      WHERE d.source <> '$BenchmarkSource'
        |        AND d.doc_id NOT IN (SELECT doc_id FROM deco)
@@ -248,18 +255,13 @@ object TrainingPrep {
     * `TakeOrderedAndProject` — each partition keeps its local top-50 and
     * the driver merges 50 × partitions rows; no global sort ever
     * materializes (same pattern as `lineitem_topk`). */
-  def bigramTopk(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+  def bigramTopk(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(
-        when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2), i => array_join(slice(toks, i + 1, lit(2)), " ")))
-          .otherwise(array().cast("array<string>"))).as("bigram"))
+      .select(explode(ngrams(col("text"), 2, distinct = false)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(50)
-  }
 
   def bigramTopkSql: String =
     """SELECT array_to_string(t[i:i+1], ' ') AS bigram, count(*) AS cnt

@@ -34,14 +34,20 @@ object StreamingCorpus {
     *             event-time `ingest_ts` column
     * @param benchGrams static benchmark gram set (one `gram` column), e.g.
     *                   [[TrainingPrep.benchmarkGrams]]
+    * @param watermark late-data tolerance; finalization lag in append mode
+    * @param aggWindow event-time window the per-doc counts key on — the
+    *                  state-lifetime knob, tuned TOGETHER with `watermark`
+    *                  (state ≈ docs per `aggWindow` + `watermark`; a short
+    *                  watermark with the old hard-coded 1 h window would
+    *                  have kept state far longer than the caller asked)
     */
   def decontaminate(docs: DataFrame, benchGrams: DataFrame,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour", aggWindow: String = "1 hour"): DataFrame =
     docs.withWatermark("ingest_ts", watermark)
       .select(col("doc_id"), col("ingest_ts"),
         explode(TrainingPrep.ngrams(col("text"), TrainingPrep.NGram)).as("gram"))
       .join(broadcast(benchGrams), "gram")
-      .groupBy(window(col("ingest_ts"), "1 hour"), col("doc_id"))
+      .groupBy(window(col("ingest_ts"), aggWindow), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .select(col("doc_id"), col("n_shared"))
 
@@ -80,16 +86,11 @@ object StreamingCorpus {
   def nearDupCandidates(docs: DataFrame, watermark: String = "1 hour",
       horizonMs: Long = 3600L * 1000): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
-    val nb = DedupQueries.NumBands
-    docs.withWatermark("ingest_ts", watermark)
-      .select(col("doc_id"), col("ingest_ts"), expr("minhash_sig(text)").as("sig"))
-      .filter(size(col("sig")) > 0)
-      .select(col("doc_id"), col("ingest_ts"), col("sig"),
-        explode(sequence(lit(0), lit(nb - 1))).as("band"))
-      .select(col("band"),
-        xxhash64(element_at(col("sig"), col("band") * 2 + 1),
-                 element_at(col("sig"), col("band") * 2 + 2)).as("bh"),
-        col("doc_id"), col("ingest_ts"), col("sig"))
+    DedupQueries.withBandBuckets(
+      docs.withWatermark("ingest_ts", watermark)
+        .select(col("doc_id"), col("ingest_ts"), expr("minhash_sig(text)").as("sig"))
+        .filter(size(col("sig")) > 0))
+      .select(col("band"), col("bh"), col("doc_id"), col("ingest_ts"), col("sig"))
       .as[BandDoc]
       .groupByKey(d => (d.band, d.bh))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
@@ -103,11 +104,16 @@ object StreamingCorpus {
       rows: Iterator[BandDoc],
       state: GroupState[List[BucketEntry]]): Iterator[NearDupCandidate] = {
     val wm = state.getCurrentWatermarkMs()
+    // State eviction is watermark-relative (an entry is dead once no
+    // future arrival could pair with it), but the PAIRING cut is relative
+    // to the arriving doc's own event time — with late data the watermark
+    // lags arrivals, and the state filter alone would emit pairs farther
+    // apart than the horizon contract promises.
     var live = state.getOption.getOrElse(Nil).filter(_.tsMs >= wm - horizonMs)
     val out = List.newBuilder[NearDupCandidate]
     rows.toSeq.sortBy(d => (d.ingest_ts.getTime, d.doc_id)).foreach { d =>
       live.foreach { e =>
-        if (e.docId != d.doc_id) {
+        if (e.docId != d.doc_id && math.abs(d.ingest_ts.getTime - e.tsMs) <= horizonMs) {
           val matches = e.sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
           out += NearDupCandidate(
             math.min(e.docId, d.doc_id), math.max(e.docId, d.doc_id),

@@ -254,17 +254,15 @@ class StreamingSuite extends SparkSpec {
         .select($"doc_a", $"doc_b", round($"est_jaccard", 9).as("e"))
         .distinct().as[(Long, Long, Double)].collect().toSet
 
-      // batch twin: identical banding, candidate = any shared (band, hash)
-      // bucket, estimate = matching signature positions / 64
+      // batch twin through the SAME banding code path the batch operator
+      // uses (DedupQueries.withBandBuckets) — candidate = any shared
+      // (band, hash) bucket, estimate = matching signature positions / 64
       val nb = graft.dedup.DedupQueries.NumBands
-      val sigs = Tables.documents(spark, Sf0001)
-        .select($"doc_id", expr("minhash_sig(text)").as("sig"))
-        .filter(size($"sig") > 0)
-      val bands = sigs
-        .select($"doc_id", $"sig", explode(sequence(lit(0), lit(nb - 1))).as("band"))
-        .select($"doc_id", $"sig", $"band",
-          xxhash64(element_at($"sig", $"band" * 2 + 1),
-                   element_at($"sig", $"band" * 2 + 2)).as("bh"))
+      val bands = graft.dedup.DedupQueries.withBandBuckets(
+        Tables.documents(spark, Sf0001)
+          .select($"doc_id", expr("minhash_sig(text)").as("sig"))
+          .filter(size($"sig") > 0))
+        .select($"doc_id", $"sig", $"band", $"bh")
       val expected = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

@@ -280,6 +280,47 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup parity re-validated at sf0.1 (10x corpus, multi-batch)") {
+    // Same parity claim as the sf0.001 test, at 5,000 documents across
+    // three micro-batches — the bucket-state path exercised at a scale
+    // where multi-doc buckets actually occur (mirrors DedupJaccardSuite's
+    // 10x banding re-validation).
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf01 = "/root/testdata/sf0.1"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sf01)), s"$sf01 not present")
+
+    val corpus = Tables.documents(spark, sf01)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) => StreamingSuite.Doc(id, text, ts(id % 10)) }
+    val input = MemoryStream[StreamingSuite.Doc]
+    val q = graft.streaming.StreamingCorpus.nearDupCandidates(input.toDF())
+      .writeStream.format("memory").queryName("neardup_sf01_stream")
+      .outputMode("append").start()
+    try {
+      corpus.grouped((corpus.length + 2) / 3).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("neardup_sf01_stream")
+        .select($"doc_a", $"doc_b").distinct().as[(Long, Long)].collect().toSet
+
+      val bands = graft.dedup.DedupQueries.withBandBuckets(
+        Tables.documents(spark, sf01)
+          .select($"doc_id", expr("minhash_sig(text)").as("sig"))
+          .filter(size($"sig") > 0))
+        .select($"doc_id", $"band", $"bh")
+      val expected = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct().as[(Long, Long)].collect().toSet
+      Caches.drain()
+      assert(streamed == expected,
+        s"${(streamed -- expected).size} only streamed, ${(expected -- streamed).size} only batch")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path

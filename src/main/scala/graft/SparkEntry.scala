@@ -105,6 +105,7 @@ object SparkEntry {
     "train_split" -> (graft.pipelines.TrainingPrep.trainSplit _),
     "bigram_topk" -> (graft.pipelines.TrainingPrep.bigramTopk _),
     "training_pipeline" -> (graft.pipelines.TrainingPrep.trainingPipeline _),
+    "stratified_sample" -> (graft.pipelines.TrainingPrep.stratifiedSample _),
     // Flagship composition: dedup → near-dup removal → quality/lang gate →
     // per-source accounting, one lazy plan
     "corpus_pipeline" -> (graft.pipelines.CorpusPipeline.corpusSummary _),
@@ -190,6 +191,7 @@ object SparkEntry {
     "train_split" -> graft.pipelines.TrainingPrep.trainSplitSql,
     "bigram_topk" -> graft.pipelines.TrainingPrep.bigramTopkSql,
     "training_pipeline" -> graft.pipelines.TrainingPrep.trainingPipelineSql,
+    "stratified_sample" -> graft.pipelines.TrainingPrep.stratifiedSampleSql,
     "corpus_pipeline" -> graft.pipelines.CorpusPipeline.corpusSummarySql,
   )
 }

@@ -206,6 +206,50 @@ object TrainingPrep {
        |      FROM documents) b
        |GROUP BY 1, 2""".stripMargin
 
+  /** Per-stratum sampling rates for [[stratifiedSample]] (percent kept):
+    * the corpus-rebalancing knob — downsample overrepresented strata,
+    * keep the rest whole. */
+  private val StratumRates: Seq[(String, Long)] =
+    Seq("en" -> 40L, "de" -> 70L, "fr" -> 70L)
+  private val DefaultRate = 100L
+
+  /** Deterministic stratified sampling by language: a document survives iff
+    * its [[splitCol]]-style hash bucket falls below its stratum's rate —
+    * the same no-RNG, no-state, repartition-stable scheme as
+    * [[trainSplit]], so the sample is reproducible across engines and
+    * re-runs (the property that makes dataset ablations comparable).
+    * Reported per stratum: population, kept count, and the kept token mass.
+    *
+    * Scale shape: one narrow projection (hash + rate lookup inlined as a
+    * when-chain over the tiny literal rate table) and one 5-key partial-agg
+    * group-by; no shuffle touches text. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = ((col("doc_id") * lit(1000003L)) % lit(999999937L)) % lit(100L)
+    val rate = StratumRates.foldRight(lit(DefaultRate): Column) {
+      case ((lang, r), acc) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("kept", bucket < rate)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), size(split(col("text"), " ")).cast("bigint"))
+          .otherwise(0L)).as("kept_tokens"))
+  }
+
+  def stratifiedSampleSql: String = {
+    val cases = StratumRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN kept THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens
+       |FROM (SELECT lang, text,
+       |        $SplitBucketSql < (CASE $cases ELSE $DefaultRate END) AS kept
+       |      FROM documents) s
+       |GROUP BY lang""".stripMargin
+  }
+
   /** The training-prep composition — the downstream half of the corpus
     * story ([[CorpusPipeline]] is the cleaning half): exclude documents
     * contaminated by the benchmark ([[decontaminate]]), gate out repetitive

@@ -59,6 +59,7 @@ object SparkEntry {
     "token_stats" -> (TextQueries.tokenStats _),
     "text_quality" -> (TextQueries.textQuality _),
     "lang_stats" -> (TextQueries.langStats _),
+    "word_heavy_hitters" -> (TextQueries.wordHeavyHitters _),
     "q6_forecast" -> (RelationalQueries.q6Forecast _),
     "price_bands" -> (RelationalQueries.priceBands _),
     "events_props_stats" -> (EventQueries.propsStats _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "token_stats" -> TextQueries.tokenStatsSql,
     "text_quality" -> TextQueries.textQualitySql,
     "lang_stats" -> TextQueries.langStatsSql,
+    "word_heavy_hitters" -> TextQueries.wordHeavyHittersSql,
     "q6_forecast" -> RelationalQueries.q6ForecastSql,
     "price_bands" -> RelationalQueries.priceBandsSql,
     "events_props_stats" -> EventQueries.propsStatsSql,

@@ -176,6 +176,40 @@ object TextQueries {
        |        FROM documents) s) q""".stripMargin
   }
 
+  /** Corpus heavy hitters with a verified sketch contract: the words whose
+    * frequency exceeds 2% of all tokens (exact, both engines), each flagged
+    * with its guaranteed membership in a 49-counter Misra-Gries summary
+    * ([[graft.functions.MisraGries]]). MG undercounts by at most n/50, so
+    * a word with true count strictly above n/50 MUST be in the summary —
+    * `mg_found` is deterministically TRUE under every partitioning and
+    * merge order, making the sketch's defining guarantee itself an
+    * oracle-checked output (same pattern as `events_quantile_sketch`).
+    *
+    * Scale shape: the exact count is wc's partial-agg shuffle; the sketch
+    * pass ships ONE ≤ 49-entry map per partition; both scalar sides
+    * (total, summary) broadcast back as single rows. */
+  def wordHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+    val exact = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = exact.agg(sum(col("cnt")).as("total"))
+    val summary = toks.as[String]
+      .select(new graft.functions.MisraGries(49).toColumn.name("mg"))
+    exact.crossJoin(broadcast(total))
+      .filter(col("cnt") * 50 > col("total"))
+      .crossJoin(broadcast(summary))
+      .select(col("word"), col("cnt"), array_contains(col("mg"), col("word")).as("mg_found"))
+  }
+
+  def wordHeavyHittersSql: String =
+    """WITH w AS (SELECT word, count(*) AS cnt
+      |           FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+      |                 FROM documents) t
+      |           WHERE word <> '' GROUP BY word),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM w)
+      |SELECT word, cnt, TRUE AS mg_found FROM w, tot WHERE cnt * 50 > total""".stripMargin
+
   /** Corpus statistics by language tag. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

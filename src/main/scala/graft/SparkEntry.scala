@@ -107,6 +107,7 @@ object SparkEntry {
     "bigram_topk" -> (graft.pipelines.TrainingPrep.bigramTopk _),
     "training_pipeline" -> (graft.pipelines.TrainingPrep.trainingPipeline _),
     "stratified_sample" -> (graft.pipelines.TrainingPrep.stratifiedSample _),
+    "doc_chunks" -> (graft.pipelines.TrainingPrep.docChunks _),
     // Flagship composition: dedup → near-dup removal → quality/lang gate →
     // per-source accounting, one lazy plan
     "corpus_pipeline" -> (graft.pipelines.CorpusPipeline.corpusSummary _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "bigram_topk" -> graft.pipelines.TrainingPrep.bigramTopkSql,
     "training_pipeline" -> graft.pipelines.TrainingPrep.trainingPipelineSql,
     "stratified_sample" -> graft.pipelines.TrainingPrep.stratifiedSampleSql,
+    "doc_chunks" -> graft.pipelines.TrainingPrep.docChunksSql,
     "corpus_pipeline" -> graft.pipelines.CorpusPipeline.corpusSummarySql,
   )
 }

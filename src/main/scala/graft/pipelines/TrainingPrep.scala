@@ -292,6 +292,42 @@ object TrainingPrep {
        |        AND d.doc_id NOT IN (SELECT doc_id FROM rep WHERE is_repetitive)) b
        |GROUP BY 1, 2""".stripMargin
 
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  /** Overlapping token-window chunking (RAG / embedding prep): each
+    * document yields windows of [[ChunkLen]] tokens at stride
+    * [[ChunkStride]] (16-token overlap), the unit a retrieval index or an
+    * embedding model actually consumes. The last window is the possibly-
+    * short tail; a document shorter than one window is one chunk. Emits
+    * (doc_id, chunk_idx, chunk text, token count).
+    *
+    * Scale shape: purely narrow — one generate per document, no shuffle at
+    * all (the driver-side dump is the only sink); at 100 TB this is the
+    * map-only pass that feeds the embedding UDF batch. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        // last window index: ceil(max(n - len, 0) / stride) via integer div
+        explode(sequence(lit(0), expr(
+          s"(greatest(size(t) - $ChunkLen, 0) + $ChunkStride - 1) div $ChunkStride").cast("int")))
+          .as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        array_join(slice(col("t"), col("chunk_idx") * ChunkStride + 1, lit(ChunkLen)), " ")
+          .as("chunk"),
+        least(size(col("t")) - col("chunk_idx") * ChunkStride, lit(ChunkLen))
+          .cast("bigint").as("n_tokens"))
+
+  def docChunksSql: String =
+    s"""SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  array_to_string(t[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkLen], ' ') AS chunk,
+       |  CAST(least(len(t) - i * $ChunkStride, $ChunkLen) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+       |     UNNEST(range(0, 1 + (greatest(len(t) - $ChunkLen, 0) + $ChunkStride - 1) // $ChunkStride))
+       |       AS u(i)""".stripMargin
+
   /** Corpus-level top-50 word bigrams with a total tie-break (count desc,
     * then bigram asc), so the selected set is exact and order-free.
     *

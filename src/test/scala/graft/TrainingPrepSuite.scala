@@ -81,7 +81,8 @@ class TrainingPrepSuite extends SparkSpec {
     // is a latent correctness flake. Run each new query under two partition
     // counts and require identical sorted output.
     val queries = Seq("decontaminate", "seq_pack", "doc_repetition", "train_split",
-      "bigram_topk", "events_quantile_sketch", "training_pipeline", "stratified_sample")
+      "bigram_topk", "events_quantile_sketch", "training_pipeline", "stratified_sample",
+      "doc_chunks", "word_heavy_hitters")
     val original = spark.conf.get("spark.sql.shuffle.partitions")
     def run(name: String, parts: String): Seq[String] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)

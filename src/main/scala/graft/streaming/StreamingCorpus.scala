@@ -86,8 +86,15 @@ object StreamingCorpus {
   def nearDupCandidates(docs: DataFrame, watermark: String = "1 hour",
       horizonMs: Long = 3600L * 1000): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
+    // Respect an upstream watermark (e.g. a dropDuplicatesWithinWatermark
+    // redelivery guard chained in front): Spark forbids redefining it, and
+    // the upstream bound is the caller's stated lateness tolerance.
+    val hasWatermark = docs.queryExecution.logical.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => ()
+    }.isDefined
+    val bounded = if (hasWatermark) docs else docs.withWatermark("ingest_ts", watermark)
     DedupQueries.withBandBuckets(
-      docs.withWatermark("ingest_ts", watermark)
+      bounded
         .select(col("doc_id"), col("ingest_ts"), expr("minhash_sig(text)").as("sig"))
         .filter(size(col("sig")) > 0))
       .select(col("band"), col("bh"), col("doc_id"), col("ingest_ts"), col("sig"))

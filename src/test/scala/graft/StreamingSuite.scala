@@ -280,6 +280,43 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup under redelivery: upstream watermark dedup prevents phantom pairs (multi-stateful chain)") {
+    // Crawl ingest is at-least-once: the same document can be delivered
+    // twice. Chaining dropDuplicatesWithinWatermark(doc_id) in FRONT of the
+    // stateful near-dup (two stateful operators in one query — Spark 4
+    // supports the chain in append mode) suppresses the replay before it
+    // can post duplicate signatures into bucket state.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val corpus = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) => StreamingSuite.Doc(id, text, ts(id % 10)) }
+    val input = MemoryStream[StreamingSuite.Doc]
+    val deduped = input.toDF()
+      .withWatermark("ingest_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("doc_id")
+    val q = graft.streaming.StreamingCorpus.nearDupCandidates(deduped)
+      .writeStream.format("memory").queryName("neardup_replay_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus: _*)
+      q.processAllAvailable()
+      input.addData(corpus.take(corpus.length / 2): _*) // redelivery
+      q.processAllAvailable()
+      val rows = spark.table("neardup_replay_stream")
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      // no self-pairs, and no pair inflated beyond its 32-band multiplicity
+      assert(rows.forall { case (a, b) => a != b })
+      val expected = spark.table("neardup_replay_stream")
+        .select($"doc_a", $"doc_b").distinct().as[(Long, Long)].collect().toSet
+      val maxMult = rows.groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
+      assert(maxMult <= graft.dedup.DedupQueries.NumBands,
+        s"pair emitted $maxMult times — redelivery leaked past the dedup into bucket state")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming near-dup parity re-validated at sf0.1 (10x corpus, multi-batch)") {
     // Same parity claim as the sf0.001 test, at 5,000 documents across
     // three micro-batches — the bucket-state path exercised at a scale

@@ -50,6 +50,10 @@ object SparkEntry {
     "q19_disjunctive" -> (RelationalQueries.q19Disjunctive _),
     "lineitem_unpivot" -> (RelationalQueries.lineitemUnpivot _),
     "customer_max_order" -> (RelationalQueries.customerMaxOrder _),
+    "q4_exists_returned" -> (RelationalQueries.q4ExistsReturned _),
+    "q13_order_histogram" -> (RelationalQueries.q13OrderHistogram _),
+    "q18_large_orders" -> (RelationalQueries.q18LargeOrders _),
+    "q22_idle_customers" -> (RelationalQueries.q22IdleCustomers _),
     // Reference app workloads (SURVEY.md §2.2) + text analysis
     "wc" -> (TextQueries.wordCount _),
     "wc_salted" -> (TextQueries.wordCountSalted _),
@@ -141,6 +145,10 @@ object SparkEntry {
     "q19_disjunctive" -> RelationalQueries.q19DisjunctiveSql,
     "lineitem_unpivot" -> RelationalQueries.lineitemUnpivotSql,
     "customer_max_order" -> RelationalQueries.customerMaxOrderSql,
+    "q4_exists_returned" -> RelationalQueries.q4ExistsReturnedSql,
+    "q13_order_histogram" -> RelationalQueries.q13OrderHistogramSql,
+    "q18_large_orders" -> RelationalQueries.q18LargeOrdersSql,
+    "q22_idle_customers" -> RelationalQueries.q22IdleCustomersSql,
     "wc" -> TextQueries.wordCountSql,
     "wc_salted" -> TextQueries.wordCountSql,
     "indexer" -> TextQueries.invertedIndexSql,

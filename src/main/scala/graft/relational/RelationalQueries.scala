@@ -796,4 +796,118 @@ object RelationalQueries {
       |    UNION ALL
       |    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT') u) d
       |GROUP BY o_orderstatus""".stripMargin
+
+  /** TPC-H Q4 shape — EXISTS decorrelated to a left-semi join: orders in a
+    * date window counted per priority when at least one of their line items
+    * was returned. The semi join shuffles both sides on the order key and
+    * keeps no payload from the inner side — the shape `IN`/`EXISTS`
+    * subqueries should always lower to. */
+  def q4ExistsReturned(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"))
+    o.join(returned, Seq("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  def q4ExistsReturnedSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape — customer order-count distribution via LEFT OUTER
+    * join: zero-order customers must appear (the outer join's whole
+    * point), so the histogram's 0 bucket is real. Two partial-agg keyed
+    * shuffles; `count(o_orderkey)` counts matches only (nulls excluded),
+    * exactly the semantics both engines share. */
+  def q13OrderHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  def q13OrderHistogramSql: String =
+    """SELECT n_orders, count(*) AS n_customers
+      |FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) per_cust
+      |GROUP BY n_orders""".stripMargin
+
+  /** TPC-H Q18 shape — large-quantity orders: the HAVING subquery becomes
+    * an aggregate → semi join; quantity sums are exact integer hundredths
+    * (doubles like 25.5 are representable, but the SUM must not be an IEEE
+    * fold — policy rule 8). */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+      .filter(col("qty_c") > 300 * 100L)
+    Tables.orders(spark, dir)
+      .join(big.select(col("l_orderkey").as("o_orderkey"), col("qty_c")), "o_orderkey")
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        (col("qty_c") / 100.0).as("total_qty"),
+        cents(col("o_totalprice")).as("price_c"))
+      .select(col("c_name"), col("o_orderkey"), col("total_qty"),
+        (col("price_c") / 100.0).as("o_totalprice"))
+  }
+
+  def q18LargeOrdersSql: String =
+    """SELECT c_name, o_orderkey, qty_c / 100.0 AS total_qty,
+      |  CAST(round(o_totalprice*100) AS BIGINT) / 100.0 AS o_totalprice
+      |FROM (SELECT l_orderkey,
+      |        CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING qty_c > 30000) big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** TPC-H Q22 shape — idle wealthy customers: above-average balance with
+    * no RECENT order (none since 2000-01-01; every synthetic customer has
+    * some lifetime order), grouped by nation. The average is compared in
+    * EXACT integer arithmetic (`cents * n > sum_cents` instead of a
+    * double-vs-double threshold), so the selected set cannot flip on an
+    * IEEE rounding difference between engines; the anti join is the NOT
+    * EXISTS lowering, with the recency filter pushed below it into the
+    * orders scan. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+    val avgSide = c.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey"))
+    c.crossJoin(broadcast(avgSide))
+      .filter(col("bal_c") * col("n_pos") > col("sum_c"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        (sum(col("bal_c")) / 100.0).as("total_bal"))
+  }
+
+  def q22IdleCustomersSql: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey,
+      |             CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+      |           FROM customer),
+      |a AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*) AS n_pos
+      |      FROM c WHERE bal_c > 0)
+      |SELECT c_nationkey, count(*) AS n_cust,
+      |  CAST(sum(bal_c) AS BIGINT) / 100.0 AS total_bal
+      |FROM c, a
+      |WHERE bal_c * n_pos > sum_c
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_nationkey""".stripMargin
 }

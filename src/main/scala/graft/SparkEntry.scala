@@ -54,6 +54,8 @@ object SparkEntry {
     "q13_order_histogram" -> (RelationalQueries.q13OrderHistogram _),
     "q18_large_orders" -> (RelationalQueries.q18LargeOrders _),
     "q22_idle_customers" -> (RelationalQueries.q22IdleCustomers _),
+    "q10_returned_ranking" -> (RelationalQueries.q10ReturnedRanking _),
+    "q15_top_supplier" -> (RelationalQueries.q15TopSupplier _),
     // Reference app workloads (SURVEY.md §2.2) + text analysis
     "wc" -> (TextQueries.wordCount _),
     "wc_salted" -> (TextQueries.wordCountSalted _),
@@ -149,6 +151,8 @@ object SparkEntry {
     "q13_order_histogram" -> RelationalQueries.q13OrderHistogramSql,
     "q18_large_orders" -> RelationalQueries.q18LargeOrdersSql,
     "q22_idle_customers" -> RelationalQueries.q22IdleCustomersSql,
+    "q10_returned_ranking" -> RelationalQueries.q10ReturnedRankingSql,
+    "q15_top_supplier" -> RelationalQueries.q15TopSupplierSql,
     "wc" -> TextQueries.wordCountSql,
     "wc_salted" -> TextQueries.wordCountSql,
     "indexer" -> TextQueries.invertedIndexSql,

@@ -896,6 +896,79 @@ object RelationalQueries {
         (sum(col("bal_c")) / 100.0).as("total_bal"))
   }
 
+  /** TPC-H Q10 shape — returned-item customer ranking: who cost us the
+    * most in returns last year. Four-way join (lineitem⋈orders shuffled on
+    * the order key; customer and nation broadcast), exact-cents discounted
+    * revenue, top 20 via TakeOrderedAndProject with a total tie-break. */
+  def q10ReturnedRanking(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    l.join(o, "l_orderkey")
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("rev")) / 10000.0).as("revenue"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_nationkey"))), "o_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
+      .select(col("o_custkey").as("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  def q10ReturnedRankingSql: String =
+    """SELECT o_custkey AS c_custkey, c_name, n_name, revenue
+      |FROM (SELECT o_custkey,
+      |        CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |          * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0
+      |          AS revenue
+      |      FROM lineitem
+      |      JOIN orders ON l_orderkey = o_orderkey
+      |      WHERE l_returnflag = 'R'
+      |        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |      GROUP BY o_custkey) r
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q15 shape — top supplier(s) by shipped revenue in a window: a
+    * max-of-aggregates, answered without a window function by broadcasting
+    * the one-row maximum back onto the per-supplier aggregate. Exact cents
+    * make the `revenue = max` equality safe — the very comparison Q15's
+    * view formulation requires and IEEE sums would break. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("rev_c"))
+    val top = rev.agg(max(col("rev_c")).as("max_c"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_c") === col("max_c"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))), "l_suppkey")
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+        (col("rev_c") / 10000.0).as("total_revenue"))
+  }
+
+  def q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT l_suppkey AS s_suppkey, s_name, rev_c / 10000.0 AS total_revenue
+      |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE rev_c = (SELECT max(rev_c) FROM rev)""".stripMargin
+
   def q22IdleCustomersSql: String =
     """WITH c AS (SELECT c_custkey, c_nationkey,
       |             CAST(round(c_acctbal*100) AS BIGINT) AS bal_c

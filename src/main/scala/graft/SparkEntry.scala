@@ -56,6 +56,7 @@ object SparkEntry {
     "q22_idle_customers" -> (RelationalQueries.q22IdleCustomers _),
     "q10_returned_ranking" -> (RelationalQueries.q10ReturnedRanking _),
     "q15_top_supplier" -> (RelationalQueries.q15TopSupplier _),
+    "q7_nation_volume" -> (RelationalQueries.q7NationVolume _),
     // Reference app workloads (SURVEY.md §2.2) + text analysis
     "wc" -> (TextQueries.wordCount _),
     "wc_salted" -> (TextQueries.wordCountSalted _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "q22_idle_customers" -> RelationalQueries.q22IdleCustomersSql,
     "q10_returned_ranking" -> RelationalQueries.q10ReturnedRankingSql,
     "q15_top_supplier" -> RelationalQueries.q15TopSupplierSql,
+    "q7_nation_volume" -> RelationalQueries.q7NationVolumeSql,
     "wc" -> TextQueries.wordCountSql,
     "wc_salted" -> TextQueries.wordCountSql,
     "indexer" -> TextQueries.invertedIndexSql,

@@ -935,6 +935,62 @@ object RelationalQueries {
       |ORDER BY revenue DESC, c_custkey ASC
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q7 shape — cross-nation trade volume: revenue shipped between
+    * two nations in either direction, by year. Both nation sides resolve
+    * through broadcast dimension joins into the fact shuffle
+    * (supplier→n1 onto lineitem, customer→n2 onto orders); the disjunctive
+    * pair predicate applies after both names are in scope, exactly where
+    * Catalyst can't push it lower. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    // The classic Q7 rewrite: restrict BOTH dimension sides to the two
+    // nations of interest BEFORE they touch a fact table — the inner joins
+    // then shrink orders and lineitem to the ~2/25 relevant slice, and only
+    // the cheap disjunctive pair test remains on top (eliminating the
+    // same-nation combinations). Filtering after the fact join instead
+    // forces the full lineitem⋈orders shuffle — PlanQualitySuite catches
+    // that as a sort-merge join of unfiltered facts.
+    val n = Tables.nation(spark, dir).filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      // the supp broadcast already thinned lineitem to the 2-nation slice;
+      // the orders side joins as a raw scan (statically broadcast at this
+      // sf, a keyed shuffle join at cluster scale — same shape as q3) and
+      // the cust broadcast then acts as the customer-nation filter
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+          .as("revenue"))
+  }
+
+  def q7NationVolumeSql: String =
+    """SELECT supp_nation, cust_nation, l_year, count(*) AS n_items,
+      |  CAST(sum(price_c * (100 - disc_c)) AS BIGINT)/10000.0 AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+      |    CAST(round(l_discount*100) AS BIGINT) AS disc_c
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) v
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** TPC-H Q15 shape — top supplier(s) by shipped revenue in a window: a
     * max-of-aggregates, answered without a window function by broadcasting
     * the one-row maximum back onto the per-supplier aggregate. Exact cents

@@ -3,6 +3,25 @@ package graft.functions
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
+/** Misra-Gries buffer with the shared-offset decrement trick: counters are
+  * stored RAW and the classic "decrement every counter" step is a single
+  * offset bump — the effective count of an entry is `stored - offset`.
+  * Public top-level case class so Spark's encoder codegen (Janino) can
+  * reach the constructor.
+  *
+  * Invariants maintained by [[MisraGries.reduce]]:
+  *   - every entry in `counts` is alive (`stored > offset`) — dead entries
+  *     are removed at the exact bump that kills them, so `counts.size` IS
+  *     the live-counter count;
+  *   - `minStored` is a lower bound on every stored value (it may run
+  *     stale-LOW when the minimum entry is later incremented, which only
+  *     costs an occasional no-op compaction, never correctness).
+  */
+case class MgBuffer(counts: Map[String, Long], offset: Long, minStored: Long) {
+  /** Counters as true MG effective counts (used at merge/inspection time). */
+  def effective: Map[String, Long] = counts.map { case (w, c) => w -> (c - offset) }
+}
+
 /** Misra-Gries frequent-items sketch as a typed [[Aggregator]] — the
   * heavy-hitters member of the sketch family ([[graft.events.EventQueries]]
   * has the HLL cardinality and Greenwald-Khanna quantile members), with the
@@ -23,38 +42,56 @@ import org.apache.spark.sql.expressions.Aggregator
   * Spark runs this with partial aggregation: each map partition ships one
   * ≤ k-entry map into the shuffle — fixed-size state per partition at any
   * corpus scale, against the O(distinct items) of the exact count it
-  * audits.
+  * audits. The per-element decrement path (the hot path on cold-heavy
+  * token streams) is O(1) — a shared-offset bump in [[MgBuffer]] — with
+  * the O(k) compaction amortized to the bumps where a counter actually
+  * reaches zero, instead of the classic O(k) map rebuild per cold item.
   */
-class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Seq[String]] {
+class MisraGries(k: Int) extends Aggregator[String, MgBuffer, Seq[String]] {
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: MgBuffer = MgBuffer(Map.empty, 0L, Long.MaxValue)
 
-  override def reduce(m: Map[String, Long], item: String): Map[String, Long] =
-    m.get(item) match {
-      case Some(c) => m.updated(item, c + 1)
-      case None if m.size < k => m.updated(item, 1L)
-      // full and item absent: decrement every counter (the classic MG
-      // step), dropping the ones that reach zero
-      case None => m.flatMap { case (w, c) => if (c > 1) Some(w -> (c - 1)) else None }
-    }
-
-  override def merge(m1: Map[String, Long], m2: Map[String, Long]): Map[String, Long] = {
-    val combined = m2.foldLeft(m1) { case (acc, (w, c)) =>
-      acc.updated(w, acc.getOrElse(w, 0L) + c)
-    }
-    if (combined.size <= k) combined
+  override def reduce(b: MgBuffer, item: String): MgBuffer = {
+    val stored = b.counts.getOrElse(item, b.offset)
+    if (stored > b.offset) b.copy(counts = b.counts.updated(item, stored + 1))
+    else if (b.counts.size < k)
+      MgBuffer(b.counts.updated(item, b.offset + 1), b.offset,
+        math.min(b.minStored, b.offset + 1))
     else {
-      // subtract the (k+1)-th largest count from everything; survivors are
-      // the entries strictly above it — at most k remain
-      val cut = combined.valuesIterator.toSeq.sorted(Ordering[Long].reverse)(k)
-      combined.flatMap { case (w, c) => if (c > cut) Some(w -> (c - cut)) else None }
+      // full and item absent: the classic decrement-every-counter step as
+      // one offset bump; while no counter can reach zero (off < minStored)
+      // this is O(1), and the O(k) filter runs only at a killing bump
+      val off = b.offset + 1
+      if (off < b.minStored) MgBuffer(b.counts, off, b.minStored)
+      else {
+        val survivors = b.counts.filter { case (_, c) => c > off }
+        val newMin =
+          if (survivors.isEmpty) Long.MaxValue else survivors.valuesIterator.min
+        MgBuffer(survivors, off, newMin)
+      }
     }
   }
 
-  override def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+  override def merge(b1: MgBuffer, b2: MgBuffer): MgBuffer = {
+    val combined = b2.effective.foldLeft(b1.effective) { case (acc, (w, c)) =>
+      acc.updated(w, acc.getOrElse(w, 0L) + c)
+    }
+    val kept =
+      if (combined.size <= k) combined
+      else {
+        // subtract the (k+1)-th largest count from everything; survivors are
+        // the entries strictly above it — at most k remain
+        val cut = combined.valuesIterator.toSeq.sorted(Ordering[Long].reverse)(k)
+        combined.flatMap { case (w, c) => if (c > cut) Some(w -> (c - cut)) else None }
+      }
+    MgBuffer(kept, 0L,
+      if (kept.isEmpty) Long.MaxValue else kept.valuesIterator.min)
+  }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def finish(b: MgBuffer): Seq[String] = b.counts.keys.toSeq.sorted
+
+  override def bufferEncoder: Encoder[MgBuffer] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MgBuffer]()
 
   override def outputEncoder: Encoder[Seq[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()

@@ -262,9 +262,10 @@ object RelationalQueries {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
 
-  /** Grouping sets via ROLLUP, expressed through the SQL API (temp views +
-    * `spark.sql`) — the declared-SQL surface of the engine. Rolled-up nulls
-    * are COALESCEd to 'ALL' so the hierarchy is explicit and portable. */
+  /** Grouping sets via ROLLUP. Subtotal rows are marked 'ALL' via
+    * `grouping(col)` — the grouping-set indicator — not by COALESCE-ing the
+    * rolled-up NULL, so a genuine NULL dimension value can never be
+    * conflated with a subtotal row. */
   def ordersRollup(spark: SparkSession, dir: String): DataFrame =
     // Dataset-native rollup — the earlier spark.sql formulation registered
     // a fixed-name temp view (`orders_v`), a session-global side effect and
@@ -272,16 +273,19 @@ object RelationalQueries {
     Tables.orders(spark, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
+        // grouping() only resolves while the grouping-set metadata exists,
+        // i.e. inside this agg — not in a downstream select
+        when(grouping(col("o_orderstatus")) === 1, lit("ALL"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(grouping(col("o_orderpriority")) === 1, lit("ALL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
         count(lit(1)).as("n_orders"),
         (sum(round(col("o_totalprice") * 100).cast("bigint")) / 100.0).as("total_price"))
-      .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-        col("n_orders"), col("total_price"))
+      .select(col("status"), col("priority"), col("n_orders"), col("total_price"))
 
   def ordersRollupSql: String =
-    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+    """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+      |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
       |       count(*) AS n_orders,
       |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_price
       |FROM orders
@@ -294,16 +298,17 @@ object RelationalQueries {
     Tables.orders(spark, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
+        when(grouping(col("o_orderstatus")) === 1, lit("ALL"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(grouping(col("o_orderpriority")) === 1, lit("ALL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
         count(lit(1)).as("n_orders"),
         (sum(round(col("o_totalprice") * 100).cast("bigint")) / 100.0).as("total_price"))
-      .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-        col("n_orders"), col("total_price"))
+      .select(col("status"), col("priority"), col("n_orders"), col("total_price"))
 
   def ordersCubeSql: String =
-    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+    """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+      |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
       |       count(*) AS n_orders,
       |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_price
       |FROM orders

@@ -28,14 +28,18 @@ object ScaleProbe {
     "decontaminate", "doc_repetition", "seq_pack", "word_heavy_hitters")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
+    // the replica tag is a single letter: beyond 26 replicas the tag would
+    // leave [a-z] and the letter-run shingle tokenizer would split it off,
+    // collapsing the disjoint-shingle-space property the probe depends on
+    require(k <= 26, s"ScaleProbe supports at most 26 replicas, got $k")
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    // id offset derived from the corpus, not a literal: a fixed 1e6 stride
+    // would silently collide replica ids on corpora with doc_id >= 1e6
+    val idStride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val copies = (0 until k).map { r =>
-      // LETTERS-ONLY prefix: the shingle tokenizer is the reference's
-      // letter-run splitter, so a digit in the tag would split every token
-      // in two and wreck the within-replica pair structure
       val tag = s"q${('a' + r).toChar}"
       docs.select(
-        (col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        (col("doc_id") + lit(r * idStride)).as("doc_id"),
         // per-replica token prefix: replica r's shingle space is disjoint,
         // within-replica Jaccards are untouched (bijective token rename)
         array_join(transform(split(col("text"), " "), t => concat(lit(tag), t)), " ")

@@ -21,6 +21,7 @@ class MisraGriesSuite extends AnyFunSuite {
     cuts.zip(cuts.tail)
       .map { case (a, b) => items.slice(a, b).foldLeft(mg.zero)(mg.reduce) }
       .reduceLeft(mg.merge)
+      .effective
   }
 
   test("every item above n/(k+1) survives any partitioning (ScalaCheck)") {

@@ -86,6 +86,7 @@ object SparkEntry {
     "doc_fingerprint" -> (DedupQueries.docFingerprint _),
     "dedup_exact" -> (DedupQueries.dedupExact _),
     "dedup_jaccard" -> (DedupQueries.dedupJaccard _),
+    "dedup_substring" -> (DedupQueries.dedupSubstring _),
     "dedup_near" -> (DedupQueries.dedupNear _),
     "simhash" -> (DedupQueries.simhash _),
     "dedup_simhash_pairs" -> (DedupQueries.simhashPairs _),
@@ -182,6 +183,7 @@ object SparkEntry {
     "doc_fingerprint" -> DedupQueries.docFingerprintSql,
     "dedup_exact" -> DedupQueries.dedupExactSql,
     "dedup_jaccard" -> DedupQueries.dedupJaccardSql,
+    "dedup_substring" -> DedupQueries.dedupSubstringSql,
     "dedup_near" -> DedupQueries.dedupNearSql,
     "simhash" -> DedupQueries.simhashSql,
     "dedup_simhash_pairs" -> DedupQueries.simhashPairsSql,

@@ -243,6 +243,107 @@ object DedupQueries {
     * the brute-force pair set exactly; only the candidate strategy differs. */
   def dedupJaccardSql: String = dedupNearSql
 
+  /** Exact-substring span length: the Lee et al. 2022 setting (50 tokens). */
+  private[graft] val SpanTokens = 50
+
+  /** Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): per document, the positions whose
+    * [[SpanTokens]]-token window repeats VERBATIM in another document —
+    * the boilerplate/license/memorized-passage family that document-level
+    * exact/MinHash/SimHash/Jaccard dedup cannot see. Output per affected
+    * document: `dup_positions` (window starts that are duplicated
+    * elsewhere), `dup_grams` (distinct such windows), and `dup_tokens`
+    * (tokens covered by the union of the duplicated windows — the text a
+    * Lee-et-al. pipeline would cut).
+    *
+    * Scale shape — the Spark-native substitute for the paper's monolithic
+    * suffix array, every stage linear in corpus tokens:
+    *  1. narrow: `gram_fps(text, 50)` ([[graft.functions.GramFps]]) rolls a
+    *     Karp-Rabin fingerprint over every 50-token window in one O(n) pass
+    *     per document, parallelized by the scan's own splits;
+    *  2. one map-combined shuffle of (fp, doc_id, pos) — 8-byte keys, never
+    *     gram strings (a ~50× text blowup) — finds fingerprints seen in >1
+    *     document via partial-agg countDistinct;
+    *  3. a semi-join thins the postings to the candidate sliver, and the
+    *     gram STRINGS are re-derived for candidate positions only
+    *     ([[graft.functions.GramsAt]], batched per document) — string
+    *     equality on the sliver makes the result exact under any
+    *     fingerprint collision;
+    *  4. per-document aggregation; the interval-union token coverage rides
+    *     the same pass as a lag-window gap sum (windows at gap ≥ 50 add 50
+    *     tokens, overlapping windows add only the gap).
+    * A corpus-wide boilerplate span (shared by M documents) expands to M
+    * postings per window start — output-linear, as it must be: those
+    * positions ARE the answer. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** [[dedupSubstring]] over an arbitrary `(doc_id, text)` frame. */
+  private[graft] def dedupSubstringOn(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      posexplode(expr(s"gram_fps(text, $SpanTokens)")).as(Seq("pos", "fp")))
+    val dupFps = grams
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("fp"))
+    // candidate sliver: consumed twice below (gram re-derivation joins back
+    // on it); released by the harness drain
+    val candidates = grams.join(dupFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .transform(graft.Caches.persisted)
+    val perDoc = candidates.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    val candGrams = docs
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        s"""zip_with(positions, grams_at(text, positions, $SpanTokens),
+           |  (p, g) -> struct(p AS pos, g AS gram))""".stripMargin)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+      .transform(graft.Caches.persisted)
+    val dupGrams = candGrams
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("gram"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    candGrams.join(dupGrams, Seq("gram"), "left_semi")
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(wDoc))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("dup_positions"),
+        countDistinct(col("gram")).as("dup_grams"),
+        sum(least(lit(SpanTokens), coalesce(col("gap"), lit(SpanTokens))))
+          .cast("bigint").as("dup_tokens"))
+  }
+
+  /** Brute-force oracle: materialize every 50-token gram string and compare
+    * directly — exactly what the fingerprint path must reproduce. */
+  def dedupSubstringSql: String =
+    s"""WITH tl AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(toks) - ${SpanTokens - 2})) AS i,
+       |    toks
+       |  FROM tl WHERE len(toks) >= $SpanTokens),
+       |g2 AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    array_to_string(toks[i : i + ${SpanTokens - 1}], ' ') AS gram
+       |  FROM grams),
+       |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+       |hits AS (
+       |  SELECT g2.doc_id, g2.pos, g2.gram,
+       |    g2.pos - lag(g2.pos) OVER (PARTITION BY g2.doc_id ORDER BY g2.pos) AS gap
+       |  FROM g2 JOIN dup USING (gram))
+       |SELECT doc_id,
+       |  count(*) AS dup_positions,
+       |  count(DISTINCT gram) AS dup_grams,
+       |  CAST(sum(LEAST($SpanTokens, COALESCE(gap, $SpanTokens))) AS BIGINT) AS dup_tokens
+       |FROM hits GROUP BY doc_id""".stripMargin
+
   /** Session conf selecting [[dedupComponents]]' lineage-truncation mode. */
   val ReliableCheckpointConf = "spark.graft.components.reliableCheckpoint"
 

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for exact-substring dedup (the Lee et al. 2022
+  * operator, "Deduplicating Training Data Makes Language Models Better"):
+  * finding token spans that repeat verbatim ACROSS documents.
+  *
+  * The per-document kernel is a Karp-Rabin rolling fingerprint over the
+  * shared letter-run tokens ([[graft.core.Tokenizer]]): every k-token
+  * window's fingerprint in ONE O(n) pass — not O(n·k) rehashing — so the
+  * whole-corpus fingerprinting stage is a narrow scan-side map, and the
+  * shuffle that follows carries (fp: 8 bytes, doc_id, pos) instead of the
+  * 50-token gram strings (a ~50× text blowup a string-keyed join would pay).
+  * Fingerprint equality is necessary-not-sufficient (64-bit wraparound
+  * polynomial); the caller re-derives gram STRINGS for the candidate sliver
+  * via [[GramsAt]] and compares those, so the operator's output is exact
+  * regardless of hash collisions.
+  */
+object SubstringExpressions {
+
+  /** Karp-Rabin base: odd 64-bit constant (FNV prime); arithmetic wraps. */
+  private val Base = 0x100000001b3L
+
+  /** All k-token-window fingerprints of `text`, index = 0-based start
+    * position in token space. Empty when the document has < k tokens. */
+  def fps(text: UTF8String, k: Int): GenericArrayData = {
+    val toks = graft.core.Tokenizer.letterTokens(text.toString)
+    val n = toks.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = ShingleExpressions.hash64(toks(i)); i += 1 }
+    var bk = 1L // Base^(k-1), for removing the departing token
+    i = 0
+    while (i < k - 1) { bk *= Base; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var fp = 0L
+    i = 0
+    while (i < k) { fp = fp * Base + h(i); i += 1 }
+    out(0) = fp
+    i = 1
+    while (i <= n - k) {
+      fp = (fp - h(i - 1) * bk) * Base + h(i + k - 1)
+      out(i) = fp
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The gram strings at the given 0-based token positions — the exact
+    * verification twin of [[fps]]: one tokenize per document, O(k) slice
+    * per requested position (candidate positions only, never the corpus). */
+  def gramsAt(text: UTF8String, positions: ArrayData, k: Int): GenericArrayData = {
+    val toks = graft.core.Tokenizer.letterTokens(text.toString)
+    val m = positions.numElements()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val p = positions.getInt(i)
+      out(i) = UTF8String.fromString(toks.slice(p, p + k).mkString(" "))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private[functions] def checkK(prettyName: String, k: Expression): TypeCheckResult =
+    if (!k.foldable || k.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName span length must be a foldable int literal, got ${k.sql}")
+    else k.eval() match {
+      case n: Int if n >= 2 && n <= 10000 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName span length must be in [2, 10000], got $other")
+    }
+
+  val gramFpsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("gram_fps"),
+    new ExpressionInfo(classOf[GramFps].getName, "gram_fps"),
+    (args: Seq[Expression]) => GramFps(args(0), args(1)))
+
+  val gramsAtDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("grams_at"),
+    new ExpressionInfo(classOf[GramsAt].getName, "grams_at"),
+    (args: Seq[Expression]) => GramsAt(args(0), args(1), args(2)))
+}
+
+/** `gram_fps(text, k)` → `array<bigint>`: the Karp-Rabin fingerprint of
+  * every k-token window, array index = 0-based window start. */
+case class GramFps(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_fps"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName text must be a string, got ${left.dataType.sql}")
+    else SubstringExpressions.checkK(prettyName, right)
+
+  override protected def nullSafeEval(text: Any, k: Any): Any =
+    SubstringExpressions.fps(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GramFps =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `grams_at(text, positions, k)` → `array<string>`: the k-token gram
+  * starting at each 0-based token position, aligned with `positions`. */
+case class GramsAt(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "grams_at"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName text must be a string, got ${first.dataType.sql}")
+    else if (!second.dataType.isInstanceOf[ArrayType] ||
+      second.dataType.asInstanceOf[ArrayType].elementType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName positions must be array<int>, got ${second.dataType.sql}")
+    else SubstringExpressions.checkK(prettyName, third)
+
+  override protected def nullSafeEval(text: Any, positions: Any, k: Any): Any =
+    SubstringExpressions.gramsAt(
+      text.asInstanceOf[UTF8String], positions.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): GramsAt =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{RollingHash, ShingleExpressions, VectorExpressions}
+import graft.functions.{RollingHash, ShingleExpressions, SubstringExpressions, VectorExpressions}
 
 /** Session extension installing graft's native functions. Usable both
   * programmatically ([[GraftSession.builder]]) and via
@@ -15,6 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorExpressions.cosineSimDescriptor)
     ext.injectFunction(VectorExpressions.rhSigDescriptor)
     ext.injectFunction(RollingHash.descriptor)
+    ext.injectFunction(SubstringExpressions.gramFpsDescriptor)
+    ext.injectFunction(SubstringExpressions.gramsAtDescriptor)
   }
 }
 

@@ -54,6 +54,9 @@ object SparkEntry {
     "q13_order_histogram" -> (RelationalQueries.q13OrderHistogram _),
     "q18_large_orders" -> (RelationalQueries.q18LargeOrders _),
     "q22_idle_customers" -> (RelationalQueries.q22IdleCustomers _),
+    "q21_waiting_suppliers" -> (RelationalQueries.q21WaitingSuppliers _),
+    "q2_min_cost_supplier" -> (RelationalQueries.q2MinCostSupplier _),
+    "q20_concentrated_suppliers" -> (RelationalQueries.q20ConcentratedSuppliers _),
     "q10_returned_ranking" -> (RelationalQueries.q10ReturnedRanking _),
     "q15_top_supplier" -> (RelationalQueries.q15TopSupplier _),
     "q7_nation_volume" -> (RelationalQueries.q7NationVolume _),
@@ -153,6 +156,9 @@ object SparkEntry {
     "q13_order_histogram" -> RelationalQueries.q13OrderHistogramSql,
     "q18_large_orders" -> RelationalQueries.q18LargeOrdersSql,
     "q22_idle_customers" -> RelationalQueries.q22IdleCustomersSql,
+    "q21_waiting_suppliers" -> RelationalQueries.q21WaitingSuppliersSql,
+    "q2_min_cost_supplier" -> RelationalQueries.q2MinCostSupplierSql,
+    "q20_concentrated_suppliers" -> RelationalQueries.q20ConcentratedSuppliersSql,
     "q10_returned_ranking" -> RelationalQueries.q10ReturnedRankingSql,
     "q15_top_supplier" -> RelationalQueries.q15TopSupplierSql,
     "q7_nation_volume" -> RelationalQueries.q7NationVolumeSql,

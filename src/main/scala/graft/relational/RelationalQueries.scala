@@ -1044,4 +1044,160 @@ object RelationalQueries {
       |                  WHERE o_custkey = c_custkey
       |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY c_nationkey""".stripMargin
+
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: the hardest
+    * classic decorrelation (EXISTS + NOT EXISTS over the SAME fact table,
+    * both correlated on the order key). Q21's two correlated subqueries
+    * ("another supplier participated" / "no other supplier failed") lower
+    * into ONE aggregated per-order supplier profile — distinct suppliers,
+    * distinct failing suppliers, and (exactly when there is one) THE
+    * failing supplier, all from a single lineitem scan and one keyed
+    * shuffle — instead of the three fact scans of the literal form. The
+    * schema has no receipt/commit dates, so "failed" is `l_returnflag='R'`;
+    * supplier nation is restricted to one region like the spec's one
+    * nation, via broadcast dimension joins. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val profile = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_bad"),
+        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("bad_supp"))
+      // EXISTS other-supplier ∧ NOT EXISTS other-failing-supplier, in
+      // aggregate form: multi-supplier order whose failures all trace to
+      // one supplier — bad_supp, well-defined exactly because n_bad = 1
+      .filter(col("n_supp") > 1 && col("n_bad") === 1)
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val asiaSuppliers = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    profile
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(asiaSuppliers), col("bad_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  def q21WaitingSuppliersSql: String =
+    """WITH profile AS (
+      |  SELECT l_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_bad,
+      |    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS bad_supp
+      |  FROM lineitem GROUP BY 1),
+      |sole AS (
+      |  SELECT p.bad_supp
+      |  FROM profile p JOIN orders o ON p.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F' AND p.n_supp > 1 AND p.n_bad = 1)
+      |SELECT s_name, count(*) AS numwait
+      |FROM sole
+      |JOIN supplier ON bad_supp = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY s_name""".stripMargin
+
+  /** TPC-H Q2 shape — minimum-cost supplier: a correlated scalar min
+    * ACROSS A JOIN (the spec's `ps_supplycost = (SELECT min … WHERE
+    * supplier in region)`), decorrelated into a per-part min aggregate
+    * joined back on cost equality. The schema has no partsupp, so supply
+    * cost is the minimum unit price ever quoted on a line item — exact
+    * integer cents divided by the integral quantity, the same IEEE double
+    * in both engines, which is what makes the `unit_cost = min` equality
+    * join safe. Dimension chain (part type filter, supplier → nation →
+    * region) broadcasts; the fact shuffles once for the per-part min. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val eurSuppliers = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+    val supply = Tables.lineitem(spark, dir)
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eurSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("s_name"),
+        col("n_name"), col("s_acctbal"),
+        (cents(col("l_extendedprice")) / col("l_quantity")).as("unit_cost"))
+    // `best` derives from `supply` — rename its key so the back-join isn't
+    // an ambiguous self-join reference. It is one row per qualifying part
+    // (dimension-sized, not fact-sized), so it broadcasts; a part dimension
+    // too large for the broadcast threshold would drop the hint and take
+    // the keyed shuffle join on the same equi-keys.
+    val best = supply.groupBy(col("p_partkey")).agg(min(col("unit_cost")).as("cost"))
+      .select(col("p_partkey").as("best_partkey"), col("cost"))
+    supply
+      .join(broadcast(best),
+        col("p_partkey") === col("best_partkey") && col("unit_cost") === col("cost"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("s_name"),
+        col("n_name"), col("s_acctbal"), col("cost"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("p_partkey"))
+      .limit(100)
+  }
+
+  def q2MinCostSupplierSql: String =
+    """WITH supply AS (
+      |  SELECT p_partkey, p_brand, p_type, s_name, n_name, s_acctbal,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) / l_quantity AS unit_cost
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+      |best AS (SELECT p_partkey, min(unit_cost) AS cost FROM supply GROUP BY 1)
+      |SELECT DISTINCT s.p_partkey, p_brand, p_type, s_name, n_name, s_acctbal, cost
+      |FROM supply s JOIN best b ON s.p_partkey = b.p_partkey AND s.unit_cost = b.cost
+      |ORDER BY s_acctbal DESC, s.p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q20 shape — the subquery-in-subquery semi-join chain: suppliers
+    * IN (flows over parts IN (part predicate) exceeding an aggregate
+    * threshold). The innermost part predicate becomes a broadcast semi-join
+    * into the fact scan (with the date filter pushed to parquet); the
+    * aggregate subquery lowers to ONE keyed shuffle on (part, supplier);
+    * the outer IN becomes a semi-join onto supplier. The schema has no
+    * partsupp availability, so the threshold is an absolute 1997 volume
+    * (> 50 units of one promo part — above any single line's quantity, so
+    * only genuinely repeated flows qualify). */
+  def q20ConcentratedSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val flows = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("bigint").as("q97"))
+      .filter(col("q97") > 50)
+    Tables.supplier(spark, dir)
+      .join(flows.select(col("l_suppkey")).distinct(),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+  }
+
+  def q20ConcentratedSuppliersSql: String =
+    """WITH flows AS (
+      |  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS q97
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1, 2
+      |  HAVING CAST(sum(l_quantity) AS BIGINT) > 50)
+      |SELECT s_suppkey, s_name, s_acctbal, n_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM flows)""".stripMargin
 }

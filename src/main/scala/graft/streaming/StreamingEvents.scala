@@ -32,6 +32,38 @@ object StreamingEvents {
         (sum(round(col("value") * 100).cast("bigint")) / 100.0).as("total_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join — the streaming twin of the batch as-of
+    * family ([[graft.events.EventQueries.asofPurchase]]): every click paired
+    * with the purchases the same user makes within `horizon` AFTER it
+    * (classic attribution). Both inputs are event-time streams; both carry
+    * a watermark and the join condition bounds purchase_ts to a finite
+    * interval around click_ts, which is exactly what lets Spark evict from
+    * BOTH state stores — a click older than watermark + horizon can never
+    * match a future purchase and is dropped; an unmatched purchase is
+    * dropped once the watermark passes it. State is O(events inside the
+    * watermark horizon) per side, never O(history). Also runs unchanged on
+    * batch frames (withWatermark is a planning no-op there), which is what
+    * the parity test exploits. */
+  def intervalJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   val SessionGapSec = 1800L
 
   /** Event-time sessionization via `flatMapGroupsWithState`: per-user state

@@ -175,15 +175,9 @@ class StreamingSuite extends SparkSpec {
 
     val clicks = MemoryStream[Event]
     val purchases = MemoryStream[Event]
-    val c = clicks.toDF().select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val p = purchases.toDF().select($"user_id".as("p_user"), $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    // range condition bounds the join state: purchases within 30min after a click
-    val joined = c.join(p,
-      $"user_id" === $"p_user" &&
-        $"purchase_ts" >= $"click_ts" &&
-        $"purchase_ts" <= $"click_ts" + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+    // the interval condition bounds the join state: purchases within 30min
+    // after a click (operator defaults)
+    val joined = StreamingEvents.intervalJoin(clicks.toDF(), purchases.toDF())
     val q = joined.writeStream.format("memory").queryName("attrib_stream")
       .outputMode("append").start()
     try {
@@ -194,6 +188,51 @@ class StreamingSuite extends SparkSpec {
         .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
       // purchase@20min attributes to click@0min (within 30m); purchase@300min to neither
       assert(rows == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: streaming attribution equals the batch twin on driver data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val clicks = evts.filter(_.event_type == "click")
+    val purchases = evts.filter(_.event_type == "purchase")
+
+    val cIn = MemoryStream[Event]
+    val pIn = MemoryStream[Event]
+    val q = StreamingEvents.intervalJoin(cIn.toDF(), pIn.toDF(), "6 hours", "12 hours")
+      .writeStream.format("memory").queryName("attribution_stream")
+      .outputMode("append").start()
+    try {
+      // split BOTH streams at one time boundary: batch-2 events are all
+      // newer than batch-1's watermark (no late-input drops), and any click
+      // old enough to have been evicted has a match window that ends before
+      // the boundary (no lost cross-batch matches) — the exact discipline a
+      // replayable ingest (kafka by time, files by mtime) gives for free
+      val boundary = evts.map(_.ts.getTime).sorted.apply(evts.length / 2)
+      cIn.addData(clicks.filter(_.ts.getTime < boundary): _*)
+      pIn.addData(purchases.filter(_.ts.getTime < boundary): _*)
+      q.processAllAvailable()
+      cIn.addData(clicks.filter(_.ts.getTime >= boundary): _*)
+      pIn.addData(purchases.filter(_.ts.getTime >= boundary): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attribution_stream")
+        .select($"click_id", $"purchase_id", $"purchase_value")
+        .as[(Long, Long, Double)].collect().toSet
+
+      // batch twin: the SAME operator over batch frames (withWatermark is a
+      // planning no-op there) — one code path, two execution modes
+      val batch = StreamingEvents.intervalJoin(
+          clicks.toSeq.toDS().toDF(), purchases.toSeq.toDS().toDF(), "6 hours", "12 hours")
+        .select($"click_id", $"purchase_id", $"purchase_value")
+        .as[(Long, Long, Double)].collect().toSet
+
+      assert(streamed == batch,
+        s"only streamed: ${streamed -- batch}; only batch: ${batch -- streamed}")
+      assert(streamed.nonEmpty, "fixture events produce interval-join matches; none found")
     } finally q.stop()
   }
 

@@ -12,11 +12,15 @@ import graft.plans.GraftSession
   *      keeps only the last ~2000 characters of stdout; every earlier
   *      round's bench line overflowed that window (verbose per-rep arrays
   *      inline) and parsed as nothing. The compact line therefore carries
-  *      per-query MEDIANS only, at centisecond resolution; the full
-  *      per-rep wall and CPU detail is printed on an earlier
-  *      `"metric":"detail"` line (readable in the full log, sacrificial in
-  *      the tail). A length guard drops to 1-decimal formatting if the
-  *      query set ever grows the line past the window.
+  *      per-query MEDIANS only, at centisecond resolution — and when the
+  *      query set outgrows the window, it keeps the SLOWEST k queries at
+  *      full 2-decimal resolution (always including every query ≥ 0.5 s
+  *      and every failed one) and folds the fast remainder into one
+  *      `others` bucket (count / sum / max): resolution is spent where the
+  *      signal is, instead of flooring sub-second queries to 0 across the
+  *      board. The full per-rep wall and CPU detail is printed on an
+  *      earlier `"metric":"detail"` line (readable in the full log,
+  *      sacrificial in the tail).
   *
   *   2. **Repetitions are interleaved, not consecutive.** Round-robin
   *      (rep 1 of every query, then rep 2, …) decorrelates external
@@ -105,20 +109,48 @@ object Bench {
       "queries_cpu" -> obj(names.map(n => n -> samples(n).map(s => fmt(s._2, 3)).mkString("[", ",", "]"))))))
     val total = medians.collect { case (_, (w, _)) if w >= 0 => w }.sum
     val nFailed = names.count(n => failures(n) > 0 || samples(n).isEmpty)
-    def compact(decimals: Int): String = obj(Seq(
-      "metric" -> "\"total\"",
-      "value" -> fmt(total, decimals),
-      "unit" -> "\"sec\"",
-      "queries" -> obj(medians.map { case (n, (w, _)) => n -> fmt(w, decimals) }),
-      "reps" -> reps.toString,
-      "failed" -> nFailed.toString) ++
+    val trailer =
       (if (failures.nonEmpty)
         Seq("errors" -> obj(failures.toSeq.sortBy(_._1).map { case (n, c) => n -> c.toString }))
       else Nil) ++
-      Seq("sf" -> ("\"" + sfDir + "\"")))
+      Seq("sf" -> ("\"" + sfDir + "\""))
+    // Slowest first (failed queries sort as slowest: they must never fall
+    // into the bucket); ties broken by name for a stable line.
+    val byWallDesc = medians.sortBy { case (n, (w, _)) => (if (w < 0) -1e18 else -w, n) }
+    def compactTop(k: Int): String = {
+      val (shown, rest) = byWallDesc.splitAt(k)
+      obj(Seq(
+        "metric" -> "\"total\"",
+        "value" -> fmt(total, 2),
+        "unit" -> "\"sec\"",
+        "queries" -> obj(shown.map { case (n, (w, _)) => n -> fmt(w, 2) }),
+        "reps" -> reps.toString,
+        "failed" -> nFailed.toString) ++
+        (if (rest.nonEmpty) Seq("others" -> obj(Seq(
+          "n" -> rest.size.toString,
+          "sum" -> fmt(rest.map(_._2._1).sum, 2),
+          "max" -> fmt(rest.map(_._2._1).max, 2))))
+        else Nil) ++
+        trailer)
+    }
     // Tail-window guard: the driver keeps ~2000 chars and sbt appends a
-    // ~90-char footer after us; degrade resolution before overflowing.
-    val line = Seq(2, 1).map(compact).find(_.length <= 1850).getOrElse(compact(0))
+    // ~90-char footer after us. Spend the budget on the slowest queries:
+    // largest k that fits, never dropping a ≥0.5 s or failed query below
+    // the bucket; if even those overflow, degrade to 1-decimal for the
+    // shown set rather than lose queries.
+    val nMandatory = byWallDesc.count { case (_, (w, _)) => w >= 0.5 || w < 0 }
+    val line = (names.size to nMandatory by -1).view.map(compactTop)
+      .find(_.length <= 1850)
+      .getOrElse {
+        def coarse(decimals: Int): String = obj(Seq(
+          "metric" -> "\"total\"",
+          "value" -> fmt(total, decimals),
+          "unit" -> "\"sec\"",
+          "queries" -> obj(medians.map { case (n, (w, _)) => n -> fmt(w, decimals) }),
+          "reps" -> reps.toString,
+          "failed" -> nFailed.toString) ++ trailer)
+        Seq(1, 0).map(coarse).find(_.length <= 1850).getOrElse(coarse(0))
+      }
     println(line)
     spark.stop()
   }

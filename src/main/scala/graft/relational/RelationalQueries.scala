@@ -1057,12 +1057,21 @@ object RelationalQueries {
     * supplier nation is restricted to one region like the spec's one
     * nation, via broadcast dimension joins. */
   def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    val profile = Tables.lineitem(spark, dir)
+    // Two-level aggregation instead of a double countDistinct: the
+    // countDistinct form Expands every lineitem row 3× before the shuffle
+    // (one replica per distinct-aggregate plus one for the plain ones —
+    // measured 2.5 s vs 0.9 s at sf0.1); collapsing to (order, supplier)
+    // first keeps the fact shuffle at 1× and makes the second aggregate a
+    // plain count/sum over the already-tiny per-supplier profile.
+    val perSupplier = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("bad"))
+    val profile = perSupplier
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_bad"),
-        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("bad_supp"))
+        count(lit(1)).as("n_supp"),
+        sum(col("bad")).as("n_bad"),
+        max(when(col("bad") === 1, col("l_suppkey"))).as("bad_supp"))
       // EXISTS other-supplier ∧ NOT EXISTS other-failing-supplier, in
       // aggregate form: multi-supplier order whose failures all trace to
       // one supplier — bad_supp, well-defined exactly because n_bad = 1

@@ -100,6 +100,7 @@ object SparkEntry {
     "embed_topk_ivf" -> (SimilarityQueries.topkIvf _),
     "embed_near_pairs" -> (SimilarityQueries.nearPairs _),
     "label_centroids" -> (SimilarityQueries.labelCentroids _),
+    "ivf_train" -> (SimilarityQueries.ivfTrain _),
     // Event-time analytics
     "events_hourly" -> (EventQueries.hourly _),
     "events_user_stats" -> (EventQueries.userStats _),
@@ -202,6 +203,7 @@ object SparkEntry {
     "embed_topk_ivf" -> SimilarityQueries.topkIvfSql,
     "embed_near_pairs" -> SimilarityQueries.nearPairsSql,
     "label_centroids" -> SimilarityQueries.labelCentroidsSql,
+    "ivf_train" -> SimilarityQueries.ivfTrainSql,
     "events_hourly" -> EventQueries.hourlySql,
     "events_user_stats" -> EventQueries.userStatsSql,
     "events_sessions" -> EventQueries.sessionsSql,

@@ -286,17 +286,143 @@ object SimilarityQueries {
       .agg(array_sort(collect_list(struct(col("pos"), col("centroid_v"))))
         .getField("centroid_v").as("centroid"))
 
-  /** IVF-style approximate top-k: the label centroids act as the coarse
-    * quantizer; every corpus vector is assigned to its nearest centroid
-    * (narrow pass against a broadcast 10-row centroid table), and each query
-    * searches only its `nprobe`=3 closest cells. The corpus shuffles once by
-    * cell id; cost per query is |corpus|·nprobe/|cells|. The quantizer is
-    * deterministic ([[labelCentroids]]' exact integer sums), so the whole
-    * pipeline has an exact SQL oracle ([[topkIvfSql]]). */
+  private[graft] val LloydRounds = 3
+
+  /** TRAINED IVF coarse quantizer: [[labelCentroids]] as the deterministic
+    * seed, refined by [[LloydRounds]] rounds of Lloyd iteration — assign
+    * every vector to its nearest centroid by cosine (ties to the lower cell
+    * id), recompute each cell's centroid as the exact integer-scaled
+    * component mean of its members. Real IVF trains its quantizer; the
+    * label seed alone only inherits the labels' geometry.
+    *
+    * Determinism is what keeps the oracle exact through THREE rounds of
+    * feedback: assignment ranks exact doubles with a total tie-break, and
+    * recomputation uses the same `floor(v·1e7+0.5)` bigint sums as the seed
+    * — order- and partitioning-independent, so both engines walk the
+    * identical centroid trajectory. Each round `localCheckpoint`s like
+    * [[graft.dedup.DedupQueries.dedupComponents]]' loop: the assignment
+    * references the previous round's centroids once per comparison, so
+    * without truncation the plan would nest per round. A lost executor
+    * restarts the (seconds-long) training job — acceptable for a bounded
+    * loop; the components operator documents the reliable-checkpoint knob
+    * for loops where it isn't.
+    *
+    * Scale shape per round: one narrow pass over the corpus against a
+    * broadcast ≤|cells|-row centroid table (argmax via one partial-agg
+    * max-of-struct, no window over the corpus), then the same exploded
+    * (cell, dim) partial aggregation as [[labelCentroids]]. Empty cells
+    * simply drop out of the next round, identically in both engines. */
+  private[graft] def trainedCentroidTable(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    var cents = centroidVectors(spark, dir)
+      .select(col("label").cast("bigint").as("cell"), col("centroid"))
+      .localCheckpoint()
+    var grouped: DataFrame = null
+    for (_ <- 1 to LloydRounds) {
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("csim", expr("cosine_sim(e, centroid)"))
+        .groupBy(col("vec_id"))
+        // argmax by (csim, -cell): highest cosine, ties to the LOWER cell id;
+        // (csim, negcell) is unique per vector so the carried vector never
+        // participates in the comparison
+        .agg(max(struct(col("csim"), (-col("cell")).as("negcell"), col("e").as("ev"))).as("m"))
+        .select((-col("m.negcell")).as("cell"), col("m.ev").as("e"))
+      grouped = assigned
+        .select(col("cell"), posexplode(col("e")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(
+          sum(floor(col("col") * lit(1e7) + lit(0.5))).as("s"),
+          count(lit(1)).as("n_vectors"))
+        .select(col("cell"), col("pos").cast("bigint").as("pos"),
+          (col("s").cast("double") / (col("n_vectors").cast("double") * lit(1e7))).as("centroid_v"),
+          col("n_vectors"))
+        .localCheckpoint()
+      cents = grouped
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("centroid_v"))))
+          .getField("centroid_v").as("centroid"))
+        .localCheckpoint()
+    }
+    grouped
+  }
+
+  /** Registered query: the trained quantizer, one scalar row per
+    * (cell, dimension) — the IVF train step's inspectable output. */
+  def ivfTrain(spark: SparkSession, dir: String): DataFrame =
+    trainedCentroidTable(spark, dir)
+
+  /** [[trainedCentroidTable]] re-assembled into one vector per cell. */
+  private[graft] def trainedCentroidVectors(spark: SparkSession, dir: String): DataFrame =
+    trainedCentroidTable(spark, dir)
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid_v"))))
+        .getField("centroid_v").as("centroid"))
+
+  /** The Lloyd rounds as an unrolled CTE chain, shared by [[ivfTrainSql]]
+    * and [[topkIvfSql]] so the two oracles cannot diverge. Produces
+    * `g{r}` (cell, pos, s, n) per round and `cent{r}` centroid-list tables;
+    * the caller reads `g${LloydRounds - 1}` or `cent$LloydRounds`.
+    * Requires the shared `n` norm CTE to be in scope. */
+  private def lloydCtes: String = {
+    val seed =
+      s"""cexp AS (
+         |  SELECT label,
+         |    unnest(list_transform(range(1, len(embedding) + 1),
+         |      i -> {'pos': i - 1, 'sv': CAST(floor(embedding[i]::DOUBLE * $CentScale + 0.5) AS BIGINT)})) AS u
+         |  FROM embeddings),
+         |cent0 AS (
+         |  SELECT CAST(label AS BIGINT) AS cell,
+         |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $CentScale) ORDER BY pos) AS c
+         |  FROM (SELECT label, u.pos AS pos, sum(u.sv) AS s, count(*) AS n
+         |        FROM cexp GROUP BY label, u.pos) g
+         |  GROUP BY label)""".stripMargin
+    val rounds = (0 until LloydRounds).map { r =>
+      s"""cn$r AS (
+         |  SELECT cell, c,
+         |    list_reduce(list_transform(c, x -> x * x), (a, x) -> a + x) AS cnrm
+         |  FROM cent$r),
+         |a$r AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT n.vec_id, n.e, cn$r.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        list_reduce(list_transform(range(1, len(n.e) + 1), i -> n.e[i] * cn$r.c[i]), (a, x) -> a + x)
+         |          / (sqrt(n.nrm) * sqrt(cn$r.cnrm)) DESC, cn$r.cell) AS rk
+         |    FROM n, cn$r) t
+         |  WHERE rk = 1),
+         |g$r AS (
+         |  SELECT cell, u.pos AS pos, sum(u.sv) AS s, count(*) AS n FROM (
+         |    SELECT cell,
+         |      unnest(list_transform(range(1, len(e) + 1),
+         |        i -> {'pos': i - 1, 'sv': CAST(floor(e[i] * $CentScale + 0.5) AS BIGINT)})) AS u
+         |    FROM a$r) x
+         |  GROUP BY cell, u.pos),
+         |cent${r + 1} AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $CentScale) ORDER BY pos) AS c
+         |  FROM g$r GROUP BY cell)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
+  def ivfTrainSql: String =
+    s"""WITH $normCte,
+       |$lloydCtes
+       |SELECT cell, CAST(pos AS BIGINT) AS pos,
+       |  CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $CentScale) AS centroid_v,
+       |  n AS n_vectors
+       |FROM g${LloydRounds - 1}""".stripMargin
+
+  /** IVF-style approximate top-k: the TRAINED centroids
+    * ([[trainedCentroidVectors]]) act as the coarse quantizer; every corpus
+    * vector is assigned to its nearest centroid (narrow pass against a
+    * broadcast ≤10-row centroid table), and each query searches only its
+    * `nprobe`=3 closest cells. The corpus shuffles once by cell id; cost
+    * per query is |corpus|·nprobe/|cells|. The quantizer is deterministic
+    * (exact integer sums through every Lloyd round), so the whole pipeline
+    * has an exact SQL oracle ([[topkIvfSql]]). */
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
     val nprobe = 3
-    val cents = centroidVectors(spark, dir)
-      .select(col("label").as("cell"), col("centroid"))
+    val cents = trainedCentroidVectors(spark, dir)
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     // nearest centroid per vector: rank cells by cosine, keep the top one
@@ -317,26 +443,17 @@ object SimilarityQueries {
       .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("cosine"))
   }
 
-  /** Exact oracle for [[topkIvf]]: rebuilds the same deterministic centroids,
+  /** Exact oracle for [[topkIvf]]: rebuilds the same deterministic TRAINED
+    * centroids (the unrolled Lloyd CTE chain, shared with [[ivfTrainSql]]),
     * the same nearest-cell assignment (ties broken by cell id), the same
     * nprobe=3 probe cells, and the same ordered-fold cosine ranking. */
   def topkIvfSql: String =
     s"""WITH $normCte,
-       |cexp AS (
-       |  SELECT label,
-       |    unnest(list_transform(range(1, len(embedding) + 1),
-       |      i -> {'pos': i - 1, 'sv': CAST(floor(embedding[i]::DOUBLE * $CentScale + 0.5) AS BIGINT)})) AS u
-       |  FROM embeddings),
-       |cent AS (
-       |  SELECT label AS cell,
-       |    list(CAST(sum_sv AS DOUBLE) / (CAST(cnt AS DOUBLE) * $CentScale) ORDER BY pos) AS c
-       |  FROM (SELECT label, u.pos AS pos, sum(u.sv) AS sum_sv, count(*) AS cnt
-       |        FROM cexp GROUP BY label, u.pos) g
-       |  GROUP BY label),
+       |$lloydCtes,
        |cn AS (
        |  SELECT cell, c,
        |    list_reduce(list_transform(c, x -> x * x), (a, x) -> a + x) AS cnrm
-       |  FROM cent),
+       |  FROM cent$LloydRounds),
        |assigned AS (
        |  SELECT n.vec_id, n.e, n.nrm, cn.cell,
        |    list_reduce(list_transform(range(1, len(n.e) + 1), i -> n.e[i] * cn.c[i]), (a, x) -> a + x)

@@ -57,6 +57,28 @@ class SimilaritySuite extends SparkSpec {
     }
   }
 
+  test("IVF training: Lloyd rounds keep dimensionality, partition the corpus, move the quantizer") {
+    val trained = SimilarityQueries.ivfTrain(spark, Sf0001).collect()
+    val byCell = trained.groupBy(_.getLong(0))
+    assert(byCell.nonEmpty)
+    byCell.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until 64L), "cell lost dimensions")
+      assert(rs.map(_.getLong(3)).distinct.length == 1, "inconsistent cell size across dims")
+      assert(rs.head.getLong(3) > 0)
+    }
+    // the final assignment partitions the corpus exactly
+    val total = byCell.values.map(_.head.getLong(3)).sum
+    assert(total == Tables.embeddings(spark, Sf0001).count(),
+      s"trained cells do not partition the corpus (sum $total)")
+    // training must actually move the quantizer off the label seed
+    val seed = SimilarityQueries.labelCentroids(spark, Sf0001).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getDouble(2)).toMap
+    val moved = trained.count { r =>
+      seed.get((r.getLong(0), r.getLong(1))).forall(_ != r.getDouble(2))
+    }
+    assert(moved > 0, "3 Lloyd rounds left every centroid component exactly at the seed")
+  }
+
   test("label centroids: one scalar row per (label, dimension), full dimensionality") {
     val rows = SimilarityQueries.labelCentroids(spark, Sf0001).collect()
     assert(rows.length == 10 * 64) // 10 labels × 64 dims, exploded

@@ -8,12 +8,15 @@ import graft.Tables
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted executor-side in partition batches.
   *
-  * The decode itself (image/audio codecs) is STUBBED — the codec libraries
-  * are deliberately not a dependency of this engine — but the Spark-side
-  * plumbing is real and tested: schema (`id, media binary, meta struct`),
-  * partition-batched iteration (the shape a vectorized decoder needs),
-  * executor-side execution with no driver collect, and deterministic
-  * fallback features so the pipeline is testable end-to-end.
+  * Image decode is REAL — [[realDecode]] reads PNG/JPEG/GIF/BMP headers via
+  * `javax.imageio` (pure JVM, already on every classpath), width/height/
+  * format without touching pixel data. Audio/video codecs stay out of the
+  * dependency set, so the deterministic [[stubDecode]] remains the default
+  * feature path (and the DuckDB-oracle path: header decode has no SQL
+  * twin). The Spark-side plumbing is identical either way: schema
+  * (`id, media binary, meta struct`), partition-batched iteration (the
+  * shape a vectorized decoder needs), executor-side execution with no
+  * driver collect.
   *
   * At 100 TB: media rows are large, so the operators here never shuffle the
   * binary payload — features are extracted narrow (mapPartitions) and only
@@ -27,9 +30,47 @@ object MultimodalPipeline {
   /** Features extracted per media item. */
   case class MediaFeatures(id: Long, n_bytes: Long, checksum: Long, format: String)
 
-  /** The real decoder hook. Intentionally unimplemented: wire an actual
-    * codec (JPEG/PNG/audio frames) here when the runtime ships one. */
-  def realDecode: Array[Byte] => MediaFeatures = ???
+  /** Image header metadata from a real decode. */
+  case class ImageMeta(id: Long, width: Int, height: Int, format: String)
+
+  /** Real image decode via `javax.imageio`: width/height/format read from
+    * the PNG/JPEG/GIF/BMP header WITHOUT decoding pixel data (`getWidth(0)`
+    * on the reader, not `ImageIO.read` — a 100 MB image costs a header
+    * read, not a BufferedImage allocation). Returns None for payloads no
+    * installed reader recognizes; the caller chooses between dropping,
+    * stub features, or failing. */
+  def realDecode(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0),
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } finally r.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Partition-batched REAL image decode: [[realDecode]] in the same
+    * batched mapPartitions shape as [[extractFeatures]]; unrecognized
+    * payloads are dropped (flatMap), recognized ones emit header metadata
+    * only — the binary payload never leaves the partition. */
+  def decodeImages(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          realDecode(r.media).map { case (w, h, fmt) => ImageMeta(r.id, w, h, fmt) }
+        }
+      }
+    }
+  }
 
   /** Deterministic stand-in decoder: FNV-1a checksum + length. Used by tests
     * and by [[extractFeatures]]'s default so the pipeline runs end-to-end. */

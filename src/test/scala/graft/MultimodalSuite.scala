@@ -63,6 +63,28 @@ class MultimodalSuite extends SparkSpec {
     }
   }
 
+  test("real image decode: PNG and JPEG fixtures yield width/height/format, junk is dropped") {
+    import spark.implicits._
+    // real fixture images, generated deterministically in-test: a 13x7 PNG
+    // and a 5x9 JPEG through the JDK's own encoders
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+      bos.toByteArray
+    }
+    val media = Seq(
+      MultimodalPipeline.MediaRow(1L, imageBytes(13, 7, "png"), "png"),
+      MultimodalPipeline.MediaRow(2L, imageBytes(5, 9, "jpg"), "jpg"),
+      MultimodalPipeline.MediaRow(3L, Array[Byte](1, 2, 3, 4), "junk")).toDS()
+    val metas = MultimodalPipeline.decodeImages(media, batchSize = 2).collect()
+      .map(m => m.id -> ((m.width, m.height, m.format))).toMap
+    assert(metas == Map(
+      1L -> ((13, 7, "png")),
+      2L -> ((5, 9, "jpeg"))), metas.toString) // junk row dropped, no exception
+  }
+
   test("expression path agrees with mapPartitions path on byte length") {
     import spark.implicits._
     val viaExpr = MultimodalPipeline.mediaFeatures(spark, Sf0001)

@@ -28,3 +28,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ExecutorLossSuite runs a real local-cluster (separate executor JVMs) and
+// therefore needs (a) its OWN test JVM — one SparkContext per JVM, while
+// every other suite shares the local[4,2] session — and (b) the
+// SPARK_SCALA_VERSION env var, which the standalone worker's executor
+// launcher uses to resolve the /opt/spark distribution classpath.
+Test / testGrouping := {
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars(Map("SPARK_SCALA_VERSION" -> "2.13"))
+  val (chaos, rest) = (Test / definedTests).value
+    .partition(_.name.endsWith("ExecutorLossSuite"))
+  Seq(
+    Tests.Group("executor-loss", chaos, Tests.SubProcess(forkOpts)),
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts))
+  ).filter(_.tests.nonEmpty)
+}
+// one forked test JVM at a time: the chaos cluster must not contend with
+// the shared-session suites for the box
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)

@@ -154,6 +154,36 @@ object EventQueries {
       |FROM events
       |WHERE event_id < 200""".stripMargin
 
+  /** The distribution window functions in one pass — ntile, percent_rank,
+    * cume_dist, lead — over each event type's per-user value totals. All
+    * four share ONE window (one sort inside each partition); the ORDER BY
+    * is a total order (exact cents desc, then user), which is what makes
+    * ntile's bucket boundaries and lead's neighbor deterministic enough for
+    * a cross-engine hash compare. percent_rank/cume_dist are small-integer
+    * ratios — engine-identical doubles. */
+  def userQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v").desc, col("user_id"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).as("v"))
+      .select(col("event_type"), col("user_id"), (col("v") / 100.0).as("total_value"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        lead(col("user_id"), 1).over(w).as("next_user"))
+  }
+
+  def userQuartilesSql: String =
+    """SELECT event_type, user_id, v / 100.0 AS total_value,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  lead(user_id) OVER w AS next_user
+      |FROM (SELECT event_type, user_id,
+      |        CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+      |      FROM events GROUP BY 1, 2) t
+      |WINDOW w AS (PARTITION BY event_type ORDER BY v DESC, user_id)""".stripMargin
+
   /** Pivot: one row per user, one count column per event type (the wide
     * feature-table shape). Spark's `pivot` with explicit values keeps the
     * plan a single groupBy; the oracle spells the same conditional sums. */

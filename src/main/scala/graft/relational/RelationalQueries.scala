@@ -1196,6 +1196,102 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
   }
 
+  /** TPC-H Q8 shape — national market share: of all revenue flowing to one
+    * region's customers, the fraction supplied by one nation, per year. The
+    * share is a ratio of two EXACT integer-scaled sums (a conditional sum
+    * over the same rows as the total — one pass, no second scan), divided
+    * once at the end: engine-identical doubles. Customer region and
+    * supplier nation resolve through broadcast dimension chains; the only
+    * fact-fact join is lineitem⋈orders on the order key. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val amerCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val nationRev = sum(when(col("supp_nation") === "NATION_5", col("rev")).otherwise(0L))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(amerCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        nationRev.cast("bigint").as("nation_rev_scaled"),
+        sum(col("rev")).cast("bigint").as("total_rev_scaled"),
+        (nationRev.cast("double") / sum(col("rev")).cast("double")).as("mkt_share"))
+  }
+
+  def q8MarketShareSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'AMERICA'),
+      |flat AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, n_name AS supp_nation,
+      |    CAST(round(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN cust ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END) AS BIGINT) AS nation_rev_scaled,
+      |  CAST(sum(rev) AS BIGINT) AS total_rev_scaled,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(rev) AS DOUBLE) AS mkt_share
+      |FROM flat GROUP BY 1""".stripMargin
+
+  /** TPC-H Q9 shape — product-type profit by supplier nation and year.
+    * The schema has no partsupp supply cost, so cost is half the part's
+    * retail price per unit — kept EXACT by scaling everything to 10⁻⁴
+    * dollars (revenue = cents × basis-points; cost = cents × qty × 50)
+    * before one final division. Part and supplier→nation sides broadcast;
+    * lineitem⋈orders is the one fact shuffle. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val mediumParts = Tables.part(spark, dir).filter(col("p_type") === "MEDIUM")
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_c"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(mediumParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("nation"), year(col("o_orderdate")).as("o_year"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+          - col("retail_c") * col("l_quantity").cast("bigint") * lit(50L)).as("amount"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(
+        (sum(col("amount")).cast("bigint") / 10000.0).as("profit"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def q9ProductProfitSql: String =
+    """WITH flat AS (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(round(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount*100) AS BIGINT))
+      |      - CAST(round(p_retailprice*100) AS BIGINT)
+      |        * CAST(l_quantity AS BIGINT) * 50 AS amount
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'MEDIUM'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT nation, o_year,
+      |  CAST(sum(amount) AS BIGINT)/10000.0 AS profit,
+      |  count(*) AS n_items
+      |FROM flat GROUP BY 1, 2""".stripMargin
+
   def q20ConcentratedSuppliersSql: String =
     """WITH flows AS (
       |  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS q97

@@ -1213,12 +1213,20 @@ object RelationalQueries {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"))
     val nationRev = sum(when(col("supp_nation") === "NATION_5", col("rev")).otherwise(0L))
+    // thin orders by the customer-region semi-join BEFORE the fact-fact
+    // join — the region keeps ~1/5 of orders, so the lineitem⋈orders
+    // shuffle moves a fifth of the rows (and the thinned side broadcasts
+    // at this sf; at cluster scale it stays a keyed shuffle join)
+    val amerOrders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      // customer is a dimension: broadcast the semi side explicitly (the
+      // static planner over-estimates the joined-dimension size and would
+      // fall back to a sort-merge semi join)
+      .join(broadcast(amerCust), col("o_custkey") === col("c_custkey"), "left_semi")
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
         (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(amerCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(amerOrders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(

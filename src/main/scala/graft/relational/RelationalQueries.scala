@@ -1300,6 +1300,74 @@ object RelationalQueries {
       |  count(*) AS n_items
       |FROM flat GROUP BY 1, 2""".stripMargin
 
+  /** TPC-H Q11 shape — important flows: per-part supply value restricted to
+    * one region's suppliers, kept only when it exceeds a FRACTION of the
+    * global total (the scalar-aggregate HAVING). The fraction test is exact
+    * integer arithmetic (`value · 1000 > total`, no float threshold); the
+    * one-row total broadcasts back onto the per-part aggregate, and the
+    * region's supplier set broadcasts into the fact scan as a semi join.
+    * partsupp doesn't exist here, so "value" is shipped price × quantity. */
+  def q11ImportantFlows(spark: SparkSession, dir: String): DataFrame = {
+    val asiaSuppliers = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val flows = Tables.lineitem(spark, dir)
+      .join(broadcast(asiaSuppliers), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice")) * col("l_quantity").cast("bigint"))
+        .cast("bigint").as("value_scaled"))
+    val total = flows.agg(sum(col("value_scaled")).cast("bigint").as("t"))
+    flows.crossJoin(broadcast(total))
+      .filter(col("value_scaled") * 1000L > col("t"))
+      .select(col("l_partkey"), col("value_scaled"))
+  }
+
+  def q11ImportantFlowsSql: String =
+    """WITH flows AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_scaled
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (
+      |    SELECT s_suppkey FROM supplier
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |    JOIN region ON n_regionkey = r_regionkey
+      |    WHERE r_name = 'ASIA')
+      |  GROUP BY 1),
+      |total AS (SELECT CAST(sum(value_scaled) AS BIGINT) AS t FROM flows)
+      |SELECT l_partkey, value_scaled
+      |FROM flows, total
+      |WHERE value_scaled * 1000 > t""".stripMargin
+
+  /** TPC-H Q16 shape — supplier counts per part attribute with the NOT IN
+    * exclusion subquery: distinct suppliers per (brand, type) over larger
+    * parts, excluding a supplier denylist. The exclusion lowers to a
+    * broadcast anti join (the denylist is dimension-sized and provably
+    * null-free, so NOT IN ≡ anti join); the distinct count is one keyed
+    * shuffle. */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 500.0)
+      .select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_size") >= 25)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  def q16SupplierCountsSql: String =
+    """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size >= 25
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+      |GROUP BY 1, 2""".stripMargin
+
   def q20ConcentratedSuppliersSql: String =
     """WITH flows AS (
       |  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS q97

@@ -278,8 +278,11 @@ object DedupQueries {
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
     dedupSubstringOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  /** [[dedupSubstring]] over an arbitrary `(doc_id, text)` frame. */
-  private[graft] def dedupSubstringOn(docs: DataFrame): DataFrame = {
+  /** Stages 1–3 of the exact-substring pipeline, shared by the per-document
+    * and per-pair views: every candidate position's VERIFIED gram string —
+    * (doc_id, pos, gram), persisted (consumed twice building it; released
+    * by the harness drain). */
+  private def substringCandGrams(docs: DataFrame): DataFrame = {
     val grams = docs.select(col("doc_id"),
       posexplode(expr(s"gram_fps(text, $SpanTokens)")).as(Seq("pos", "fp")))
     val dupFps = grams
@@ -287,20 +290,65 @@ object DedupQueries {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
       .select(col("fp"))
-    // candidate sliver: consumed twice below (gram re-derivation joins back
-    // on it); released by the harness drain
     val candidates = grams.join(dupFps, Seq("fp"), "left_semi")
       .select(col("doc_id"), col("pos"))
       .transform(graft.Caches.persisted)
     val perDoc = candidates.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
-    val candGrams = docs
+    docs
       .join(perDoc, Seq("doc_id"))
       .select(col("doc_id"), explode(expr(
         s"""zip_with(positions, grams_at(text, positions, $SpanTokens),
            |  (p, g) -> struct(p AS pos, g AS gram))""".stripMargin)).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
       .transform(graft.Caches.persisted)
+  }
+
+  /** The pair view of [[dedupSubstring]]: which documents share verbatim
+    * [[SpanTokens]]-token spans, with the count of distinct shared spans —
+    * the "these documents carry the same boilerplate" edge list a cleanup
+    * pipeline clusters on. Pairs expand inside per-gram buckets (grouped
+    * expansion over the verified candidate sliver, same shape as
+    * [[dedupNear]]) — a span shared by M documents yields M·(M−1)/2 pairs,
+    * output-linear: those pairs ARE the answer. */
+  def dedupSubstringPairs(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringPairsOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def dedupSubstringPairsOn(docs: DataFrame): DataFrame =
+    substringCandGrams(docs)
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
+          |       b -> struct(ds[i] AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+
+  /** Oracle: gram-string equi-join over all materialized 50-grams — each
+    * shared distinct gram counts once per ordered pair. */
+  def dedupSubstringPairsSql: String =
+    s"""WITH tl AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(toks) - ${SpanTokens - 2})) AS i,
+       |    toks
+       |  FROM tl WHERE len(toks) >= $SpanTokens),
+       |g2 AS (
+       |  SELECT doc_id, array_to_string(toks[i : i + ${SpanTokens - 1}], ' ') AS gram
+       |  FROM grams)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(DISTINCT a.gram) AS shared_grams
+       |FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  /** [[dedupSubstring]] over an arbitrary `(doc_id, text)` frame. */
+  private[graft] def dedupSubstringOn(docs: DataFrame): DataFrame = {
+    val candGrams = substringCandGrams(docs)
     val dupGrams = candGrams
       .groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))

@@ -84,6 +84,19 @@ class DedupSubstringSuite extends SparkSpec {
     assert(rows == Map(1L -> ((11L, 11L, 60L)), 2L -> ((11L, 11L, 60L))), rows.toString)
   }
 
+  test("pair view is consistent with the per-document view on the real corpus") {
+    val docsInPairs = DedupQueries.dedupSubstringPairs(spark, Sf0001).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    Caches.drain()
+    val docsWithDups = DedupQueries.dedupSubstring(spark, Sf0001).collect()
+      .map(_.getLong(0)).toSet
+    Caches.drain()
+    // exactly the documents with a duplicated span appear in some pair
+    assert(docsInPairs == docsWithDups,
+      s"pair/per-doc views disagree: ${docsInPairs.diff(docsWithDups)} vs ${docsWithDups.diff(docsInPairs)}")
+    assert(docsInPairs.nonEmpty)
+  }
+
   test("gram_fps: rolling fingerprints equal direct recomputation, any window") {
     val text = (1 to 300).map(i => w("r", i % 37) + w("s", i % 11)).mkString(" ")
     val df = spark.range(1).select(lit(text).as("text"))

@@ -326,6 +326,97 @@ object DedupQueries {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("shared_grams"))
 
+  /** Winnowing window: selections keep ~2/(w+1) of the gram postings. */
+  private[graft] val WinnowWindow = 8
+
+  /** The WINNOWED substring-dedup pair view — the deployment-scale path
+    * (Schleimer et al. 2003): instead of posting every k-gram fingerprint,
+    * each document posts only its winnowing selection (the rightmost
+    * minimal fingerprint of every [[WinnowWindow]]-gram window, computed
+    * O(n) in the native `winnow_select` expression), cutting the postings
+    * shuffle to ~2/(w+1) of [[dedupSubstringPairs]]' (measured 19.5% at
+    * w=8). The price is a coarser guarantee: every pair sharing a span of
+    * ≥ k + w − 1 tokens (57 at the defaults) is still found — the shared
+    * span contains a full window with identical relative fingerprints, so
+    * both documents select the same gram — while pairs whose longest shared
+    * span is k..k+w−2 tokens are found only if the selections happen to
+    * align. Selection uses the same mod-2³¹−1 Horner arithmetic as
+    * `rolling_hash`, so the oracle replays the SELECTION itself (not just
+    * the verification) and the output is engine-exact; gram strings are
+    * re-derived and compared on the candidate sliver, as in the exact
+    * variant, so fingerprint collisions cannot create false pairs. */
+  def dedupSubstringWinnow(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringWinnowOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def dedupSubstringWinnowOn(docs: DataFrame): DataFrame = {
+    val postings = docs.select(col("doc_id"),
+      explode(expr(s"winnow_select(text, $SpanTokens, $WinnowWindow)")).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+    val dupFps = postings
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("fp"))
+    val candidates = postings.join(dupFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .transform(graft.Caches.persisted)
+    val perDoc = candidates.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    val candGrams = docs
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        s"""zip_with(positions, grams_at(text, positions, $SpanTokens),
+           |  (p, g) -> struct(p AS pos, g AS gram))""".stripMargin)).as("pg"))
+      .select(col("doc_id"), col("pg.gram").as("gram"))
+    candGrams
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
+          |       b -> struct(ds[i] AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** Oracle: the winnowing selection replayed literally — per-token mod-M
+    * hashes, Horner gram fingerprints, rightmost window minima via
+    * `row_number() ORDER BY fp ASC, pos DESC` — then the same shared-gram
+    * pair count over selected grams. */
+  def dedupSubstringWinnowSql: String =
+    s"""WITH tl AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, toks,
+       |    list_transform(toks, t ->
+       |      list_reduce(list_transform(range(1, length(t)+1), i -> ord(substr(t, i, 1))::BIGINT),
+       |                  (a, c) -> (a*31 + c) % 2147483647)) AS th,
+       |    len(toks) AS n
+       |  FROM tl WHERE len(toks) >= $SpanTokens),
+       |fps AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    list_reduce(th[i : i + ${SpanTokens - 1}], (a, x) -> (a*31 + x) % 2147483647) AS fp,
+       |    array_to_string(toks[i : i + ${SpanTokens - 1}], ' ') AS gram,
+       |    n - ${SpanTokens - 1} AS ng
+       |  FROM (SELECT doc_id, toks, th, n, unnest(range(1, n - ${SpanTokens - 2})) AS i FROM th) x),
+       |win AS (
+       |  SELECT DISTINCT doc_id, unnest(range(0, greatest(ng - ${WinnowWindow - 1}, 1))) AS j
+       |  FROM fps),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT f.doc_id, w.j, f.gram,
+       |      row_number() OVER (PARTITION BY f.doc_id, w.j ORDER BY f.fp ASC, f.pos DESC) AS rk
+       |    FROM fps f JOIN win w ON f.doc_id = w.doc_id
+       |      AND f.pos BETWEEN w.j AND w.j + ${WinnowWindow - 1}) t
+       |  WHERE rk = 1)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(DISTINCT a.gram) AS shared_grams
+       |FROM sel a JOIN sel b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   /** Oracle: gram-string equi-join over all materialized 50-grams — each
     * shared distinct gram counts once per ordered pair. */
   def dedupSubstringPairsSql: String =

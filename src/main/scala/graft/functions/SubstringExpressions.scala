@@ -70,6 +70,82 @@ object SubstringExpressions {
     new GenericArrayData(out)
   }
 
+  /** Modulus shared with [[RollingHash]]: intermediates stay below 2³⁶, so
+    * the identical arithmetic is expressible in any engine's 64-bit SQL —
+    * which is what lets the DuckDB oracle replay the SELECTION, not just
+    * verify its output. */
+  private val M = 2147483647L
+
+  private def tokenHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % M
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Winnowing selection (Schleimer et al. 2003, MOSS): the rightmost
+    * minimal k-gram fingerprint of every w-gram window, O(n) via a
+    * monotonic deque. Guarantee: two documents sharing a span of
+    * ≥ k + w − 1 tokens select at least one common gram (the span contains
+    * a full window at identical relative fingerprints). Fingerprints are
+    * Horner mod 2³¹−1 over per-token hashes — rolling removal via the
+    * precomputed 31^(k−1) mod M — so both engines compute the identical
+    * selection. Returns array<struct<pos,fp>>, positions ascending;
+    * a document with fewer than w grams winnows its single short window. */
+  def winnowSelect(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val toks = graft.core.Tokenizer.letterTokens(text.toString)
+    val n = toks.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val nG = n - k + 1
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = tokenHash(toks(i)); i += 1 }
+    var bk = 1L
+    i = 0
+    while (i < k - 1) { bk = (bk * 31) % M; i += 1 }
+    val fps = new Array[Long](nG)
+    var fp = 0L
+    i = 0
+    while (i < k) { fp = (fp * 31 + th(i)) % M; i += 1 }
+    fps(0) = fp
+    i = 1
+    while (i <= n - k) {
+      fp = (((fp - (th(i - 1) * bk) % M + M) % M) * 31 + th(i + k - 1)) % M
+      fps(i) = fp
+      i += 1
+    }
+    val ww = math.min(w, nG)
+    // monotonic deque of gram indices; back-pops on >= prefer the RIGHTMOST
+    // minimum, matching the oracle's ORDER BY fp ASC, pos DESC tie-break
+    val deque = new java.util.ArrayDeque[Int]()
+    val out = new java.util.ArrayList[Any]()
+    var lastEmitted = -1
+    i = 0
+    while (i < nG) {
+      while (!deque.isEmpty && fps(deque.peekLast()) >= fps(i)) deque.pollLast()
+      deque.addLast(i)
+      if (i >= ww - 1) {
+        while (deque.peekFirst() <= i - ww) deque.pollFirst()
+        val m = deque.peekFirst()
+        if (m != lastEmitted) {
+          out.add(org.apache.spark.sql.catalyst.InternalRow(m, fps(m)))
+          lastEmitted = m
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  val winnowSelectDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_select"),
+    new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
+    (args: Seq[Expression]) => WinnowSelect(args(0), args(1), args(2)))
+
   private[functions] def checkK(prettyName: String, k: Expression): TypeCheckResult =
     if (!k.foldable || k.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(
@@ -110,6 +186,34 @@ case class GramFps(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GramFps =
     copy(left = newLeft, right = newRight)
+}
+
+/** `winnow_select(text, k, w)` → `array<struct<pos:int, fp:bigint>>`: the
+  * winnowing-selected k-gram fingerprints (rightmost window minima). */
+case class WinnowSelect(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_select"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName text must be a string, got ${first.dataType.sql}")
+    else SubstringExpressions.checkK(prettyName, second) match {
+      case TypeCheckResult.TypeCheckSuccess => SubstringExpressions.checkK(prettyName, third)
+      case fail => fail
+    }
+
+  override protected def nullSafeEval(text: Any, k: Any, w: Any): Any =
+    SubstringExpressions.winnowSelect(
+      text.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WinnowSelect =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `grams_at(text, positions, k)` → `array<string>`: the k-token gram

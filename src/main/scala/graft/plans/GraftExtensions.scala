@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(RollingHash.descriptor)
     ext.injectFunction(SubstringExpressions.gramFpsDescriptor)
     ext.injectFunction(SubstringExpressions.gramsAtDescriptor)
+    ext.injectFunction(SubstringExpressions.winnowSelectDescriptor)
   }
 }
 

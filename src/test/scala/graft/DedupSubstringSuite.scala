@@ -97,6 +97,40 @@ class DedupSubstringSuite extends SparkSpec {
     assert(docsInPairs.nonEmpty)
   }
 
+  test("winnow guarantee: a shared span of exactly k+w-1 tokens is always detected") {
+    import spark.implicits._
+    val W = graft.dedup.DedupQueries.WinnowWindow
+    val shared = (1 to K + W - 1).map(w("guar", _)).mkString(" ") // exactly k+w-1
+    val docs = Seq(
+      (1L, s"${(1 to 30).map(w("pre", _)).mkString(" ")} $shared"),
+      (2L, s"$shared ${(1 to 30).map(w("post", _)).mkString(" ")}")).toDF("doc_id", "text")
+    val pairs = DedupQueries.dedupSubstringWinnowOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.drain()
+    assert(pairs == Set((1L, 2L)), s"guarantee-length span missed: $pairs")
+  }
+
+  test("winnow pairs are a subset of the exact pair view; postings density near 2/(w+1)") {
+    val exact = DedupQueries.dedupSubstringPairsOn(
+        Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.drain()
+    val winnowed = DedupQueries.dedupSubstringWinnowOn(
+        Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.drain()
+    assert(winnowed.subsetOf(exact),
+      s"winnow invented pairs the exact view lacks: ${winnowed.diff(exact)}")
+    // shuffle-reduction claim: selected postings ≈ 2/(w+1) of all gram postings
+    val full = Tables.documents(spark, Sf0001)
+      .select(explode(expr(s"gram_fps(text, $K)"))).count()
+    val selected = Tables.documents(spark, Sf0001)
+      .select(explode(expr(s"winnow_select(text, $K, ${graft.dedup.DedupQueries.WinnowWindow})"))).count()
+    val density = selected.toDouble / full
+    info(f"winnow posting density: $density%.3f (theory 2/(w+1) = ${2.0 / (graft.dedup.DedupQueries.WinnowWindow + 1)}%.3f)")
+    assert(density < 0.35, f"winnowing is not thinning the postings: $density%.3f")
+  }
+
   test("gram_fps: rolling fingerprints equal direct recomputation, any window") {
     val text = (1 to 300).map(i => w("r", i % 37) + w("s", i % 11)).mkString(" ")
     val df = spark.range(1).select(lit(text).as("text"))

@@ -1368,6 +1368,48 @@ object RelationalQueries {
       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
       |GROUP BY 1, 2""".stripMargin
 
+  /** FULL OUTER join — the reconciliation shape the outer-join family was
+    * missing (q13 is left outer): per nation, the building-segment customer
+    * book against the wealthy-supplier book, keeping nations present on
+    * EITHER side with the other side zero-filled and flagged. Both inputs
+    * are already aggregated (≤ |nations| rows), so the full outer join is
+    * dimension-sized regardless of fact scale. */
+  def nationReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey").as("c_nation"))
+      .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("cust_bal_c"))
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 5000.0)
+      .groupBy(col("s_nationkey").as("s_nation"))
+      .agg(count(lit(1)).as("n_supp"), sum(cents(col("s_acctbal"))).as("supp_bal_c"))
+    c.join(s, col("c_nation") === col("s_nation"), "full_outer")
+      .select(
+        coalesce(col("c_nation"), col("s_nation")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        (coalesce(col("cust_bal_c"), lit(0L)) / 100.0).as("cust_bal"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        (coalesce(col("supp_bal_c"), lit(0L)) / 100.0).as("supp_bal"),
+        (col("c_nation").isNull || col("s_nation").isNull).as("one_sided"))
+  }
+
+  def nationReconciliationSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+      |    CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS cust_bal_c
+      |  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+      |s AS (
+      |  SELECT s_nationkey AS nationkey, count(*) AS n_supp,
+      |    CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS supp_bal_c
+      |  FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+      |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust,
+      |  COALESCE(cust_bal_c, 0)/100.0 AS cust_bal,
+      |  COALESCE(n_supp, 0) AS n_supp,
+      |  COALESCE(supp_bal_c, 0)/100.0 AS supp_bal,
+      |  (c.nationkey IS NULL OR s.nationkey IS NULL) AS one_sided
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""".stripMargin
+
   def q20ConcentratedSuppliersSql: String =
     """WITH flows AS (
       |  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS q97

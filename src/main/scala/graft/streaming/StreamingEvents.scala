@@ -64,6 +64,36 @@ object StreamingEvents {
         col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** LEFT OUTER variant of [[intervalJoin]]: clicks that attract no
+    * purchase inside the horizon still emit, with null purchase columns —
+    * the attribution report's "unconverted clicks" rows. In streaming
+    * mode the null-padded row for a click can only be emitted once the
+    * WATERMARK has passed its whole match window (before that a matching
+    * purchase could still arrive), so unconverted clicks surface with
+    * watermark latency — the canonical outer-join-needs-watermark
+    * behavior, asserted in the suite. Batch mode emits them immediately
+    * (no watermark concept), same final result. */
+  def intervalJoinOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   val SessionGapSec = 1800L
 
   /** Event-time sessionization via `flatMapGroupsWithState`: per-user state

@@ -236,6 +236,54 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer interval join: unconverted clicks emit null rows only after the watermark closes their window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamingEvents.intervalJoinOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib_outer_stream")
+      .outputMode("append").start()
+    def rows() = spark.table("attrib_outer_stream")
+      .select($"click_id", $"purchase_id").as[(Long, Option[Long])].collect().toSet
+    try {
+      // c1 converts; c2 does not (no purchase within 30 min)
+      clicks.addData(Event(1, ts(0), 1, "click", 0), Event(2, ts(100), 1, "click", 0))
+      purchases.addData(Event(10, ts(20), 1, "purchase", 9.99))
+      q.processAllAvailable()
+      val early = rows()
+      assert(early.contains((1L, Some(10L))), s"match not emitted eagerly: $early")
+      assert(!early.exists(r => r._1 == 2L),
+        s"unconverted click emitted BEFORE the watermark closed its window: $early")
+      // advance event time on BOTH streams: the join's watermark is the MIN
+      // across inputs, so a stale purchase stream alone pins it. 1 h lag
+      // must pass c2's match window end (t=130 min); eviction emits the
+      // null row on the following batch
+      clicks.addData(Event(3, ts(400), 9, "click", 0))
+      purchases.addData(Event(11, ts(400), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      clicks.addData(Event(4, ts(500), 9, "click", 0))
+      purchases.addData(Event(12, ts(500), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val late = rows()
+      assert(late.contains((2L, None)),
+        s"unconverted click never emitted after watermark passed: $late")
+
+      // batch twin: same operator on batch frames — every streamed row must
+      // appear there (the batch result additionally closes the tail clicks
+      // a stream keeps open forever)
+      val batch = StreamingEvents.intervalJoinOuter(
+          Seq(Event(1, ts(0), 1, "click", 0), Event(2, ts(100), 1, "click", 0),
+            Event(3, ts(400), 9, "click", 0), Event(4, ts(500), 9, "click", 0)).toDS().toDF(),
+          Seq(Event(10, ts(20), 1, "purchase", 9.99),
+            Event(11, ts(400), 9, "purchase", 1.0),
+            Event(12, ts(500), 9, "purchase", 1.0)).toDS().toDF())
+        .select($"click_id", $"purchase_id").as[(Long, Option[Long])].collect().toSet
+      assert(late.subsetOf(batch), s"streamed rows not in batch twin: ${late -- batch}")
+    } finally q.stop()
+  }
+
   test("stream-static decontamination equals the batch result (broadcast join, bounded state)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -1383,7 +1383,9 @@ object RelationalQueries {
       .filter(col("s_acctbal") > 5000.0)
       .groupBy(col("s_nationkey").as("s_nation"))
       .agg(count(lit(1)).as("n_supp"), sum(cents(col("s_acctbal"))).as("supp_bal_c"))
-    c.join(s, col("c_nation") === col("s_nation"), "full_outer")
+    // a FULL outer join can't broadcast (both sides are outer); the
+    // shuffled-hash hint avoids sorting two already-tiny aggregates
+    c.hint("shuffle_hash").join(s, col("c_nation") === col("s_nation"), "full_outer")
       .select(
         coalesce(col("c_nation"), col("s_nation")).as("nationkey"),
         coalesce(col("n_cust"), lit(0L)).as("n_cust"),

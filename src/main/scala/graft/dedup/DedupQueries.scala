@@ -243,6 +243,82 @@ object DedupQueries {
     * the brute-force pair set exactly; only the candidate strategy differs. */
   def dedupJaccardSql: String = dedupNearSql
 
+  /** Incremental near-dedup: the newest fifth of the corpus (by doc_id) is
+    * treated as an arriving delivery and deduplicated against the LSH index
+    * of the existing four fifths — the production shape for a growing
+    * corpus, where re-running whole-corpus dedup per delivery does
+    * O(corpus) work to answer an O(delivery) question. Each batch document
+    * gets its best index match (max exact Jaccard ≥ 0.8, ties to the
+    * smallest index id) or `novel`. Batch-internal duplicates are
+    * deliberately out of scope here — that is [[dedupNear]] over the batch;
+    * the streaming twin with rolling state is
+    * [[graft.streaming.StreamingCorpus]].
+    *
+    * Scale shape: the split threshold is a one-row scalar agg (broadcast —
+    * in production it is the delivery manifest, a constant). Both sides
+    * compute banded signatures narrowly, with the `is_new` filters pushed
+    * below the signature projection so each document is shingled exactly
+    * once on its own side; in production the index side IS the stored
+    * signature table, so only the delivery pays compute. Candidates come
+    * from the (band, bh) equi-join — delivery bands probe index bands,
+    * never all-pairs — and only candidates pay exact verification
+    * ([[verifyPairs]] semi-join sliver). The integer `5·id ≥ 4·(max+1)`
+    * split avoids a float threshold for the same reason as
+    * [[dedupJaccard]]'s prefix math. Recall: identical 6e-15 band-miss
+    * bound as [[dedupNear]], so the output equals the brute-force oracle. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val cut = docs.agg(((max(col("doc_id")) + 1) * 4).as("cut4"))
+    val tagged = docs.crossJoin(broadcast(cut))
+      .withColumn("is_new", col("doc_id") * 5 >= col("cut4"))
+    val sigs = withBandBuckets(
+        tagged.select(col("doc_id"), col("is_new"), expr("minhash_sig(text)").as("sig"))
+          .filter(size(col("sig")) > 0))
+      .select(col("doc_id"), col("is_new"), col("band"), col("bh"))
+    val cand = sigs.filter(!col("is_new"))
+        .select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(sigs.filter(col("is_new")).select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      // consumed three times by verification; released by the harness drain
+      .transform(graft.Caches.persisted)
+    val w = Window.partitionBy(col("doc_b")).orderBy(col("jaccard").desc, col("doc_a").asc)
+    val best = verifyPairs(docs, cand)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("matched_id"), col("jaccard"))
+    tagged.filter(col("is_new")).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .withColumn("status",
+        when(col("matched_id").isNotNull, "dup_of_index").otherwise("novel"))
+  }
+
+  /** Brute-force oracle: exact Jaccard of every delivery×index pair. */
+  def dedupIncrementalSql: String =
+    """WITH mx AS (SELECT (max(doc_id) + 1) * 4 AS cut4 FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
+      |        FROM documents) t
+      |  WHERE len(toks) >= 3),
+      |pair AS (
+      |  SELECT b.doc_id AS doc_id, a.doc_id AS matched_id,
+      |    len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS jaccard
+      |  FROM sh b, sh a, mx
+      |  WHERE b.doc_id * 5 >= mx.cut4 AND a.doc_id * 5 < mx.cut4),
+      |best AS (
+      |  SELECT doc_id, matched_id, jaccard,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, matched_id) AS rk
+      |  FROM pair WHERE jaccard >= 0.8)
+      |SELECT doc_id, b.matched_id, b.jaccard,
+      |  CASE WHEN b.matched_id IS NOT NULL THEN 'dup_of_index' ELSE 'novel' END AS status
+      |FROM (SELECT doc_id FROM documents, mx WHERE doc_id * 5 >= cut4) d
+      |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)""".stripMargin
+
   /** Exact-substring span length: the Lee et al. 2022 setting (50 tokens). */
   private[graft] val SpanTokens = 50
 

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -209,6 +210,51 @@ object TextQueries {
       |           WHERE word <> '' GROUP BY word),
       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM w)
       |SELECT word, cnt, TRUE AS mg_found FROM w, tot WHERE cnt * 50 > total""".stripMargin
+
+  /** Per-document top-3 TF-IDF terms (tie-break: score desc, then term asc)
+    * — the classic keyword-extraction / relevance-weighting primitive.
+    * `score = round(tf · ln(N/df), 6)`: the rounding pins the one
+    * float-transcendental in this module to 6 decimals so both engines agree
+    * bit-for-bit (every other ratio in the file is a single exact IEEE
+    * division).
+    *
+    * Scale shape: tf is the wc partial-agg shuffle keyed (doc, term); df is
+    * a second partial agg over tf keyed by term (vocabulary-sized, NOT
+    * corpus-sized); N broadcasts as a one-row scalar. The df attach is a
+    * linear keyed join — at 100 TB the vocabulary is far smaller than the
+    * corpus but can exceed broadcast limits, so it stays a shuffle join by
+    * default (same reasoning as `dedup_jaccard`'s frequency attach). The
+    * final top-3 ranks inside each doc_id partition — no global sort. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"))
+  }
+
+  def tfidfTopTermsSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, term, tf, score FROM (
+      |  SELECT doc_id, term, tf, round(tf * ln(n / df), 6) AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY round(tf * ln(n / df), 6) DESC, term) AS rk
+      |  FROM tf JOIN df USING (term), n) s
+      |WHERE rk <= 3""".stripMargin
 
   /** Corpus statistics by language tag. */
   def langStats(spark: SparkSession, dir: String): DataFrame =

@@ -288,8 +288,12 @@ object DedupQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_b").as("doc_id"), col("doc_a").as("matched_id"), col("jaccard"))
+    // shuffle-hash, not sort-merge: the best-match side is ≤ one row per
+    // delivery doc — delivery-bounded, so a broadcast could blow past the
+    // 8 GB limit on an all-duplicate delivery, but hash-building it per
+    // partition is always linear and skips both sorts.
     tagged.filter(col("is_new")).select(col("doc_id"))
-      .join(best, Seq("doc_id"), "left_outer")
+      .join(best.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
       .withColumn("status",
         when(col("matched_id").isNotNull, "dup_of_index").otherwise("novel"))
   }

@@ -256,6 +256,64 @@ object TextQueries {
       |  FROM tf JOIN df USING (term), n) s
       |WHERE rk <= 3""".stripMargin
 
+  /** Top-100 adjacent-bigram collocations by pointwise mutual information —
+    * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ), the standard
+    * collocation/phrase-mining signal — over bigrams seen ≥ 5 times
+    * (the usual noise gate: PMI of a count-1 bigram of two rare words is
+    * maximal and meaningless). Tie-break: pmi desc, then (w1, w2).
+    *
+    * Exactness: the probability ratio is computed as ONE division of two
+    * int64 products, `c2·n1² / (n2·c1a·c1b)` — both engines do the same
+    * correctly-rounded IEEE division, and the `ln` (the only
+    * transcendental) is pinned to 6 decimals like [[tfidfTopTerms]].
+    * The products stay far inside int64 up to ~10⁹ corpus tokens; beyond
+    * that, promote to double BEFORE multiplying (exact to 2⁵³) — noted
+    * here because a silent int64 overflow would flip signs, not error.
+    *
+    * Scale shape: two partial-agg shuffles (unigrams: vocabulary-sized;
+    * bigrams: vocabulary²-bounded), two keyed joins to attach unigram
+    * counts (broadcast at this sf — vocabularies, not corpora), two
+    * one-row scalar totals broadcast, and TakeOrderedAndProject for the
+    * top-100 — no global sort. */
+  def wordPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toksDf = Tables.documents(spark, dir).select(tokens(col("text")).as("toks"))
+    val uni = toksDf.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val n1 = uni.agg(sum(col("c1")).cast("bigint").as("n1"))
+    val bi = toksDf
+      .select(explode(when(size(col("toks")) >= 2,
+        expr("""transform(sequence(1, size(toks) - 1),
+               |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin))
+        .otherwise(expr("array()").cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val n2 = bi.agg(sum(col("c2")).cast("bigint").as("n2"))
+    bi.filter(col("c2") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi",
+        round(log((col("c2") * col("n1") * col("n1")) / (col("n2") * col("c1a") * col("c1b"))), 6))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(100)
+      .select(col("w1"), col("w2"), col("c2"), col("pmi"))
+  }
+
+  def wordPmiSql: String =
+    """WITH tok AS (SELECT list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |u AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
+      |t1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM u),
+      |b AS (SELECT w1, w2, count(*) AS c2 FROM (
+      |    SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |    FROM tok, UNNEST(range(1, len(toks))) AS r(i)) GROUP BY 1, 2),
+      |t2 AS (SELECT CAST(sum(c2) AS BIGINT) AS n2 FROM b)
+      |SELECT w1, w2, c2, round(ln((c2 * n1 * n1) / (n2 * ua.c1 * ub.c1)), 6) AS pmi
+      |FROM b JOIN u ua ON b.w1 = ua.w JOIN u ub ON b.w2 = ub.w, t1, t2
+      |WHERE c2 >= 5
+      |ORDER BY pmi DESC, w1 ASC, w2 ASC
+      |LIMIT 100""".stripMargin
+
   /** Corpus statistics by language tag. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -71,4 +71,29 @@ class IncrementalTfidfSuite extends SparkSpec {
     assert(got == expected,
       s"diverges: only-spark=${(got -- expected).take(3)} only-oracle=${(expected -- got).take(3)}")
   }
+
+  test("word_pmi: top-100 equals a driver-side recomputation") {
+    val toks = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(TextQueries.tokens(org.apache.spark.sql.functions.col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val c1 = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c2 = toks.flatMap(t => t.zip(t.drop(1))).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val n1 = c1.values.sum
+    val n2 = c2.values.sum
+    val expected = c2.toSeq
+      .filter { case (_, c) => c >= 5 }
+      .map { case ((a, b), c) =>
+        val pmi = BigDecimal(math.log((c * n1 * n1).toDouble / (n2 * c1(a) * c1(b))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, c, pmi)
+      }
+      .sortBy { case (a, b, _, p) => (-p, a, b) }.take(100).toSet
+
+    val got = TextQueries.wordPmi(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    Caches.drain()
+    assert(got == expected,
+      s"diverges: only-spark=${(got -- expected).take(3)} only-oracle=${(expected -- got).take(3)}")
+  }
 }

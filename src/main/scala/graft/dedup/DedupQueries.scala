@@ -677,6 +677,87 @@ object DedupQueries {
        |  count(*) OVER (PARTITION BY canonical) AS component_size
        |FROM (SELECT node AS doc_id, min(r) AS canonical FROM reach GROUP BY node) c""".stripMargin
 
+  /** Fixed-point scale and iteration count for [[docPagerank]]. */
+  private val PrScale = 1000000000000L // 1e12
+  private val PrIters = 3
+
+  /** Damped PageRank (d = 0.85) over the near-dup graph — link analysis on
+    * the duplicate structure: rank mass concentrates in big duplicate
+    * clusters, the standard propagation primitive for pushing a quality or
+    * spam score through near-copies. Returns the top-20 documents by rank
+    * (ties to the smaller doc_id).
+    *
+    * Exactness: all arithmetic is FIXED-POINT int64 ([[PrScale]] = 10¹²) —
+    * per-node contributions `rank div deg`, dangling mass redistributed
+    * `div n`, and the damping as the rational 17/20 — because a
+    * floating-point PageRank sums neighbor contributions in partition
+    * order, which is nondeterministic under Spark and would diverge from
+    * any oracle bit-wise (the same reason `ivf_train` scales its centroid
+    * sums). Integer floor-division is identical in Spark (`div`) and
+    * DuckDB (`//`) for the non-negative values here, so the oracle replays
+    * the exact trajectory, like [[dedupComponentsSql]]'s recursive CTE.
+    *
+    * Scale shape: the edge list (near-dup pairs ← [[dedupNear]]) is
+    * output-sized, tiny next to the corpus; each of the [[PrIters]] rounds
+    * is one keyed join + partial-agg sum over edges plus a one-row dangling
+    * aggregate, with [[truncate]] keeping plans O(1) exactly as
+    * [[dedupComponents]] does. The final top-20 is TakeOrderedAndProject. */
+  def docPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = graft.Caches.scoped {
+      truncate(dedupNear(spark, dir).select(col("doc_a"), col("doc_b")))
+    }
+    // strict doc_a < doc_b in the pair set → the two directions are disjoint
+    val edges = truncate(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = docs.count()
+    var rank = truncate(
+      docs.join(deg, docs("doc_id") === deg("src"), "left")
+        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          lit(PrScale / n).as("rank")))
+    for (_ <- 1 to PrIters) {
+      val dangling = rank.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
+      val sums = edges
+        .join(rank, edges("src") === rank("doc_id"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      rank = truncate(
+        rank.as("r").join(sums, col("r.doc_id") === sums("dst"), "left")
+          .select(col("r.doc_id").as("doc_id"), col("r.deg").as("deg"),
+            (lit(3L * PrScale / (20L * n)) +
+              expr(s"(17 * (coalesce(s, 0) + ${dangling / n})) div 20")).as("rank")))
+    }
+    rank.orderBy(col("rank").desc, col("doc_id").asc).limit(20)
+      .select(col("doc_id"), col("rank"))
+  }
+
+  /** Oracle: the identical fixed-point trajectory, unrolled [[PrIters]]
+    * times (like `ivf_train`'s unrolled Lloyd rounds). */
+  def docPagerankSql: String = {
+    def round(prev: String, i: Int): String =
+      s"""d$i AS (SELECT COALESCE(sum(rank), 0) AS dang FROM $prev WHERE deg = 0),
+         |s$i AS (SELECT e.dst, sum(r.rank // r.deg) AS s
+         |        FROM edges e JOIN $prev r ON e.src = r.doc_id GROUP BY 1),
+         |r${i + 1} AS (SELECT p.doc_id, p.deg,
+         |    (3 * $PrScale) // (20 * n) + (17 * (COALESCE(s, 0) + dang // n)) // 20 AS rank
+         |  FROM $prev p LEFT JOIN s$i ON p.doc_id = s$i.dst, nn, d$i)""".stripMargin
+    s"""WITH pairs AS ($dedupNearSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT doc_id, COALESCE(deg, 0) AS deg, $PrScale // n AS rank
+       |       FROM documents LEFT JOIN deg ON doc_id = src, nn),
+       |${(0 until PrIters).map(i => round(s"r$i", i)).mkString(",\n")}
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM r$PrIters
+       |ORDER BY rank DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
+  }
+
   private val SimHashBits = 16
   private val WideHexDigits = 15 // 60-bit signature for the pairs operator
 

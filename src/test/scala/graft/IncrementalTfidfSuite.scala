@@ -72,6 +72,31 @@ class IncrementalTfidfSuite extends SparkSpec {
       s"diverges: only-spark=${(got -- expected).take(3)} only-oracle=${(expected -- got).take(3)}")
   }
 
+  test("doc_pagerank: fixed-point trajectory equals a driver-side replay") {
+    val S = 1000000000000L
+    val n = spark.read.parquet(s"$Sf0001/documents.parquet").count()
+    val ids = (0L until n) // doc_ids are dense 0..n-1 in the fixture
+    val pairs = DedupQueries.dedupNear(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = ids.map(i => i -> S / n).toMap
+    for (_ <- 1 to 3) {
+      val dang = ids.filter(i => !deg.contains(i)).map(rank).sum
+      val sums = edges.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => rank(u) / deg(u) }.sum).toMap
+      rank = ids.map(i => i -> ((3 * S) / (20 * n) +
+        (17 * (sums.getOrElse(i, 0L) + dang / n)) / 20)).toMap
+    }
+    val expected = rank.toSeq.sortBy { case (i, r) => (-r, i) }.take(20).toSet
+
+    val got = DedupQueries.docPagerank(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.drain()
+    assert(got == expected,
+      s"diverges: only-spark=${(got -- expected).take(3)} only-oracle=${(expected -- got).take(3)}")
+  }
+
   test("word_pmi: top-100 equals a driver-side recomputation") {
     val toks = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select(TextQueries.tokens(org.apache.spark.sql.functions.col("text")).as("toks"))

@@ -25,9 +25,10 @@ import graft.plans.GraftSession
 object ScaleProbe {
 
   private val Probes = Seq("dedup_exact", "dedup_near", "dedup_jaccard",
-    "dedup_incremental", "dedup_substring", "dedup_substring_pairs",
-    "dedup_substring_winnow", "decontaminate", "doc_repetition", "seq_pack",
-    "word_heavy_hitters", "tfidf_top_terms", "word_pmi")
+    "dedup_incremental", "doc_pagerank", "dedup_substring",
+    "dedup_substring_pairs", "dedup_substring_winnow", "decontaminate",
+    "doc_repetition", "seq_pack", "word_heavy_hitters", "tfidf_top_terms",
+    "word_pmi")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

@@ -275,19 +275,10 @@ object DedupQueries {
         tagged.select(col("doc_id"), col("is_new"), expr("minhash_sig(text)").as("sig"))
           .filter(size(col("sig")) > 0))
       .select(col("doc_id"), col("is_new"), col("band"), col("bh"))
-    val cand = sigs.filter(!col("is_new"))
-        .select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      .join(sigs.filter(col("is_new")).select(col("doc_id").as("doc_b"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-      // consumed three times by verification; released by the harness drain
-      .transform(graft.Caches.persisted)
-    val w = Window.partitionBy(col("doc_b")).orderBy(col("jaccard").desc, col("doc_a").asc)
-    val best = verifyPairs(docs, cand)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_b").as("doc_id"), col("doc_a").as("matched_id"), col("jaccard"))
+    val best = bestIndexMatches(
+      sigs.filter(!col("is_new")).select(col("doc_id"), col("band"), col("bh")),
+      sigs.filter(col("is_new")).select(col("doc_id"), col("band"), col("bh")),
+      docs)
     // shuffle-hash, not sort-merge: the best-match side is ≤ one row per
     // delivery doc — delivery-bounded, so a broadcast could blow past the
     // 8 GB limit on an all-duplicate delivery, but hash-building it per
@@ -296,6 +287,30 @@ object DedupQueries {
       .join(best.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
       .withColumn("status",
         when(col("matched_id").isNotNull, "dup_of_index").otherwise("novel"))
+  }
+
+  /** The matching core of [[dedupIncremental]], factored over PRE-BANDED
+    * signature tables so the index side can be a stored artifact: delivery
+    * bands probe index bands on (band, bh), exact verification runs on the
+    * candidate sliver against `corpus` (the fetch-text-by-id side), and
+    * each delivery doc keeps its best match. Both band frames are
+    * `(doc_id, band, bh)` — exactly what [[withBandBuckets]] emits and what
+    * a production deployment persists as its LSH index (parquet
+    * round-tripped in IncrementalTfidfSuite to pin the schema contract). */
+  private[graft] def bestIndexMatches(
+      indexBands: DataFrame, deliveryBands: DataFrame, corpus: DataFrame): DataFrame = {
+    val cand = indexBands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(deliveryBands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      // consumed three times by verification; released by the harness drain
+      .transform(graft.Caches.persisted)
+    val w = Window.partitionBy(col("doc_b")).orderBy(col("jaccard").desc, col("doc_a").asc)
+    verifyPairs(corpus, cand)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("matched_id"), col("jaccard"))
   }
 
   /** Brute-force oracle: exact Jaccard of every delivery×index pair. */

@@ -72,6 +72,35 @@ class IncrementalTfidfSuite extends SparkSpec {
       s"diverges: only-spark=${(got -- expected).take(3)} only-oracle=${(expected -- got).take(3)}")
   }
 
+  test("dedup_incremental: probing a parquet-stored LSH index reproduces the inline path") {
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    def bandsOf(df: DataFrame): DataFrame = DedupQueries.withBandBuckets(
+      df.select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
+        .filter(size(col("sig")) > 0))
+      .select(col("doc_id"), col("band"), col("bh"))
+
+    // the production shape: the index side is a persisted signature table
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-index").toString
+    bandsOf(docs.filter(col("doc_id") * 5 < (maxId + 1) * 4))
+      .write.mode("overwrite").parquet(indexDir)
+    val viaStore = DedupQueries.bestIndexMatches(
+        spark.read.parquet(indexDir),
+        bandsOf(docs.filter(col("doc_id") * 5 >= (maxId + 1) * 4)),
+        docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Caches.drain()
+
+    val inline = DedupQueries.dedupIncremental(spark, Sf0001)
+      .filter(col("status") === "dup_of_index")
+      .select(col("doc_id"), col("matched_id"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Caches.drain()
+    assert(viaStore == inline, s"stored-index probe diverges: $viaStore vs $inline")
+  }
+
   test("doc_pagerank: fixed-point trajectory equals a driver-side replay") {
     val S = 1000000000000L
     val n = spark.read.parquet(s"$Sf0001/documents.parquet").count()

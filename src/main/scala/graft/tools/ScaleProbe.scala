@@ -61,13 +61,18 @@ object ScaleProbe {
     val maxK = args.headOption.map(_.toInt).getOrElse(4)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val outBase = args.lift(2).getOrElse("/tmp/graft-scaleprobe")
+    // optional comma-separated probe filter, e.g. "doc_pagerank,word_pmi"
+    val probes = args.lift(3)
+      .map(_.split(',').toSeq.map(_.trim).filter(Probes.contains))
+      .filter(_.nonEmpty)
+      .getOrElse(Probes)
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ks = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).toSeq
     ks.foreach { k =>
       val dir = s"$outBase/k$k"
       replicate(spark, sfDir, k, dir)
-      Probes.foreach { name =>
+      probes.foreach { name =>
         val fn = SparkEntry.queries(name)
         fn(spark, dir).count() // warm (codegen/JIT for this plan shape)
         Caches.drain()

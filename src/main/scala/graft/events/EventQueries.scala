@@ -496,4 +496,49 @@ object EventQueries {
       |FROM viewed
       |LEFT JOIN clicked USING (user_id)
       |LEFT JOIN purchased USING (user_id)""".stripMargin
+
+  /** Binned range join: each purchase counts the same user's views in the
+    * preceding hour, `[p_ms - W, p_ms)`.
+    *
+    * The naive plan joins views⋈purchases on user_id alone and filters the
+    * time predicate after the match — per-user all-pairs, quadratic for a
+    * power user with millions of events. Binning restores a bound: views
+    * carry `bin = ms div W`; each purchase probes exactly the two bins its
+    * window can overlap (window length == bin width), so the equi-join key
+    * is (user_id, bin) and candidates per probe are one bin's events, not
+    * one user's history. The exact half-open predicate then runs on the
+    * candidate sliver only. This is the technique that survives when the
+    * two sides are separate 100 TB tables (impressions vs conversions) and
+    * no per-user window formulation applies; the 2× probe explosion sits on
+    * the smaller side. Zero-view purchases are restored by a final left
+    * join keyed on event_id — linear, no extra scan of views. */
+  def rangeJoinViews(spark: SparkSession, dir: String): DataFrame = {
+    val W = 3600000L // 1 h in ms == bin width, so a window spans ≤2 bins
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr(s"ms div ${W}L").as("bin"), col("ms").as("v_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ms"))
+    val probes = purchases.select(col("user_id"), col("event_id"), col("ms"),
+      explode(array(expr(s"ms div ${W}L"), expr(s"ms div ${W}L - 1L"))).as("bin"))
+    val matched = probes.join(views, Seq("user_id", "bin"))
+      .filter(col("v_ms") >= col("ms") - W && col("v_ms") < col("ms"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("views_1h"))
+    // shuffle-hash: matched is aggregate-derived (no stats → Catalyst would
+    // sort-merge); it is purchase-bounded but not promised broadcast-small
+    purchases.join(matched.hint("shuffle_hash"), Seq("event_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("views_1h"), lit(0L)).as("views_1h"))
+  }
+
+  def rangeJoinViewsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000 AS ms FROM events)
+      |SELECT p.user_id, p.event_id,
+      |  (SELECT count(*) FROM ev v
+      |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |     AND v.ms >= p.ms - 3600000 AND v.ms < p.ms) AS views_1h
+      |FROM ev p WHERE p.event_type = 'purchase'""".stripMargin
 }

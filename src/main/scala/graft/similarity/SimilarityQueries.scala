@@ -475,4 +475,87 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
        |  FROM scored) r
        |WHERE rank <= $K""".stripMargin
+
+  // Production SemDeDup dedups at τ≈0.95; the synthetic corpus's cosine
+  // ceiling is ~0.49, so the demo threshold sits at 0.3 (nearPairs' floor)
+  // to keep the is_dup verdict non-degenerate under the oracle compare.
+  private val SemDedupTau = 0.3
+
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): every vector
+    * is assigned to its nearest TRAINED centroid cell, and within each cell
+    * a vector is a duplicate iff some LOWER-id cell-mate has cosine ≥ τ —
+    * the paper's criterion (max similarity to lower-index cluster members),
+    * which keeps exactly one canonical representative per semantic group
+    * without any iterative peeling.
+    *
+    * This is the scale story k-means buys: the quadratic pairwise step runs
+    * only WITHIN cells, so its cost is Σ|cell|² ≈ N²/|cells| — at corpus
+    * scale |cells| grows with N to hold cell size (and thus per-bucket
+    * work) constant, the same occupancy rule as SCALING.md's banding note.
+    * The cell self-join is an equi-join on cell id (shuffle carries id +
+    * vector, never text); the assignment pass is narrow against a broadcast
+    * ≤|cells|-row centroid table; the final restore of never-duplicated
+    * vectors is a linear left join on vec_id. The quantizer is
+    * deterministic (exact integer-scaled Lloyd rounds), so the whole
+    * pipeline has an exact SQL oracle ([[semanticDedupSql]]); `-2.0` is the
+    * sentinel for "no lower-id cell-mate" (cosine lives in [-1, 1]).
+    *
+    * Reference parity note: the reference engine has no embedding
+    * operators; this extends the dedup family the LLM-pipeline mandate
+    * asks for (exact → MinHash → SimHash → Jaccard → substring → semantic). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cents = trainedCentroidVectors(spark, dir)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // nearest cell via partial-aggregable argmax, not a corpus-wide window:
+    // max by (csim, -cell) = highest cosine, ties to the lower cell id
+    val cells = base.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(e, centroid)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cell")).as("negcell"), col("e").as("ev"))).as("m"))
+      .select(col("vec_id"), (-col("m.negcell")).as("cell"), col("m.ev").as("e"))
+    // shuffle-hash on both joins: the sides are aggregate-derived (no stats,
+    // Catalyst would default to sort-merge), cell-keyed hash needs no sort,
+    // and neither side is promised broadcast-small at corpus scale
+    val maxLower = cells.as("a")
+      .join(cells.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", expr("cosine_sim(a.e, b.e)"))
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(max(col("cosine")).as("m"))
+    cells.join(maxLower.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("cell"),
+        coalesce(col("m"), lit(-2.0)).as("max_sim_lower"),
+        when(coalesce(col("m"), lit(-2.0)) >= SemDedupTau, 1L).otherwise(0L).as("is_dup"))
+  }
+
+  /** Exact oracle: the shared Lloyd CTE chain, the same nearest-cell
+    * assignment, the same within-cell lower-id max — ordered folds
+    * throughout, so every double is bit-identical. */
+  def semanticDedupSql: String =
+    s"""WITH $normCte,
+       |$lloydCtes,
+       |cn AS (
+       |  SELECT cell, c,
+       |    list_reduce(list_transform(c, x -> x * x), (a, x) -> a + x) AS cnrm
+       |  FROM cent$LloydRounds),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+       |  FROM (
+       |    SELECT n.vec_id, n.e, n.nrm, cn.cell,
+       |      list_reduce(list_transform(range(1, len(n.e) + 1), i -> n.e[i] * cn.c[i]), (a, x) -> a + x)
+       |        / (sqrt(n.nrm) * sqrt(cn.cnrm)) AS csim
+       |    FROM n, cn) t),
+       |corpus AS (SELECT vec_id, e, nrm, cell FROM ranked WHERE crank = 1),
+       |ml AS (
+       |  SELECT b.vec_id AS vec_id,
+       |    max(list_reduce(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]), (a2, x) -> a2 + x)
+       |      / (sqrt(a.nrm) * sqrt(b.nrm))) AS m
+       |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  GROUP BY b.vec_id)
+       |SELECT c.vec_id, c.cell,
+       |  coalesce(ml.m, -2.0) AS max_sim_lower,
+       |  CAST(CASE WHEN coalesce(ml.m, -2.0) >= $SemDedupTau THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM corpus c LEFT JOIN ml USING (vec_id)""".stripMargin
 }

@@ -165,6 +165,23 @@ class RelationalExtrasSuite extends SparkSpec {
     assert(v > 0 && c > 0) // the funnel is non-trivial at this sf
   }
 
+  test("events_range_join: bin-join equals the naive per-pair count, zero rows kept") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms")).collect()
+    val views = ev.filter(_.getString(2) == "view")
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val expected = ev.filter(_.getString(2) == "purchase").map { p =>
+      val (u, id, ms) = (p.getLong(0), p.getLong(1), p.getLong(3))
+      (id, u, views.count { case (vu, vms) =>
+        vu == u && vms >= ms - 3600000L && vms < ms }.toLong)
+    }.toSet
+    val got = graft.events.EventQueries.rangeJoinViews(spark, Sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    assert(got == expected)           // exact half-open window semantics
+    assert(got.exists(_._3 == 0L))    // zero-view purchases survive the left join
+  }
+
   test("dedup_simhash_pairs: equals brute force (banding is recall-lossless)") {
     val sigs = DedupQueries.simhashN(spark, Sf0001, 15).collect()
       .map(r => r.getLong(0) -> r.getLong(1))

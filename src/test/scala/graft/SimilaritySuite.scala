@@ -79,6 +79,38 @@ class SimilaritySuite extends SparkSpec {
     assert(moved > 0, "3 Lloyd rounds left every centroid component exactly at the seed")
   }
 
+  test("dedup_semantic: covers the corpus; per-cell lowest id is canonical; max_sim_lower exact") {
+    val rows = SimilarityQueries.semanticDedup(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length == Tables.embeddings(spark, Sf0001).count(),
+      "every vector gets a keep/dup verdict")
+    val byCell = rows.groupBy(_._2)
+    byCell.values.foreach { cell =>
+      val minId = cell.map(_._1).min
+      // the cell's lowest id has no lower-id mate: sentinel, never a dup
+      val canon = cell.find(_._1 == minId).get
+      assert(canon._3 == -2.0 && canon._4 == 0L)
+      // everyone else saw at least one real cosine in [-1, 1]
+      cell.filter(_._1 != minId).foreach { v =>
+        assert(v._3 >= -1.0 && v._3 <= 1.0)
+        assert((v._4 == 1L) == (v._3 >= 0.3)) // is_dup is exactly the threshold test
+      }
+    }
+    // spot-exactness: recompute one non-canonical vector's max-to-lower driver-side
+    val cells = byCell.values.find(_.length >= 3).get
+    val embByIdx = Tables.embeddings(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val target = cells.maxBy(_._1)
+    val expected = cells.filter(_._1 < target._1)
+      .map(u => cos(embByIdx(u._1), embByIdx(target._1))).max
+    assert(math.abs(target._3 - expected) < 1e-12)
+  }
+
   test("label centroids: one scalar row per (label, dimension), full dimensionality") {
     val rows = SimilarityQueries.labelCentroids(spark, Sf0001).collect()
     assert(rows.length == 10 * 64) // 10 labels × 64 dims, exploded

@@ -350,4 +350,66 @@ object TrainingPrep {
       |GROUP BY 1
       |ORDER BY cnt DESC, bigram ASC
       |LIMIT 50""".stripMargin
+
+  /** Weight-vector width of the hashed linear scorer: 2^12 buckets. Real
+    * deployments use 2^18–2^21; the shape is identical, only the broadcast
+    * table grows (still O(model), never O(corpus)). */
+  private val QcBuckets = 4096
+
+  /** Model-based quality filtering, the fastText/DCLM-classifier shape:
+    * score = Σ_tokens w[hash(token) mod 2^12] with the weight vector as a
+    * BROADCAST table — the deployment form of "run a linear text classifier
+    * over a 100 TB corpus". The pipeline shape is the real thing end to
+    * end: feature hashing (Weinberger et al. 2009) via the engine-portable
+    * md5-prefix token hash (shared with [[graft.dedup.DedupQueries]]'s
+    * SimHash), per-(doc, bucket) partial-agg counts so the join input is
+    * ≤ |buckets| rows per doc, the model joined broadcast on bucket id,
+    * and one integer-exact per-doc reduction. The WEIGHTS are a documented
+    * deterministic placeholder (an LCG over the bucket id, ±128 range) —
+    * trained parameters are a drop-in replacement table; nothing else
+    * changes. Like the multimodal codec stub, the contract is that the
+    * plumbing is real and exactly tested, not that the model is smart.
+    *
+    * Everything is int64 (counts × |w|≤128 × docs ≪ 2^63), so the verdict
+    * and score are bit-exact across engines and partitionings; `keep` is
+    * the raw_score ≥ 0 gate (hash weights are sign-symmetric, so the
+    * corpus splits non-degenerately). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    // the "model": bucket → int weight in [-128, 127], LCG-scrambled
+    val weights = spark.range(QcBuckets.toLong)
+      .select(col("id").as("bucket"),
+        (expr("((id * 1103515245 + 12345) >> 16) % 256") - 128L).as("w"))
+    val perBucket = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"),
+        expr(s"cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint) & ${QcBuckets - 1}").as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    perBucket.join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("w")).as("raw_score"))
+      .select(col("doc_id"), col("n_tokens"), col("raw_score"),
+        when(col("raw_score") >= 0L, 1L).otherwise(0L).as("keep"))
+  }
+
+  def qualityClassifierSql: String =
+    s"""WITH w AS (
+       |  SELECT CAST(b AS BIGINT) AS bucket,
+       |    ((b * 1103515245 + 12345) >> 16) % 256 - 128 AS w
+       |  FROM range(${QcBuckets}) t(b)),
+       |pb AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT & ${QcBuckets - 1} AS bucket,
+       |    count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) e
+       |  WHERE tok <> ''
+       |  GROUP BY doc_id, bucket)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(cnt * w) AS BIGINT) AS raw_score,
+       |  CAST(CASE WHEN sum(cnt * w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM pb JOIN w USING (bucket)
+       |GROUP BY doc_id""".stripMargin
 }

@@ -60,6 +60,30 @@ class TrainingPrepSuite extends SparkSpec {
     assert(bad.count() == 0, "pigeonhole violated: top_cnt * n_distinct >= n_tokens must hold")
   }
 
+  test("quality_classifier: every doc scored, token mass conserved, exact driver-side score") {
+    val scored = TrainingPrep.qualityClassifier(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scored.keySet == docs.keySet, "one verdict per document")
+    assert(scored.values.exists(_._3 == 0L) && scored.values.exists(_._3 == 1L),
+      "keep gate is non-degenerate on the synthetic corpus")
+    // recompute one document's score with an independent driver-side model
+    def weight(b: Long): Long = ((b * 1103515245L + 12345L) >> 16) % 256L - 128L
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) & 4095L
+    }
+    val (id, text) = docs.maxBy(_._1)
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val expected = toks.map(t => weight(bucket(t))).sum
+    val (nTok, raw, keep) = scored(id)
+    assert(nTok == toks.length.toLong)
+    assert(raw == expected, s"doc $id: engine $raw vs driver $expected")
+    assert(keep == (if (raw >= 0) 1L else 0L))
+  }
+
   test("train_split: partition of the corpus, deterministic, ~80/10/10") {
     val docs = Tables.documents(spark, Sf0001)
     val total = docs.count()

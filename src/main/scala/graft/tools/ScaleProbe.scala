@@ -28,7 +28,7 @@ object ScaleProbe {
     "dedup_incremental", "doc_pagerank", "dedup_substring",
     "dedup_substring_pairs", "dedup_substring_winnow", "decontaminate",
     "doc_repetition", "seq_pack", "word_heavy_hitters", "tfidf_top_terms",
-    "word_pmi")
+    "word_pmi", "quality_classifier", "dedup_semantic", "events_range_join")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would
@@ -55,6 +55,63 @@ object ScaleProbe {
     }
     copies.reduce(_ unionAll _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    replicateEvents(spark, srcDir, k, outDir)
+    replicateEmbeddings(spark, srcDir, k, outDir)
+  }
+
+  /** Events replicate with per-replica user_id/event_id offsets: user
+    * populations are disjoint across replicas, so per-user operators (the
+    * range join, sessions) see k× the users at constant per-user history —
+    * the honest growth mode for an event stream. */
+  private def replicateEvents(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val (idStride, userStride) = {
+      val r = ev.agg(max(col("event_id")), max(col("user_id"))).head
+      (r.getLong(0) + 1L, r.getLong(1) + 1L)
+    }
+    (0 until k).map { r =>
+      ev.select(
+        (col("event_id") + lit(r * idStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(r * userStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+  }
+
+  /** Embeddings replicate via a per-replica deterministic sign flip on the
+    * dimensions (splitmix-parity of (replica, dim)): within a replica every
+    * cosine is EXACTLY preserved (the signs cancel in Σ s²·x·y), while
+    * cross-replica cosines become pseudo-random near-zero sums — so the
+    * within-cell pair structure grows k×, never k² as verbatim copies
+    * (mutual exact dups) would. Replica 0 keeps the original vectors. */
+  private def replicateEmbeddings(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val (idStride, labelStride) = {
+      val r = emb.agg(max(col("vec_id")), max(col("label").cast("long"))).head
+      (r.getLong(0) + 1L, r.getLong(1) + 1L)
+    }
+    val labelType = emb.schema("label").dataType
+    (0 until k).map { r =>
+      // sign(r, d) = ±1 from the low bit of a multiplicative mix; r=0 all +1
+      val flipped =
+        if (r == 0) col("embedding")
+        else expr(
+          // two LCG steps mod 2^31, sign from bit 16; intermediates stay
+          // < 2^31 * 1103515245 ≈ 2.4e18 < Long.Max for every r ≤ 26
+          s"""transform(embedding, (x, d) ->
+             |  CASE WHEN pmod(pmod(pmod(bigint($r) * 1103515245 + bigint(d) * 12345, 2147483648)
+             |                       * 1103515245 + 12345, 2147483648) div 65536, 2) = 0
+             |       THEN x ELSE -x END)""".stripMargin)
+      emb.select(
+        (col("vec_id") + lit(r * idStride)).as("vec_id"),
+        flipped.cast("array<float>").as("embedding"),
+        // labels offset per replica: the label-seeded quantizer then has k×
+        // the cells at constant cell size — the documented "cells grow with
+        // N" scale mode, so within-cell pair work grows k×, not k²
+        (col("label").cast("long") + lit(r * labelStride)).cast(labelType).as("label"))
+    }.reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -56,6 +56,40 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter pruning engages when a join must shuffle (the 100 TB fallback)") {
+    // At sf0.001 every dimension broadcasts, so the rows above prove the
+    // small-data plan; at 100 TB the fact⋈fact joins shuffle instead, and
+    // the defense is Spark's runtime bloom filter: the selective side
+    // builds a bloom_filter_agg and the big side's scan gets a
+    // might_contain filter BEFORE the shuffle. Force the fallback (no
+    // broadcast, zero size thresholds) and assert the engine's sessions
+    // have the rewrite available and firing.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val orders = Tables.orders(spark, Sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT") // selective creation side
+      val joined = Tables.lineitem(spark, Sf0001)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$plan")
+      assert(joined.collect().nonEmpty) // and the filtered plan still answers
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("no driver-side data path in any query module (SCALING.md rule 7, statically enforced)") {
     // the one documented exception: MapReduceJob.mergedLines (test/debug
     // helper reproducing the reference harness's merged view). Coverage is

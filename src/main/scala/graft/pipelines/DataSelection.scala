@@ -1,0 +1,392 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-selection operators — the published corpus-curation algorithms that
+  * decide WHICH documents (and how much of each domain) enter a training
+  * mix, complementing the dedup family ([[graft.dedup.DedupQueries]]) and
+  * the heuristic filters ([[TrainingPrep]]):
+  *
+  *   - [[bm25Search]] — BM25 ranked retrieval (Robertson-Spärck Jones),
+  *     the workhorse for targeted data discovery and contamination audits;
+  *   - [[ngramPerplexity]] — bigram-LM cross-entropy scoring against an
+  *     in-domain slice, the CCNet/KenLM quality-filter shape (Wenzek et
+  *     al. 2020) with the LM degraded to an exactly-reproducible add-one
+  *     bigram model;
+  *   - [[dsirWeights]] — hashed-n-gram importance sampling (DSIR, Xie et
+  *     al. 2023): per-document log importance weights between a target
+  *     and the raw distribution over hashed bigram buckets;
+  *   - [[domainMixture]] — deterministic mixture resampling: per-source
+  *     keep rates derived from target mixture weights and a global token
+  *     budget (the data-mixing step of any multi-corpus training run);
+  *   - [[ngramRepetition]] — the Gopher repetition signals (Rae et al.
+  *     2022 Table A1): top-bigram share and duplicated-trigram fraction.
+  *
+  * Determinism policy (shared with [[TrainingPrep]]): every score that
+  * passes through `ln` is snapped to integer micro-nats per ROW
+  * (`cast(round(ln(int-rational) * 1e6) as bigint)`) BEFORE any sum, so
+  * aggregation is integer arithmetic — associative, partition-order-free,
+  * and bit-identical to the DuckDB oracle. A raw double `sum(ln(...))`
+  * would be none of those. Feature hashing reuses the engine-portable
+  * md5-prefix trick of [[TrainingPrep.qualityClassifier]].
+  *
+  * Scale shapes (each documented per operator): the model/statistics side
+  * of every operator is tiny (term set, 1024 buckets, 20 sources) or
+  * vocabulary-sized, and broadcasts; the corpus side is narrow
+  * projections plus partial-aggregated keyed group-bys — no all-pairs
+  * work, no driver-side data paths, raw text never shuffles.
+  */
+object DataSelection {
+
+  /** Raw space-token array — the parity twin of DuckDB `string_split`.
+    * The synthetic corpus is single-space-joined words (TESTDATA.md), so
+    * positional n-grams over the raw array match the oracle exactly. */
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Positional n-gram strings (space-joined) over a `toks` array column
+    * already named `toks`; empty array below `n` tokens (guarded — Spark's
+    * `sequence(1, 0)` would DESCEND, not return empty). */
+  private def grams(n: Int): Column = {
+    val parts = (0 until n).map(o => s"element_at(toks, i + $o)").mkString(", ")
+    when(size(col("toks")) >= n,
+      expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $parts))"))
+      .otherwise(expr("array()").cast("array<string>"))
+  }
+
+  // ---------------------------------------------------------------- BM25
+
+  private val Bm25Terms = Seq("spark", "join", "stream", "window")
+  private def bm25TermsSqlList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+
+  /** BM25 top-20 retrieval for a fixed query-term set. Scoring is the
+    * textbook formula (k1 = 1.2, b = 0.75, the +1 idf so scores stay
+    * positive at df > N/2); each per-(doc, term) score is snapped to
+    * micro-nats so the per-doc sum is integer-exact.
+    *
+    * Scale shape: one corpus pass — the token explode is narrow and the
+    * `isin` filter drops every non-query token BEFORE the (doc, term)
+    * group-by, so the shuffle carries only matching-term counts (|terms| ≤
+    * a handful of rows per doc). The df/N/L statistics are term-set-sized
+    * and scalar aggregates, broadcast back; the final top-20 is
+    * TakeOrderedAndProject, never a global sort. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("bigint").as("dl"))
+    val corpus = docs.agg(
+      count(lit(1)).cast("bigint").as("n_docs"),
+      sum(col("dl")).cast("bigint").as("total_len"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    // Two parity rules learned the hard way: (1) idf is quantized to
+    // micro-nats BEFORE the tf factor — `ln` is the one op whose last ulp
+    // differs between engines, and multiplying it by the tf ratio first
+    // would smear that ulp across every row's rounding boundary; (2) every
+    // fractional literal is written in exponent notation (`2.2e0`) in BOTH
+    // engines' SQL — plain `2.2` parses as DECIMAL in each, and Spark then
+    // runs the whole factor in decimal arithmetic (different rounding)
+    // while DuckDB's `/` degrades to double at a different point. With
+    // double literals the factor is identical IEEE arithmetic on identical
+    // bits in both engines, so the final rounding decision agrees.
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("bigint").as("df"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_micro",
+        expr("cast(round(ln(1 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * 1000000) as bigint)"))
+      .withColumn("term_micro",
+        expr("""cast(round(idf_micro
+               |  * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl * n_docs / total_len)))) as bigint)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_terms"),
+        sum(col("term_micro")).as("score_micro"))
+      .withColumn("score", round(col("score_micro") / 1000000.0, 6))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  def bm25SearchSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dd),
+       |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dd) e
+       |       WHERE tok IN ($bm25TermsSqlList)
+       |       GROUP BY 1, 2, 3),
+       |idf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |t AS (SELECT doc_id,
+       |        CAST(round(CAST(round(ln(1 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * 1000000) AS BIGINT)
+       |          * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl * n_docs / total_len)))) AS BIGINT) AS term_micro
+       |      FROM tf JOIN idf USING (tok), c)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  round(CAST(sum(term_micro) AS BIGINT) / 1000000.0e0, 6) AS score
+       |FROM t GROUP BY doc_id
+       |ORDER BY CAST(sum(term_micro) AS BIGINT) DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- n-gram LM perplexity
+
+  private val LmSource = "src1"
+  /** Keep bar on avg nats/bigram — the corpus median at sf0.01, so the
+    * flag splits non-trivially (the CCNet "head/tail" cut). */
+  private val PerplexityKeepBar = 3.53
+
+  /** Bigram-LM cross-entropy filter (the CCNet/KenLM shape): train an
+    * add-one bigram model on the in-domain slice (`source = src1`), score
+    * every document by average negative log-likelihood per bigram, flag
+    * the below-median half as keepers. `P(w2|w1) = (c12 + 1)/(c1 + V)`
+    * with `c1 = Σ_w c(w1, w)` (bigram-prefix count) and V the slice's
+    * unigram vocabulary — every input to `ln` is an integer ratio, so
+    * per-bigram costs are engine-exact micro-nats.
+    *
+    * Scale shape: the model is vocabulary²-bounded and built by one
+    * partial-aggregated group-by over the in-domain slice only; scoring
+    * joins corpus bigrams to it by key (broadcast when it fits — any
+    * real-token vocabulary's bigram table that survives `c12 ≥ 1`
+    * pruning is ≪ corpus — else a linear keyed shuffle). The corpus side
+    * is a narrow explode + one per-doc group-by. */
+  def ngramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("toks"))
+    val bi = base
+      .select(col("doc_id"), col("source"), explode(grams(2)).as("g"))
+      .select(col("doc_id"), col("source"),
+        substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+    val modelBi = bi.filter(col("source") === LmSource)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("bigint").as("c12"))
+    val modelUni = modelBi.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("bigint").as("c1"))
+    val vocab = base.filter(col("source") === LmSource)
+      .select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).cast("bigint").as("v"))
+    val scored = bi
+      .join(broadcast(modelBi), Seq("w1", "w2"), "left_outer")
+      .join(broadcast(modelUni), Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll_micro",
+        expr("cast(round(ln((coalesce(c1, 0) + v) / (coalesce(c12, 0) + 1)) * 1000000) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        sum(col("nll_micro")).as("nll"))
+    scored
+      .withColumn("avg_nll", round(col("nll") / (col("n_bigrams") * 1000000.0), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+        (col("avg_nll") < PerplexityKeepBar).as("keep"))
+  }
+
+  def ngramPerplexitySql: String =
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |tb AS (SELECT doc_id, source, toks[i] AS w1, toks[i+1] AS w2
+       |       FROM tok, UNNEST(range(1, len(toks))) AS r(i)),
+       |mb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tb
+       |       WHERE source = '$LmSource' GROUP BY 1, 2),
+       |mu AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM mb GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+       |      FROM (SELECT unnest(toks) AS w FROM tok WHERE source = '$LmSource') u),
+       |sc AS (SELECT doc_id,
+       |         CAST(round(ln((COALESCE(c1, 0) + v) / (COALESCE(c12, 0) + 1)) * 1000000) AS BIGINT) AS nll_micro
+       |       FROM tb LEFT JOIN mb USING (w1, w2) LEFT JOIN mu USING (w1), v)
+       |SELECT doc_id, n_bigrams,
+       |  round(nll / (n_bigrams * 1000000.0e0), 6) AS avg_nll,
+       |  round(nll / (n_bigrams * 1000000.0e0), 6) < ${PerplexityKeepBar}e0 AS keep
+       |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |        CAST(sum(nll_micro) AS BIGINT) AS nll
+       |      FROM sc GROUP BY doc_id) g""".stripMargin
+
+  // ------------------------------------------------------- DSIR weights
+
+  private val DsirTarget = "src2"
+  private val DsirBuckets = 1024
+
+  /** DSIR importance weights (Xie et al. 2023): hash every bigram into
+    * [[DsirBuckets]] buckets (engine-portable md5-prefix hash), estimate
+    * add-one-smoothed bucket distributions for the target slice
+    * (`source = src2`) and the raw corpus, and score each document by
+    * `Σ_buckets cnt · ln(P_target(b) / P_raw(b))` in integer micro-nats.
+    * Positive weight ⇒ the document looks more target-like than raw.
+    *
+    * Scale shape: both distributions are FIXED-SIZE (1024 rows) no matter
+    * the corpus — that is DSIR's entire point — so the weight table
+    * broadcasts; the corpus side is a narrow hash + one partial-aggregated
+    * (doc, bucket) group-by (≤ 1024 rows per doc into the shuffle), then a
+    * per-doc sum. All-integer output columns. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val tb = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), explode(grams(2)).as("g"))
+      .select(col("doc_id"), col("source"),
+        expr(s"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) & ${DsirBuckets - 1}")
+          .as("bucket"))
+    val raw = tb.groupBy(col("bucket")).agg(count(lit(1)).cast("bigint").as("cr"))
+    val tgt = tb.filter(col("source") === DsirTarget)
+      .groupBy(col("bucket")).agg(count(lit(1)).cast("bigint").as("ct"))
+    val tot = tb.agg(
+      count(lit(1)).cast("bigint").as("nr"),
+      count(when(col("source") === DsirTarget, 1)).cast("bigint").as("nt"))
+    // ratio-of-ratios form: the naive (ct+1)(nr+B) bigint product would
+    // overflow int64 at real corpus bigram counts; each `/` is double
+    // division in both engines, written identically for bit parity
+    val weights = raw.join(tgt, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr(s"""cast(round(ln(((coalesce(ct, 0) + 1) / (cr + 1))
+                |  * ((nr + $DsirBuckets) / (nt + $DsirBuckets))) * 1000000) as bigint)""".stripMargin)
+          .as("lw_micro"))
+    tb.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("bigint").as("n_bigrams"),
+        sum(col("cnt") * col("lw_micro")).cast("bigint").as("w_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("w_micro"),
+        (col("w_micro") > 0L).as("keep"))
+  }
+
+  def dsirWeightsSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |tb AS (SELECT doc_id, source,
+       |         ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT & ${DsirBuckets - 1} AS bucket
+       |       FROM tok, UNNEST(range(1, len(toks))) AS r(i)),
+       |raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY 1),
+       |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tb
+       |        WHERE source = '$DsirTarget' GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+       |               CAST(count(*) FILTER (WHERE source = '$DsirTarget') AS BIGINT) AS nt FROM tb),
+       |w AS (SELECT bucket,
+       |        CAST(round(ln(((COALESCE(ct, 0) + 1) / (cr + 1))
+       |          * ((nr + $DsirBuckets) / (nt + $DsirBuckets))) * 1000000) AS BIGINT) AS lw_micro
+       |      FROM raw LEFT JOIN tgt USING (bucket), tot),
+       |pd AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM tb GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(cnt * lw_micro) AS BIGINT) AS w_micro,
+       |  CAST(sum(cnt * lw_micro) AS BIGINT) > 0 AS keep
+       |FROM pd JOIN w USING (bucket)
+       |GROUP BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- domain mixture
+
+  /** Mixture weight points per source (src0 boosted 4×, src1/src2 3×, the
+    * rest baseline) and the global character budget the mixture targets. */
+  private val MixturePtsSql =
+    "CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 6 WHEN 'src2' THEN 6 ELSE 2 END"
+  private val MixtureTotalPts = 8 + 6 + 6 + 17 * 2 // the 20 synthetic sources
+  private val MixtureCharBudget = 40000L
+
+  /** Mixing hash for keep-decisions: doc_id is first folded mod the prime
+    * 999999937 (so the later product stays < 2^63 for any conceivable id),
+    * then Knuth-multiplied and reduced mod the Mersenne prime 2^31-1
+    * before the basis-point cut. [[TrainingPrep]]'s split hash multiplies
+    * by 1000003, which is ≡ 3 (mod 10^4) — fine for its mod-100 buckets
+    * at corpus ids, but over basis points small ids would land in bucket
+    * 3·doc_id and the cut would be wildly non-uniform. */
+  private val MixBucketSql =
+    "(((doc_id % 999999937) * 2654435761) % 2147483647) % 10000"
+
+  /** Deterministic mixture resampling — the data-mixing step: given target
+    * weight points per source and a global character budget, derive each
+    * source's keep rate in basis points (integer arithmetic end to end:
+    * `div` / `//`, never a float rate) and keep exactly the documents
+    * whose mixing-hash bucket falls below it. Reported per source:
+    * incoming volume, the derived rate, and the kept volume.
+    *
+    * Scale shape: the per-source statistics are a 20-row partial-agg
+    * (reads (source, n_chars) only — column-pruned, text never touched);
+    * rates broadcast back; the keep pass is a narrow filter plus the same
+    * tiny agg. No RNG, no persisted assignment — re-runnable and
+    * repartition-stable like [[TrainingPrep.trainSplit]]. */
+  def domainMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val rates = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"))
+      .withColumn("rate_bp",
+        least(lit(10000L),
+          expr(s"(10000 * (($MixtureCharBudget * ($MixturePtsSql)) div $MixtureTotalPts)) div total_chars")))
+    val kept = docs
+      .join(broadcast(rates.select(col("source"), col("rate_bp"))), "source")
+      .filter(expr(MixBucketSql) < col("rate_bp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_kept"),
+        sum(col("n_chars")).cast("bigint").as("kept_chars"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("total_chars"), col("rate_bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+  }
+
+  def domainMixtureSql: String =
+    s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |           FROM documents GROUP BY 1),
+       |r AS (SELECT source, n_docs, total_chars,
+       |        LEAST(10000, (10000 * (($MixtureCharBudget * ($MixturePtsSql)) // $MixtureTotalPts)) // total_chars) AS rate_bp
+       |      FROM s),
+       |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |        CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |      FROM documents JOIN r USING (source)
+       |      WHERE $MixBucketSql < rate_bp GROUP BY 1)
+       |SELECT source, n_docs, total_chars, CAST(rate_bp AS BIGINT) AS rate_bp,
+       |  COALESCE(n_kept, 0) AS n_kept, COALESCE(kept_chars, 0) AS kept_chars
+       |FROM r LEFT JOIN k USING (source)""".stripMargin
+
+  // -------------------------------------------------- Gopher repetition
+
+  /** Gopher-style repetition signals (Rae et al. 2022, Table A1, adapted
+    * to this corpus's scale): per document, the share of bigram positions
+    * occupied by the single most frequent bigram, and the fraction of
+    * trigram positions whose trigram occurs more than once in the
+    * document. Thresholds sit above the sf0.01 medians (0.033 / 0.0) so
+    * the flag splits the corpus non-trivially. Complements
+    * [[TrainingPrep.docRepetition]]'s unigram signals.
+    *
+    * Scale shape: purely per-document — a narrow n-gram explode and two
+    * partial-aggregated (doc, gram) group-bys, rejoined on doc_id. No
+    * cross-document state at all. */
+  def ngramRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+    def gramCounts(n: Int) = base
+      .select(col("doc_id"), explode(grams(n)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val bi = gramCounts(2).groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("bigint").as("n_bigrams"),
+        max(col("c")).cast("bigint").as("top_bigram_cnt"))
+    val tri = gramCounts(3).groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("bigint").as("n_trigrams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("bigint").as("dup_tri_cnt"))
+    bi.join(tri, "doc_id")
+      .withColumn("top_share", col("top_bigram_cnt") / col("n_bigrams"))
+      .withColumn("dup_share", col("dup_tri_cnt") / col("n_trigrams"))
+      .withColumn("is_repetitive",
+        col("top_share") > lit(0.06) || col("dup_share") > lit(0.04))
+  }
+
+  def ngramRepetitionSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g, CAST(count(*) AS BIGINT) AS c
+      |       FROM tok, UNNEST(range(1, len(toks))) AS r(i) GROUP BY 1, 2),
+      |b3 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g,
+      |         CAST(count(*) AS BIGINT) AS c
+      |       FROM tok, UNNEST(range(1, len(toks) - 1)) AS r(i) GROUP BY 1, 2),
+      |s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |         CAST(max(c) AS BIGINT) AS top_bigram_cnt FROM b2 GROUP BY 1),
+      |s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+      |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tri_cnt
+      |       FROM b3 GROUP BY 1)
+      |SELECT doc_id, n_bigrams, top_bigram_cnt, n_trigrams, dup_tri_cnt,
+      |  top_bigram_cnt / n_bigrams AS top_share,
+      |  dup_tri_cnt / n_trigrams AS dup_share,
+      |  (top_bigram_cnt / n_bigrams > 0.06e0 OR dup_tri_cnt / n_trigrams > 0.04e0) AS is_repetitive
+      |FROM s2 JOIN s3 USING (doc_id)""".stripMargin
+}

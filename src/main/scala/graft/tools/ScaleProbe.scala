@@ -28,7 +28,9 @@ object ScaleProbe {
     "dedup_incremental", "doc_pagerank", "dedup_substring",
     "dedup_substring_pairs", "dedup_substring_winnow", "decontaminate",
     "doc_repetition", "seq_pack", "word_heavy_hitters", "tfidf_top_terms",
-    "word_pmi", "quality_classifier", "dedup_semantic", "events_range_join")
+    "word_pmi", "quality_classifier", "dedup_semantic", "events_range_join",
+    "bm25_search", "ngram_perplexity", "dsir_weights", "domain_mixture",
+    "ngram_repetition")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.DataSelection
+
+/** Engine-internal invariants for the data-selection operators — ranking,
+  * conservation, and plan-shape properties that hold independently of the
+  * driver's DuckDB compare (which pins exact values at sf0.01). */
+class DataSelectionSuite extends SparkSpec {
+
+  test("bm25_search: top-k is ranked, scores positive, statistics broadcast") {
+    val df = DataSelection.bm25Search(spark, Sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0.0), "idf+1 keeps every BM25 score positive")
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)),
+      "results must come back ranked best-first")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"df/corpus statistics must broadcast:\n$plan")
+  }
+
+  test("bm25_search: a higher-tf doc outranks a lower-tf doc of equal length") {
+    // BM25 is monotone in tf at fixed dl: verify against a brute recount
+    // of the top document's term frequencies.
+    val top = DataSelection.bm25Search(spark, Sf0001).collect().head
+    val docTf = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") === top.getAs[Long]("doc_id"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin("spark", "join", "stream", "window"))
+      .count()
+    assert(docTf >= top.getAs[Long]("n_terms"),
+      "total matched-term occurrences can't be below the matched-term count")
+  }
+
+  test("ngram_perplexity: every multi-token doc scored; nll within [0, ln(c1max+V)]") {
+    val df = DataSelection.ngramPerplexity(spark, Sf0001).cache()
+    try {
+      val nDocs = Tables.documents(spark, Sf0001).count()
+      assert(df.count() == nDocs, "every document has >= 2 tokens at this sf")
+      // add-one bigram cost is bounded: 0 <= -ln P <= ln(c1 + V) for the
+      // largest prefix count; use a loose structural ceiling
+      val bad = df.filter(col("avg_nll") < 0.0 || col("avg_nll") > 20.0).count()
+      assert(bad == 0, "avg_nll out of any plausible add-one-bigram range")
+      // the keep flag must split non-trivially (bar sits at the median)
+      val kept = df.filter(col("keep")).count()
+      assert(kept > 0 && kept < nDocs, s"keep flag is degenerate: $kept/$nDocs")
+    } finally df.unpersist()
+  }
+
+  test("ngram_perplexity: n_bigrams conserves token mass (size - 1 per doc)") {
+    val perDoc = DataSelection.ngramPerplexity(spark, Sf0001)
+      .select(col("doc_id"), col("n_bigrams"))
+    val direct = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 1).cast("bigint").as("expect"))
+    val off = perDoc.join(direct, "doc_id")
+      .filter(col("n_bigrams") =!= col("expect")).count()
+    assert(off == 0)
+  }
+
+  test("dsir_weights: weight table is bucket-bounded and broadcast; target slice scores higher") {
+    val df = DataSelection.dsirWeights(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the 1024-bucket weight table must broadcast:\n$plan")
+    // DSIR's defining property: the target domain's own documents average a
+    // higher importance weight than the rest of the corpus.
+    val bySlice = df.join(
+        Tables.documents(spark, Sf0001).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy((col("source") === "src2").as("is_target"))
+      .agg(avg(col("w_micro").cast("double")).as("mean_w"))
+      .collect().map(r => r.getAs[Boolean]("is_target") -> r.getAs[Double]("mean_w")).toMap
+    assert(bySlice(true) > bySlice(false),
+      s"target docs must average a higher importance weight: $bySlice")
+  }
+
+  test("domain_mixture: rates respect the budget and kept counts match a brute recount") {
+    val rows = DataSelection.domainMixture(spark, Sf0001).collect()
+    assert(rows.length == Tables.documents(spark, Sf0001)
+      .select(col("source")).distinct().count())
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("rate_bp")
+      assert(rate >= 0 && rate <= 10000)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_chars") <= r.getAs[Long]("total_chars"))
+    }
+    // brute recount of one source's keep set via the same mixing hash
+    val some = rows.maxBy(_.getAs[Long]("n_kept"))
+    val recount = Tables.documents(spark, Sf0001)
+      .filter(col("source") === some.getAs[String]("source"))
+      .filter(expr("(((doc_id % 999999937) * 2654435761) % 2147483647) % 10000") <
+        lit(some.getAs[Long]("rate_bp")))
+      .count()
+    assert(recount == some.getAs[Long]("n_kept"))
+  }
+
+  test("domain_mixture: boosted sources get proportionally higher rates on even volumes") {
+    val byRate = DataSelection.domainMixture(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("rate_bp")).toMap
+    // src0 carries 8 weight points vs 2 for the baseline sources; volumes
+    // are near-uniform in the synthetic corpus, so its rate must dominate
+    val baselineMax = byRate.collect {
+      case (s, r) if s != "src0" && s != "src1" && s != "src2" => r
+    }.max
+    assert(byRate("src0") > baselineMax,
+      s"4x-weighted src0 must out-rate every baseline source: $byRate")
+  }
+
+  test("ngram_repetition: shares bounded and consistent with counts; flag splits") {
+    val df = DataSelection.ngramRepetition(spark, Sf0001).cache()
+    try {
+      val bad = df.filter(
+        col("top_share") <= 0.0 || col("top_share") > 1.0 ||
+          col("dup_share") < 0.0 || col("dup_share") > 1.0 ||
+          col("top_bigram_cnt") > col("n_bigrams") ||
+          col("dup_tri_cnt") > col("n_trigrams")).count()
+      assert(bad == 0)
+      assert(df.filter(col("n_trigrams") =!= col("n_bigrams") - 1).count() == 0,
+        "positional n-grams: trigram positions are bigram positions - 1")
+    } finally df.unpersist()
+  }
+}

@@ -69,6 +69,69 @@ class SourceFormatsSuite extends SparkSpec {
     df.unpersist()
   }
 
+  test("events ts schema evolution: nanos-long, timestamp[us] NTZ, and timestamp[us] UTC all normalize identically") {
+    // The driver has regenerated events.parquet with a different physical ts
+    // encoding once already (TIMESTAMP(NANOS) → timestamp[us], 2026-08-13),
+    // which silently took down the whole events family. This test pins the
+    // contract: the SAME logical instants, written under every encoding the
+    // data has ever carried, must produce byte-identical query results
+    // through Tables.normalizeEventsTs.
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+
+    val baseMicros = 1704067200000000L // 2024-01-01T00:00:00Z
+    def writeFixture(tsAnnotation: String, tsScale: Long): String = {
+      val dir = Files.createTempDirectory("graft-events-enc")
+      val schema = MessageTypeParser.parseMessageType(
+        s"""message events {
+           |  required int64 event_id;
+           |  required int64 ts ($tsAnnotation);
+           |  required int64 user_id;
+           |  required binary event_type (STRING);
+           |  required double value;
+           |  required binary props (STRING);
+           |}""".stripMargin)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      GroupWriteSupport.setSchema(schema, conf)
+      val writer = ExampleParquetWriter
+        .builder(new HPath(s"$dir/events.parquet")).withConf(conf).build()
+      val fac = new SimpleGroupFactory(schema)
+      try (0 until 240).foreach { i =>
+        val g = fac.newGroup()
+        g.add("event_id", i.toLong)
+        g.add("ts", (baseMicros + i * 37L * 60L * 1000000L) * tsScale)
+        g.add("user_id", (i % 7).toLong)
+        g.add("event_type", if (i % 3 == 0) "click" else "view")
+        g.add("value", i * 1.5)
+        g.add("props", s"""{"k":$i}""")
+        writer.write(g)
+      } finally writer.close()
+      dir.toString
+    }
+
+    def hourly(dir: String): Set[Seq[Any]] =
+      Tables.events(spark, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("v"))
+        .collect().map(_.toSeq).toSet
+
+    val nanos    = hourly(writeFixture("TIMESTAMP(NANOS,true)", 1000L))
+    val microNtz = hourly(writeFixture("TIMESTAMP(MICROS,false)", 1L))
+    val microUtc = hourly(writeFixture("TIMESTAMP(MICROS,true)", 1L))
+    assert(nanos.nonEmpty)
+    assert(nanos == microNtz, "NANOS-as-long vs timestamp[us] NTZ diverged")
+    assert(nanos == microUtc, "NANOS-as-long vs timestamp[us] UTC diverged")
+    // and the normalized type is always TimestampType, what every events
+    // query downstream was written against
+    Seq("TIMESTAMP(NANOS,true)" -> 1000L, "TIMESTAMP(MICROS,false)" -> 1L).foreach {
+      case (ann, sc) =>
+        val dt = Tables.events(spark, writeFixture(ann, sc)).schema("ts").dataType
+        assert(dt == TimestampType, s"$ann normalized to $dt, not TimestampType")
+    }
+  }
+
   test("byte-based input splitting: smaller maxPartitionBytes yields more scan partitions") {
     val before = Tables.lineitem(spark, Sf0001).rdd.getNumPartitions
     val old = spark.conf.get("spark.sql.files.maxPartitionBytes")

@@ -23,22 +23,18 @@ class StreamingSuite extends SparkSpec {
     Event(6, ts(200), 1, "click", 6.0))
 
   test("readStream over the driver's events parquet equals the batch result") {
-    // the real file-source path (not MemoryStream): same TIMESTAMP(NANOS)
-    // handling as Tables.events — read nanos as long, truncate to micros
+    // the real file-source path (not MemoryStream): learn the physical ts
+    // encoding from a batch read and apply the same adaptive normalization
+    // as Tables.events (nanos-as-long historically, timestamp[us] today)
     import spark.implicits._
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // nanosAsLong is already session-wide via GraftSession.builder
+    val physical = spark.read.parquet(s"$Sf0001/events.parquet").schema
     // the file source monitors a DIRECTORY; stage the (read-only) table file
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
       srcDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.normalizeEventsTs(
+      spark.readStream.schema(physical).parquet(srcDir.toString))
     val q = StreamingEvents.hourlyCounts(stream)
       .writeStream.format("memory").queryName("hourly_file_stream")
       .outputMode("complete").start()

@@ -12,11 +12,19 @@ object Verify {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Capture every failure as data, not just a log line: a query that
+    // throws at analysis time produces no parquet dir, and a dump-dir-driven
+    // compare would silently OMIT it (round 8's 18-query outage looked like
+    // a clean 92-green artifact). errors.json keeps the invariant
+    // |dumped| + |errors| == |SparkEntry.queries| auditable.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.toString).linesIterator.next()
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
       }
       finally Caches.drain()
     }
@@ -35,6 +43,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    System.err.println(
+      s"[verify-summary] ${SparkEntry.queries.size - errors.size}/${SparkEntry.queries.size} dumped, ${errors.size} failed")
     spark.stop()
   }
 }

@@ -8,10 +8,28 @@ import org.apache.spark.sql.execution.FormattedMode
   * build instead of surfacing at 100 TB. */
 class PlanQualitySuite extends SparkSpec {
 
-  private lazy val plans: Map[String, String] =
+  // Per-query Try: one broken loader/query must degrade to ITS failure in
+  // the analyzes-gate below, not abort this val and blind every other gate
+  // (in round 8 a single events-loader regression hid the cartesian/
+  // pushdown/broadcast CI for the whole round).
+  private lazy val planResults: Map[String, Either[Throwable, String]] =
     SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, Sf0001).queryExecution.explainString(FormattedMode)
+      name -> scala.util.Try(
+        fn(spark, Sf0001).queryExecution.explainString(FormattedMode)).toEither
     }
+  private lazy val plans: Map[String, String] =
+    planResults.collect { case (n, Right(p)) => (n, p) }
+
+  private def plan(name: String): String =
+    plans.getOrElse(name, fail(s"$name failed to build — see the analyzes gate"))
+
+  test("every registered query analyzes and plans") {
+    val broken = planResults.collect { case (n, Left(e)) =>
+      s"$n: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}"
+    }.toList.sorted
+    assert(broken.isEmpty,
+      s"${broken.size}/${planResults.size} queries fail before execution:\n${broken.mkString("\n")}")
+  }
 
   test("no registered query contains a cartesian product") {
     plans.foreach { case (name, p) =>
@@ -35,7 +53,7 @@ class PlanQualitySuite extends SparkSpec {
 
   test("selective scans push filters into parquet") {
     for (name <- Seq("q1_pricing", "q6_forecast", "q3_shipping", "customers_no_orders")) {
-      val p = plans(name)
+      val p = plan(name)
       assert(p.contains("PushedFilters: ["), s"$name plan lacks pushdown section")
       assert(!p.contains("PushedFilters: []"),
         s"$name pushes no filters into the scan:\n$p")
@@ -43,7 +61,7 @@ class PlanQualitySuite extends SparkSpec {
   }
 
   test("projection pruning: q1 reads a strict subset of lineitem columns") {
-    val m = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plans("q1_pricing"))
+    val m = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan("q1_pricing"))
     assert(m.nonEmpty, "no ReadSchema in q1 plan")
     val cols = m.get.group(1).split(",").length
     assert(cols < 11, s"q1 reads $cols of 11 lineitem columns — pruning lost")
@@ -51,8 +69,8 @@ class PlanQualitySuite extends SparkSpec {
 
   test("dimension joins are broadcast in the join-heavy queries") {
     for (name <- Seq("q3_shipping", "q5_nation_revenue", "brand_cheapest", "nation_balance")) {
-      assert(plans(name).contains("BroadcastHashJoin"),
-        s"$name does not broadcast its dimension side:\n${plans(name)}")
+      assert(plan(name).contains("BroadcastHashJoin"),
+        s"$name does not broadcast its dimension side:\n${plan(name)}")
     }
   }
 

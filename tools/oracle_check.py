@@ -36,7 +36,18 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
+    # Verify records analysis-time failures as data (errors.json); surface
+    # them first so an outage can never look like a clean-but-smaller run.
+    try:
+        errors = json.load(open(f"{out_dir}/errors.json"))
+    except FileNotFoundError:
+        errors = {}
+    for name, msg in sorted(errors.items()):
+        print(f"FAIL {name}: verify error: {msg}")
+        n_fail += 1
     for name, sql in sorted(oracle.items()):
+        if name in errors:
+            continue  # already reported above
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
@@ -72,7 +83,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         print(f"OK   {name}: {len(g)} rows")
-    print(f"{len(oracle) - n_fail}/{len(oracle)} queries match")
+    total = len(set(oracle) | set(errors))
+    print(f"{total - n_fail}/{total} queries match")
     return 1 if n_fail else 0
 
 

@@ -18,9 +18,13 @@ import graft.plans.GraftSession
   *      and every failed one) and folds the fast remainder into one
   *      `others` bucket (count / sum / max): resolution is spent where the
   *      signal is, instead of flooring sub-second queries to 0 across the
-  *      board. The full per-rep wall and CPU detail is printed on an
-  *      earlier `"metric":"detail"` line (readable in the full log,
-  *      sacrificial in the tail).
+  *      board. The line length is a hard bound: if a wide outage makes
+  *      every query "mandatory", k keeps shrinking toward 0 (failed names
+  *      survive in the size-capped errors object) — an unbounded line
+  *      head-truncates in the artifact and loses everything. The full
+  *      per-rep wall and CPU detail is printed on an earlier
+  *      `"metric":"detail"` line (readable in the full log, sacrificial in
+  *      the tail).
   *
   *   2. **Repetitions are interleaved, not consecutive.** Round-robin
   *      (rep 1 of every query, then rep 2, …) decorrelates external
@@ -109,10 +113,17 @@ object Bench {
       "queries_cpu" -> obj(names.map(n => n -> samples(n).map(s => fmt(s._2, 3)).mkString("[", ",", "]"))))))
     val total = medians.collect { case (_, (w, _)) if w >= 0 => w }.sum
     val nFailed = names.count(n => failures(n) > 0 || samples(n).isEmpty)
+    // The errors object must itself be bounded, or a wide outage (r8: 18
+    // failed queries) re-overflows the tail window it exists to survive —
+    // list the first 12 by name, fold the rest into a count.
     val trailer =
-      (if (failures.nonEmpty)
-        Seq("errors" -> obj(failures.toSeq.sortBy(_._1).map { case (n, c) => n -> c.toString }))
-      else Nil) ++
+      (if (failures.nonEmpty) {
+        val sortedF = failures.toSeq.sortBy(_._1)
+        val (shown, rest) = sortedF.splitAt(12)
+        Seq("errors" -> obj(
+          shown.map { case (n, c) => n -> c.toString } ++
+          (if (rest.nonEmpty) Seq("_more" -> rest.size.toString) else Nil)))
+      } else Nil) ++
       Seq("sf" -> ("\"" + sfDir + "\""))
     // Slowest first (failed queries sort as slowest: they must never fall
     // into the bucket); ties broken by name for a stable line.
@@ -139,18 +150,14 @@ object Bench {
     // the bucket; if even those overflow, degrade to 1-decimal for the
     // shown set rather than lose queries.
     val nMandatory = byWallDesc.count { case (_, (w, _)) => w >= 0.5 || w < 0 }
-    val line = (names.size to nMandatory by -1).view.map(compactTop)
-      .find(_.length <= 1850)
-      .getOrElse {
-        def coarse(decimals: Int): String = obj(Seq(
-          "metric" -> "\"total\"",
-          "value" -> fmt(total, decimals),
-          "unit" -> "\"sec\"",
-          "queries" -> obj(medians.map { case (n, (w, _)) => n -> fmt(w, decimals) }),
-          "reps" -> reps.toString,
-          "failed" -> nFailed.toString) ++ trailer)
-        Seq(1, 0).map(coarse).find(_.length <= 1850).getOrElse(coarse(0))
-      }
+    // Preference order: largest k that fits with every mandatory (≥0.5 s or
+    // failed) query shown; if even the mandatory set overflows — a wide
+    // outage makes EVERY query mandatory via its -1 — keep shrinking k to 0
+    // rather than ever print an unbounded line (r8's fallback printed all
+    // 110 queries and the artifact head-truncated). Failed names below the
+    // cut survive in the bounded errors object.
+    val line = ((names.size to nMandatory by -1) ++ (nMandatory.min(names.size) to 0 by -1))
+      .view.map(compactTop).find(_.length <= 1850).getOrElse(compactTop(0))
     println(line)
     spark.stop()
   }

@@ -714,9 +714,10 @@ object DedupQueries {
     *
     * Scale shape: the edge list (near-dup pairs ← [[dedupNear]]) is
     * output-sized, tiny next to the corpus; each of the [[PrIters]] rounds
-    * is one keyed join + partial-agg sum over edges plus a one-row dangling
-    * aggregate, with [[truncate]] keeping plans O(1) exactly as
-    * [[dedupComponents]] does. The final top-20 is TakeOrderedAndProject. */
+    * is ONE job — keyed join + partial-agg sum over edges, with the one-row
+    * dangling aggregate broadcast-crossJoined into the same plan — and
+    * [[truncate]] keeps plans O(1) exactly as [[dedupComponents]] does. The
+    * final top-20 is TakeOrderedAndProject. */
   def docPagerank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val pairs = graft.Caches.scoped {
@@ -732,17 +733,22 @@ object DedupQueries {
         .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
           lit(PrScale / n).as("rank")))
     for (_ <- 1 to PrIters) {
-      val dangling = rank.filter(col("deg") === 0)
-        .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
+      // dangling mass as a broadcast one-row aggregate folded into the plan
+      // (the q15_top_supplier scalar pattern) — NOT a driver-side .head:
+      // each round stays a single job instead of a scalar action + the
+      // round's own materialization, and the driver never re-enters the loop
+      val danglingShare = broadcast(rank.filter(col("deg") === 0)
+        .agg(expr(s"coalesce(sum(rank), 0L) div ${n}L").as("dshare")))
       val sums = edges
         .join(rank, edges("src") === rank("doc_id"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       rank = truncate(
         rank.as("r").join(sums, col("r.doc_id") === sums("dst"), "left")
+          .crossJoin(danglingShare)
           .select(col("r.doc_id").as("doc_id"), col("r.deg").as("deg"),
             (lit(3L * PrScale / (20L * n)) +
-              expr(s"(17 * (coalesce(s, 0) + ${dangling / n})) div 20")).as("rank")))
+              expr("(17 * (coalesce(s, 0) + dshare)) div 20")).as("rank")))
     }
     rank.orderBy(col("rank").desc, col("doc_id").asc).limit(20)
       .select(col("doc_id"), col("rank"))

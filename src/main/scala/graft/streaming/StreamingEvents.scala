@@ -94,6 +94,47 @@ object StreamingEvents {
         col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Streaming twin of the batch binned range join
+    * ([[graft.events.EventQueries.rangeJoinViews]]): per purchase, count the
+    * same user's views in the preceding hour `[p_ts - W, p_ts)`.
+    *
+    * Same 2-bin probe as batch: views carry `bin = ms div W`; each purchase
+    * explodes into the two bins its window can overlap (window length ==
+    * bin width), so the stream-stream equi-key is (user_id, bin) and a
+    * power user's state hashes across bins instead of pooling under one
+    * key. The exact half-open predicate runs on the candidate sliver only.
+    * Watermarks + the time-interval condition bound BOTH state stores to
+    * O(events in the horizon), and the left-outer side restores zero-view
+    * purchases once the watermark closes their window (each purchase has 2
+    * probe rows; unmatched probes contribute null → count 0). The
+    * downstream per-purchase count groups by the purchase's 1-hour window
+    * so append mode can finalize it — the Spark-4 multiple-stateful-
+    * operator chain (join → windowed agg) the batch twin needs no help
+    * with. Runs unchanged on batch frames (parity-tested). */
+  def rangeJoinViews(
+      views: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val W = 3600000L // 1 h in ms == bin width == the range-join window
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        expr(s"(unix_micros(ts) div 1000) div ${W}L").as("v_bin"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        explode(array(expr(s"(unix_micros(ts) div 1000) div ${W}L"),
+          expr(s"(unix_micros(ts) div 1000) div ${W}L - 1L"))).as("bin"))
+      .withWatermark("p_ts", watermark)
+    p.join(v,
+        col("user_id") === col("v_user") && col("bin") === col("v_bin") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") < col("p_ts"),
+        "left_outer")
+      .groupBy(window(col("p_ts"), "1 hour"), col("user_id"), col("purchase_id"))
+      .agg(count(col("v_ts")).as("views_1h"))
+      .select(col("user_id"), col("purchase_id").as("event_id"), col("views_1h"))
+  }
+
   val SessionGapSec = 1800L
 
   /** Event-time sessionization via `flatMapGroupsWithState`: per-user state

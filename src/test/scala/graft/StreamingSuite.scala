@@ -441,6 +441,97 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming binned range join: views in the preceding hour per purchase, zero-view purchases restored") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamingEvents.rangeJoinViews(views.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("range_join_stream")
+      .outputMode("append").start()
+    try {
+      // user 1: views at minutes 0, 30, 59 — purchase at minute 60 sees all
+      // three ([0,60) window); purchase at minute 95 sees only 35 and 59...
+      // wait: minute 95 window is [35, 95) → views at 59 only (0 and 30 are
+      // out). user 2: purchase with NO views at all → must emit 0.
+      views.addData(
+        Event(1, ts(0), 1, "view", 0), Event(2, ts(30), 1, "view", 0),
+        Event(3, ts(59), 1, "view", 0))
+      purchases.addData(
+        Event(10, ts(60), 1, "purchase", 1.0), Event(11, ts(95), 1, "purchase", 2.0),
+        Event(12, ts(90), 2, "purchase", 3.0))
+      q.processAllAvailable()
+      // advance watermark on BOTH streams past every window so the outer
+      // join evicts and the windowed agg finalizes (sentinels filtered out)
+      views.addData(Event(98, ts(5000), 9, "view", 0))
+      purchases.addData(Event(99, ts(5000), 9, "purchase", 0))
+      q.processAllAvailable()
+      views.addData(Event(96, ts(9000), 9, "view", 0))
+      purchases.addData(Event(97, ts(9000), 9, "purchase", 0))
+      q.processAllAvailable()
+      val out = spark.table("range_join_stream")
+        .filter($"user_id" =!= 9)
+        .select($"event_id", $"views_1h").as[(Long, Long)].collect().toMap
+      assert(out == Map(10L -> 3L, 11L -> 1L, 12L -> 0L), s"got $out")
+    } finally q.stop()
+  }
+
+  test("streaming binned range join equals the batch operator on driver data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val views = evts.filter(_.event_type == "view")
+    val purchases = evts.filter(_.event_type == "purchase")
+
+    val vIn = MemoryStream[Event]
+    val pIn = MemoryStream[Event]
+    val q = StreamingEvents.rangeJoinViews(vIn.toDF(), pIn.toDF())
+      .writeStream.format("memory").queryName("range_join_parity_stream")
+      .outputMode("append").start()
+    try {
+      // same single-boundary split discipline as the interval-join parity
+      // test: batch 2 is entirely newer than batch 1's watermark
+      val boundary = evts.map(_.ts.getTime).sorted.apply(evts.length / 2)
+      vIn.addData(views.filter(_.ts.getTime < boundary): _*)
+      pIn.addData(purchases.filter(_.ts.getTime < boundary): _*)
+      q.processAllAvailable()
+      vIn.addData(views.filter(_.ts.getTime >= boundary): _*)
+      pIn.addData(purchases.filter(_.ts.getTime >= boundary): _*)
+      q.processAllAvailable()
+      // flush: two rounds of far-future sentinels finalize eviction + agg
+      val far = evts.map(_.ts.getTime).max
+      Seq(far + 86400000L, far + 2 * 86400000L).zipWithIndex.foreach { case (t, i) =>
+        vIn.addData(Event(900 + i, new Timestamp(t), 999999, "view", 0))
+        pIn.addData(Event(910 + i, new Timestamp(t), 999999, "purchase", 0))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("range_join_parity_stream")
+        .filter($"user_id" =!= 999999)
+        .select($"user_id", $"event_id", $"views_1h")
+        .as[(Long, Long, Long)].collect().toSet
+
+      // batch twin #1: the SAME operator on batch frames
+      val batchSame = StreamingEvents.rangeJoinViews(
+          views.toSeq.toDS().toDF(), purchases.toSeq.toDS().toDF())
+        .select($"user_id", $"event_id", $"views_1h")
+        .as[(Long, Long, Long)].collect().toSet
+      // batch twin #2: the independently-implemented batch binned range join
+      val batchIndep = graft.events.EventQueries.rangeJoinViews(spark, Sf0001)
+        .as[(Long, Long, Long)].collect().toSet
+
+      assert(streamed == batchSame,
+        s"only streamed: ${streamed -- batchSame}; only batch: ${batchSame -- streamed}")
+      assert(streamed == batchIndep,
+        s"only streamed: ${streamed -- batchIndep}; only batch: ${batchIndep -- streamed}")
+      assert(streamed.exists(_._3 > 0), "no purchase saw any preceding-hour view")
+      assert(streamed.exists(_._3 == 0), "no zero-view purchase emitted")
+    } finally q.stop()
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path

@@ -533,6 +533,43 @@ object EventQueries {
         coalesce(col("views_1h"), lit(0L)).as("views_1h"))
   }
 
+  /** Cohort retention: users cohorted by their first active week; each
+    * (cohort, week-offset) cell counts how many of that cohort's users were
+    * active that many weeks later — the classic retention triangle every
+    * event-analytics stack ships.
+    *
+    * Weeks are pure integer arithmetic on epoch seconds
+    * (`epoch div 86400 div 7`), NOT `date_trunc('week', …)`: ISO-week
+    * boundary semantics differ subtly across engines and time zones, while
+    * integer floor-division is bit-identical everywhere (the same
+    * engine-portability policy as [[hourly]]'s epoch buckets).
+    *
+    * Scale shape: one distinct on (user, week) — map-side combine, then one
+    * shuffle whose width is ACTIVE user-weeks, far below raw events; the
+    * cohort table is a partial agg of that; the user-keyed join is
+    * shuffle-hash (cohort is aggregate-derived, no stats — Catalyst would
+    * sort-merge) and the final cell agg is cohort-count-sized. Nothing
+    * touches raw event volume twice. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 1000000 div 86400 div 7").as("week"))
+      .distinct()
+    val cohort = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohort.hint("shuffle_hash"), Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def retentionSql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 // 7 AS week
+      |  FROM events),
+      |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+      |SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+      |FROM w JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   def rangeJoinViewsSql: String =
     """WITH ev AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000 AS ms FROM events)

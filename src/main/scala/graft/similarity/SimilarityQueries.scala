@@ -558,4 +558,202 @@ object SimilarityQueries {
        |  coalesce(ml.m, -2.0) AS max_sim_lower,
        |  CAST(CASE WHEN coalesce(ml.m, -2.0) >= $SemDedupTau THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM corpus c LEFT JOIN ml USING (vec_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Product quantization — the COMPRESSION half of ANN at scale (IVF above
+  // is the routing half). A 64-dim float vector (256 B) becomes PqM=4
+  // one-byte codes: 64× smaller, so the candidate scan that dominates ANN
+  // cost reads codes + a tiny distance table instead of raw vectors. At
+  // 100 TB of embeddings this is the difference between the index fitting
+  // in cluster memory or not.
+  private[graft] val PqM = 4        // subspaces
+  private[graft] val PqSubDim = Dim / PqM
+  private[graft] val PqK = 16       // codewords per subspace (4-bit codes)
+  private[graft] val PqRounds = 2
+  private val PqDistScale = "1000000000.0" // 1e9: integer-scaled ADC distances
+
+  /** Every vector exploded into its [[PqM]] subvectors: (vec_id, s, sub). */
+  private def subvectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("s"), col("e"))
+      .select(col("vec_id"), col("s"),
+        expr(s"slice(e, s * $PqSubDim + 1, $PqSubDim)").as("sub"))
+
+  /** Strictly-left-fold squared L2 between two equal-length arrays — the
+    * same ordered-fold discipline as `cosine_sim`, so the double is
+    * bit-identical to the oracle's `list_reduce`. */
+  private def l2(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+
+  /** TRAINED per-subspace codebooks: codeword j of subspace s seeds from
+    * vec_id j's subvector (deterministic, like the label-seeded IVF), then
+    * [[PqRounds]] Lloyd rounds — assign each subvector to its nearest
+    * codeword by squared L2 (ties to the lower code), recompute codewords
+    * as exact integer-scaled component means. Same determinism contract as
+    * [[trainedCentroidTable]]: both engines walk the identical trajectory.
+    *
+    * Scale shape per round: one narrow pass over (corpus × PqM) subvector
+    * rows against a broadcast PqM·PqK-row codebook (argmin via one
+    * partial-agg max-of-struct), then a (s, code, dim) partial aggregation
+    * whose width is the codebook, not the corpus. */
+  private[graft] def pqCodebookTable(spark: SparkSession, dir: String): DataFrame = {
+    val subs = subvectors(spark, dir)
+    var cents = subs.filter(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("code"), col("sub").as("c"))
+      .localCheckpoint()
+    var grouped: DataFrame = null
+    for (_ <- 1 to PqRounds) {
+      val assigned = subs.join(broadcast(cents), Seq("s"))
+        .withColumn("d", l2("sub", "c"))
+        .groupBy(col("vec_id"), col("s"))
+        // argmin by (d, code): max of (-d, -code) — lowest distance, ties
+        // to the LOWER code id; unique per (vec_id, s) so the carried
+        // subvector never participates in the comparison
+        .agg(max(struct((-col("d")).as("nd"), (-col("code")).as("nc"), col("sub").as("sv"))).as("m"))
+        .select(col("s"), (-col("m.nc")).as("code"), col("m.sv").as("sub"))
+      grouped = assigned
+        .select(col("s"), col("code"), posexplode(col("sub")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(
+          sum(floor(col("col") * lit(1e7) + lit(0.5))).as("sv"),
+          count(lit(1)).as("n_vectors"))
+        .select(col("s").cast("bigint").as("s"), col("code"), col("pos").cast("bigint").as("pos"),
+          (col("sv").cast("double") / (col("n_vectors").cast("double") * lit(1e7))).as("codeword_v"),
+          col("n_vectors"))
+        .localCheckpoint()
+      cents = grouped
+        .groupBy(col("s"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("codeword_v"))))
+          .getField("codeword_v").as("c"))
+        .localCheckpoint()
+    }
+    grouped
+  }
+
+  /** Registered query: the trained PQ codebooks, one scalar row per
+    * (subspace, code, dimension). */
+  def pqTrain(spark: SparkSession, dir: String): DataFrame =
+    pqCodebookTable(spark, dir)
+
+  /** [[pqCodebookTable]] re-assembled into one codeword vector per
+    * (subspace, code). */
+  private def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    pqCodebookTable(spark, dir)
+      .groupBy(col("s"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("codeword_v"))))
+        .getField("codeword_v").as("c"))
+
+  /** PQ asymmetric-distance top-k: every corpus vector is ENCODED as
+    * [[PqM]] codes (nearest codeword per subspace — after this the raw
+    * vectors are never read again); each query precomputes its exact
+    * distance to every codeword (a PqM·PqK-row table) and a candidate's
+    * approximate distance is the sum of PqM table lookups — the ADC scan
+    * of Jégou et al. 2011, reading 4 bytes per vector instead of 256.
+    *
+    * Distances are scaled to integers (×1e9) BEFORE the per-vector sum, so
+    * the sum is associative (partition-order-independent) and the oracle
+    * compares bigints, never summed doubles; ranking ties break by vec_id.
+    *
+    * Scale shape: codes are corpus×PqM narrow rows co-keyed by (s, code)
+    * against the broadcast query-distance table; the per-(query, vector)
+    * sum is one partial agg; top-k per query is a window over candidates.
+    * No shuffle ever carries a raw vector. */
+  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(spark, dir)
+    val subs = subvectors(spark, dir)
+    // encode: nearest codeword per (vec_id, s); drop the subvector
+    val codes = subs.join(broadcast(books), Seq("s"))
+      .withColumn("d", l2("sub", "c"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max(struct((-col("d")).as("nd"), (-col("code")).as("nc"))).as("m"))
+      .select(col("vec_id"), col("s"), (-col("m.nc")).as("code"))
+    // each query's exact distance to every codeword, integer-scaled
+    val qdist = subs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub"))
+      .join(broadcast(books), Seq("s"))
+      .select(col("q_id"), col("s"), col("code"),
+        floor(l2("sub", "c") * expr(PqDistScale) + lit(0.5)).cast("bigint").as("d"))
+    codes.join(broadcast(qdist), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("adist"))
+  }
+
+  /** The PQ training rounds as an unrolled CTE chain (the [[lloydCtes]]
+    * pattern, keyed by subspace), shared by [[pqTrainSql]] and
+    * [[topkPqSql]]. Requires the `n` norm CTE in scope; produces `pg{r}`
+    * (s, code, pos, sv, n) per round and `pcent{r}` codeword tables. */
+  private def pqCtes: String = {
+    val seed =
+      s"""subs AS (
+         |  SELECT vec_id, ss.s AS s, n.e[ss.s * $PqSubDim + 1 : ss.s * $PqSubDim + $PqSubDim] AS sub
+         |  FROM n, (SELECT unnest(range(0, $PqM)) AS s) ss),
+         |pcent0 AS (SELECT s, vec_id AS code, sub AS c FROM subs WHERE vec_id < $PqK)""".stripMargin
+    val rounds = (0 until PqRounds).map { r =>
+      s"""pa$r AS (
+         |  SELECT vec_id, s, sub, code FROM (
+         |    SELECT subs.vec_id, subs.s, subs.sub, c.code,
+         |      row_number() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+         |        list_reduce(list_transform(range(1, len(subs.sub) + 1),
+         |          i -> (subs.sub[i] - c.c[i]) * (subs.sub[i] - c.c[i])), (a, x) -> a + x) ASC,
+         |        c.code) AS rk
+         |    FROM subs JOIN pcent$r c ON subs.s = c.s) t
+         |  WHERE rk = 1),
+         |pg$r AS (
+         |  SELECT s, code, u.pos AS pos, sum(u.sv) AS sv, count(*) AS n FROM (
+         |    SELECT s, code,
+         |      unnest(list_transform(range(1, len(sub) + 1),
+         |        i -> {'pos': i - 1, 'sv': CAST(floor(sub[i] * $CentScale + 0.5) AS BIGINT)})) AS u
+         |    FROM pa$r) x
+         |  GROUP BY s, code, u.pos),
+         |pcent${r + 1} AS (
+         |  SELECT s, code, list(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * $CentScale) ORDER BY pos) AS c
+         |  FROM pg$r GROUP BY s, code)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
+  def pqTrainSql: String =
+    s"""WITH $normCte,
+       |$pqCtes
+       |SELECT CAST(s AS BIGINT) AS s, CAST(code AS BIGINT) AS code, CAST(pos AS BIGINT) AS pos,
+       |  CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * $CentScale) AS codeword_v,
+       |  n AS n_vectors
+       |FROM pg${PqRounds - 1}""".stripMargin
+
+  /** Exact oracle for [[topkPq]]: the shared training CTEs, the same
+    * nearest-codeword encoding, the same integer-scaled ADC sums. */
+  def topkPqSql: String =
+    s"""WITH $normCte,
+       |$pqCtes,
+       |codes AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT subs.vec_id, subs.s, c.code,
+       |      row_number() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+       |        list_reduce(list_transform(range(1, len(subs.sub) + 1),
+       |          i -> (subs.sub[i] - c.c[i]) * (subs.sub[i] - c.c[i])), (a, x) -> a + x) ASC,
+       |        c.code) AS rk
+       |    FROM subs JOIN pcent$PqRounds c ON subs.s = c.s) t
+       |  WHERE rk = 1),
+       |qd AS (
+       |  SELECT subs.vec_id AS q_id, c.s, c.code,
+       |    CAST(floor(list_reduce(list_transform(range(1, len(subs.sub) + 1),
+       |      i -> (subs.sub[i] - c.c[i]) * (subs.sub[i] - c.c[i])), (a, x) -> a + x)
+       |        * $PqDistScale + 0.5) AS BIGINT) AS d
+       |  FROM subs JOIN pcent$PqRounds c ON subs.s = c.s
+       |  WHERE subs.vec_id < $NumQueries),
+       |ad AS (
+       |  SELECT qd.q_id, codes.vec_id, CAST(sum(qd.d) AS BIGINT) AS adist
+       |  FROM codes JOIN qd ON codes.s = qd.s AND codes.code = qd.code
+       |  WHERE codes.vec_id <> qd.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id, rank, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id) AS rank
+       |  FROM ad) r
+       |WHERE rank <= $K""".stripMargin
 }

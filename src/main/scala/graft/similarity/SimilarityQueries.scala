@@ -659,21 +659,29 @@ object SimilarityQueries {
     * against the broadcast query-distance table; the per-(query, vector)
     * sum is one partial agg; top-k per query is a window over candidates.
     * No shuffle ever carries a raw vector. */
-  def topkPq(spark: SparkSession, dir: String): DataFrame = {
-    val books = pqCodebooks(spark, dir)
-    val subs = subvectors(spark, dir)
-    // encode: nearest codeword per (vec_id, s); drop the subvector
-    val codes = subs.join(broadcast(books), Seq("s"))
+  /** Corpus encoded as PQ codes: nearest codeword per (vec_id, s); the raw
+    * subvector is dropped here and never read again. */
+  private def pqCodes(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.join(broadcast(books), Seq("s"))
       .withColumn("d", l2("sub", "c"))
       .groupBy(col("vec_id"), col("s"))
       .agg(max(struct((-col("d")).as("nd"), (-col("code")).as("nc"))).as("m"))
       .select(col("vec_id"), col("s"), (-col("m.nc")).as("code"))
-    // each query's exact distance to every codeword, integer-scaled
-    val qdist = subs.filter(col("vec_id") < NumQueries)
+
+  /** Each query's exact distance to every codeword, integer-scaled — the
+    * PqM·PqK-row ADC lookup table per query. */
+  private def pqQueryDistances(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("s"), col("sub"))
       .join(broadcast(books), Seq("s"))
       .select(col("q_id"), col("s"), col("code"),
         floor(l2("sub", "c") * expr(PqDistScale) + lit(0.5)).cast("bigint").as("d"))
+
+  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(spark, dir)
+    val subs = subvectors(spark, dir)
+    val codes = pqCodes(subs, books)
+    val qdist = pqQueryDistances(subs, books)
     codes.join(broadcast(qdist), Seq("s", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -683,6 +691,98 @@ object SimilarityQueries {
       .filter(col("rank") <= K)
       .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("adist"))
   }
+
+  /** IVF+PQ — the two halves composed, the canonical billion-scale index
+    * shape (FAISS `IVFx,PQy`): the trained IVF quantizer ROUTES (each query
+    * searches only its nprobe=3 nearest cells), the trained PQ codes RANK
+    * (candidates are scored by summed ADC table lookups, never raw
+    * vectors). At 100 TB the scan cost is |corpus|·nprobe/|cells| rows of
+    * 4-byte codes — both reduction factors multiply.
+    *
+    * Determinism: both trained components are exact (integer-scaled Lloyd),
+    * assignment and ranking tie-break totally, ADC sums are integer —
+    * so the composition has an exact SQL oracle like each half. */
+  def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val nprobe = 3
+    val cents = trainedCentroidVectors(spark, dir)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cellRank = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(e, centroid)"))
+      .withColumn("crank", row_number().over(cellRank))
+    val corpusCells = assigned.filter(col("crank") === 1).select(col("vec_id"), col("cell"))
+    val queryCells = assigned.filter(col("vec_id") < NumQueries && col("crank") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val books = pqCodebooks(spark, dir)
+    val subs = subvectors(spark, dir)
+    val codes = pqCodes(subs, books)
+    val qdist = pqQueryDistances(subs, books)
+    // candidates: corpus vectors inside a probed cell (each vector lives in
+    // exactly one cell, so no dedup needed), then the ADC scan over codes
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      // shuffle-hash: codes is aggregate-derived (no stats → Catalyst would
+      // sort-merge); the join is keyed, neither side benefits from a sort
+      .join(codes.hint("shuffle_hash"), Seq("vec_id"))
+      .join(broadcast(qdist), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("adist"))
+  }
+
+  /** Exact oracle for [[topkIvfPq]]: the IVF Lloyd chain routes, the PQ
+    * chain ranks — both shared verbatim with the single-half oracles. */
+  def topkIvfPqSql: String =
+    s"""WITH $normCte,
+       |$lloydCtes,
+       |cn AS (
+       |  SELECT cell, c,
+       |    list_reduce(list_transform(c, x -> x * x), (a, x) -> a + x) AS cnrm
+       |  FROM cent$LloydRounds),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+       |  FROM (
+       |    SELECT n.vec_id, n.nrm, cn.cell,
+       |      list_reduce(list_transform(range(1, len(n.e) + 1), i -> n.e[i] * cn.c[i]), (a, x) -> a + x)
+       |        / (sqrt(n.nrm) * sqrt(cn.cnrm)) AS csim
+       |    FROM n, cn) t),
+       |corpus AS (SELECT vec_id, cell FROM ranked WHERE crank = 1),
+       |qcells AS (SELECT vec_id AS q_id, cell FROM ranked
+       |           WHERE vec_id < $NumQueries AND crank <= 3),
+       |$pqCtes,
+       |codes AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT subs.vec_id, subs.s, c.code,
+       |      row_number() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+       |        list_reduce(list_transform(range(1, len(subs.sub) + 1),
+       |          i -> (subs.sub[i] - c.c[i]) * (subs.sub[i] - c.c[i])), (a, x) -> a + x) ASC,
+       |        c.code) AS rk
+       |    FROM subs JOIN pcent$PqRounds c ON subs.s = c.s) t
+       |  WHERE rk = 1),
+       |qd AS (
+       |  SELECT subs.vec_id AS q_id, c.s, c.code,
+       |    CAST(floor(list_reduce(list_transform(range(1, len(subs.sub) + 1),
+       |      i -> (subs.sub[i] - c.c[i]) * (subs.sub[i] - c.c[i])), (a, x) -> a + x)
+       |        * $PqDistScale + 0.5) AS BIGINT) AS d
+       |  FROM subs JOIN pcent$PqRounds c ON subs.s = c.s
+       |  WHERE subs.vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT q.q_id, c.vec_id FROM qcells q JOIN corpus c USING (cell)
+       |  WHERE c.vec_id <> q.q_id),
+       |ad AS (
+       |  SELECT cand.q_id, cand.vec_id, CAST(sum(qd.d) AS BIGINT) AS adist
+       |  FROM cand
+       |  JOIN codes ON cand.vec_id = codes.vec_id
+       |  JOIN qd ON qd.q_id = cand.q_id AND qd.s = codes.s AND qd.code = codes.code
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id, rank, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id) AS rank
+       |  FROM ad) r
+       |WHERE rank <= $K""".stripMargin
 
   /** The PQ training rounds as an unrolled CTE chain (the [[lloydCtes]]
     * pattern, keyed by subspace), shared by [[pqTrainSql]] and

@@ -164,4 +164,19 @@ class SimilaritySuite extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.15, s"PQ recall@10 collapsed: $mean")
   }
+
+  test("IVF+PQ: ranked output valid; ADC distances agree with plain PQ on shared pairs") {
+    val ivfpq = SimilarityQueries.topkIvfPq(spark, Sf0001).collect()
+    assert(ivfpq.length == 50)
+    val byQ = ivfpq.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach(rs => assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to 10L)))
+    // same codes + same query tables → a shared (q, vec) pair must carry a
+    // bit-identical integer distance in both the routed and the flat scan
+    val flat = SimilarityQueries.topkPq(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val shared = ivfpq.flatMap(r => flat.get((r.getLong(0), r.getLong(1))).map(d => (r.getLong(3), d)))
+    assert(shared.nonEmpty)
+    shared.foreach { case (a, b) => assert(a == b, "ADC distance must be identical") }
+  }
 }

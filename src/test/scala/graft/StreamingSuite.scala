@@ -532,6 +532,65 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful agg survives stop/restart from checkpoint: every window emitted exactly once") {
+    // The property that makes a streaming pipeline operable at scale: kill
+    // the query mid-stream, restart it from its checkpoint, and the file
+    // sink still holds each finalized window EXACTLY once — no re-emission
+    // of pre-restart windows, no loss of in-flight state.
+    import spark.implicits._
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val boundary = evts(evts.length / 2).ts.getTime
+    val (half1, half2) = evts.partition(_.ts.getTime < boundary)
+    val far1 = evts.last.ts.getTime + 86400000L
+    val far2 = far1 + 86400000L
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-restart-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-restart-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
+    def addBatch(rows: Seq[Event]): Unit =
+      rows.toDS().toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = half1.toSeq.toDS().toDF().schema
+    def startQuery() = StreamingEvents
+      .hourlyCounts(spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .outputMode("append").start()
+
+    // phase 1: first half ONLY, then STOP. No sentinel here: advancing the
+    // watermark past the second half would make the restarted query drop it
+    // all as late. half1 spans two weeks, so its own 2 h watermark already
+    // finalizes plenty of windows pre-restart.
+    addBatch(half1.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterPhase1 = spark.read.parquet(outDir).count()
+    assert(afterPhase1 > 0, "phase 1 finalized no windows — restart proves nothing")
+
+    // phase 2: RESTART from the same checkpoint, feed the second half, then
+    // a far-future sentinel to flush every real window
+    addBatch(half2.toSeq)
+    addBatch(Seq(Event(9002, new Timestamp(far2), 999999, "view", 0)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir)
+      .filter($"hour_start" < new Timestamp(far1))
+      .select($"hour_start", $"event_type", $"n_events", $"total_value").collect()
+    // exactly-once: no (window, type) key appears twice across the restart
+    val keys = out.map(r => (r.get(0), r.get(1)))
+    assert(keys.length == keys.distinct.length,
+      s"windows re-emitted after restart: ${keys.diff(keys.distinct).toSeq}")
+    // completeness: equals the batch twin over the full (real) event set
+    val batch = StreamingEvents.hourlyCounts(evts.toSeq.toDS().toDF())
+      .select($"hour_start", $"event_type", $"n_events", $"total_value")
+      .collect().map(_.toSeq).toSet
+    assert(out.map(_.toSeq).toSet == batch,
+      s"restarted stream diverged from batch: only streamed ${out.map(_.toSeq).toSet -- batch}, only batch ${batch -- out.map(_.toSeq).toSet}")
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path

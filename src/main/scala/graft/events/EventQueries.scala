@@ -551,10 +551,14 @@ object EventQueries {
     * sort-merge) and the final cell agg is cohort-count-sized. Nothing
     * touches raw event volume twice. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
-    val weeks = Tables.events(spark, dir)
-      .select(col("user_id"),
-        expr("unix_micros(ts) div 1000000 div 86400 div 7").as("week"))
-      .distinct()
+    // persisted: both the join's left side and the cohort derivation read
+    // the distinct — without the persist the plan re-expands it (two raw
+    // event scans + a duplicated distinct shuffle, seen in ExplainAll)
+    val weeks = graft.Caches.persisted(
+      Tables.events(spark, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 1000000 div 86400 div 7").as("week"))
+        .distinct())
     val cohort = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     weeks.join(cohort.hint("shuffle_hash"), Seq("user_id"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))

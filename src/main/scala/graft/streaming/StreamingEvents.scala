@@ -135,6 +135,68 @@ object StreamingEvents {
       .select(col("user_id"), col("purchase_id").as("event_id"), col("views_1h"))
   }
 
+  case class FunnelRow(
+      user_id: Long, viewed: Boolean, clicked_after_view: Boolean,
+      purchased_after_click: Boolean)
+
+  /** Streaming twin of the batch funnel
+    * ([[graft.events.EventQueries.funnel]]): per user, did a view happen,
+    * then a click strictly after the FIRST view, then a purchase strictly
+    * after that first qualifying click. State is three epoch-micro slots
+    * per user — O(1), set-once-then-keep: under the replayable-ingest
+    * discipline the parity tests document (each delivered batch entirely
+    * newer than the previous watermark), the first view is final once seen,
+    * so later events can only FILL later stages, never revise earlier ones
+    * — which is what lets the state stay three longs instead of the user's
+    * event history. A user's row emits at event-time timeout: the funnel
+    * CLOSES after `closeHorizonMs` of inactivity (a user who returns later
+    * starts a fresh row — deliberate streaming semantics; for strict batch
+    * parity choose a horizon longer than any intra-user gap, as the parity
+    * test does), append-mode. */
+  def funnelStages(
+      events: Dataset[Event],
+      closeHorizonMs: Long = 86400000L): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingEvents.updateFunnel(closeHorizonMs))
+  }
+
+  /** State: (first view us, first click > view us, first purchase > click
+    * us), -1 = unset. */
+  private def updateFunnel(closeHorizonMs: Long)(
+      userId: Long,
+      evts: Iterator[Event],
+      state: GroupState[(Long, Long, Long)]): Iterator[FunnelRow] = {
+    if (state.hasTimedOut) {
+      val (v, c, p) = state.get
+      state.remove()
+      return Iterator.single(FunnelRow(userId, v >= 0, c >= 0, p >= 0))
+    }
+    var (v, c, p) = state.getOption.getOrElse((-1L, -1L, -1L))
+    // event-time order within the batch; cross-batch order is the ingest
+    // discipline's job (see scaladoc)
+    val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    sorted.foreach { e =>
+      val us = e.ts.getTime * 1000L
+      e.event_type match {
+        case "view" if v < 0                         => v = us
+        case "click" if v >= 0 && c < 0 && us > v    => c = us
+        case "purchase" if c >= 0 && p < 0 && us > c => p = us
+        case _                                       => ()
+      }
+    }
+    state.update((v, c, p))
+    // funnel closes after closeHorizonMs of inactivity (watermark-relative
+    // floor keeps the timeout legal when the watermark has already advanced)
+    val lastMs = sorted.last.ts.getTime
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs() + 1, lastMs + closeHorizonMs))
+    Iterator.empty
+  }
+
   val SessionGapSec = 1800L
 
   /** Event-time sessionization via `flatMapGroupsWithState`: per-user state

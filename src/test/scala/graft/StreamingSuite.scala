@@ -532,6 +532,50 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel stages equal the batch funnel counters on driver data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    // close horizon > the full data span: strict batch parity requires that
+    // no user's funnel closes between deliveries (the default 24 h horizon
+    // would close-and-reopen users with mid-stream gaps — a second row)
+    val horizon = 40L * 86400000L
+    val q = StreamingEvents.funnelStages(input.toDS(), horizon)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // two batches split at one time boundary (the ingest discipline the
+      // operator documents), then far-future sentinels to time every user out
+      val boundary = evts.map(_.ts.getTime).sorted.apply(evts.length / 2)
+      input.addData(evts.filter(_.ts.getTime < boundary): _*)
+      q.processAllAvailable()
+      input.addData(evts.filter(_.ts.getTime >= boundary): _*)
+      q.processAllAvailable()
+      val far = evts.map(_.ts.getTime).max
+      Seq(45, 90).foreach { days =>
+        input.addData(Event(9000 + days, new Timestamp(far + days * 86400000L), 999999, "error", 0))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("funnel_stream")
+        .filter($"user_id" =!= 999999)
+        .as[StreamingEvents.FunnelRow].collect()
+      assert(rows.map(_.user_id).distinct.length == rows.length, "a user emitted twice")
+      val streamed = (
+        rows.count(_.viewed).toLong,
+        rows.count(_.clicked_after_view).toLong,
+        rows.count(_.purchased_after_click).toLong)
+
+      val b = graft.events.EventQueries.funnel(spark, Sf0001).collect()(0)
+      val batch = (b.getLong(0), b.getLong(1), b.getLong(2))
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+      assert(streamed._1 > 0 && streamed._2 > 0)
+    } finally q.stop()
+  }
+
   test("stateful agg survives stop/restart from checkpoint: every window emitted exactly once") {
     // The property that makes a streaming pipeline operable at scale: kill
     // the query mid-stream, restart it from its checkpoint, and the file

@@ -262,6 +262,39 @@ object TrainingPrep {
     * doc_id (partial-agg upstream, keyed shuffle, no text); the benchmark
     * gram join inside [[decontaminate]] stays broadcast; the final
     * aggregation is a 15-key group-by. */
+  /** The composed Gopher-style document gate (Rae et al. 2022 Table A1
+    * shape): one keep/drop verdict per document from the three independent
+    * signal families — heuristic quality ([[graft.text.TextQueries
+    * .textQuality]]: token count, stopword ratio, token length), unigram
+    * repetition ([[docRepetition]]) and n-gram repetition
+    * ([[graft.pipelines.DataSelection.ngramRepetition]]). This is the shape
+    * a production filter runs: signals computed independently (each a
+    * per-document narrow pass + partial aggs), verdict as one conjunctive
+    * doc_id-keyed join. shuffle_hash hints: every side is
+    * aggregate-derived (no stats — Catalyst would sort-merge), and a
+    * doc_id-keyed join needs no sort. */
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    val qual = graft.text.TextQueries.textQuality(spark, dir)
+      .select(col("doc_id"), col("is_quality"))
+    val uni = docRepetition(spark, dir)
+      .select(col("doc_id"), col("is_repetitive").as("uni_repetitive"))
+    val ngram = graft.pipelines.DataSelection.ngramRepetition(spark, dir)
+      .select(col("doc_id"), col("is_repetitive").as("ngram_repetitive"))
+    qual.join(uni.hint("shuffle_hash"), Seq("doc_id"))
+      .join(ngram.hint("shuffle_hash"), Seq("doc_id"))
+      .withColumn("keep",
+        col("is_quality") && !col("uni_repetitive") && !col("ngram_repetitive"))
+  }
+
+  def gopherFilterSql: String =
+    s"""WITH q AS (SELECT doc_id, is_quality FROM (${graft.text.TextQueries.textQualitySql}) tq),
+       |uni AS (SELECT doc_id, is_repetitive AS uni_repetitive FROM ($docRepetitionSql) dr),
+       |ng AS (SELECT doc_id, is_repetitive AS ngram_repetitive
+       |       FROM (${graft.pipelines.DataSelection.ngramRepetitionSql}) nr)
+       |SELECT doc_id, is_quality, uni_repetitive, ngram_repetitive,
+       |  (is_quality AND NOT uni_repetitive AND NOT ngram_repetitive) AS keep
+       |FROM q JOIN uni USING (doc_id) JOIN ng USING (doc_id)""".stripMargin
+
   def trainingPipeline(spark: SparkSession, dir: String): DataFrame = {
     val contaminated = decontaminate(spark, dir).select(col("doc_id"))
     val repetitive = docRepetition(spark, dir)

@@ -30,7 +30,8 @@ object ScaleProbe {
     "doc_repetition", "seq_pack", "word_heavy_hitters", "tfidf_top_terms",
     "word_pmi", "quality_classifier", "dedup_semantic", "events_range_join",
     "bm25_search", "ngram_perplexity", "dsir_weights", "domain_mixture",
-    "ngram_repetition", "events_retention", "embed_topk_pq", "embed_topk_ivfpq")
+    "ngram_repetition", "events_retention", "embed_topk_pq", "embed_topk_ivfpq",
+    "gopher_filter")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

@@ -10,10 +10,13 @@ import graft.Tables
   *
   * Image decode is REAL — [[realDecode]] reads PNG/JPEG/GIF/BMP headers via
   * `javax.imageio` (pure JVM, already on every classpath), width/height/
-  * format without touching pixel data. Audio/video codecs stay out of the
-  * dependency set, so the deterministic [[stubDecode]] remains the default
-  * feature path (and the DuckDB-oracle path: header decode has no SQL
-  * twin). The Spark-side plumbing is identical either way: schema
+  * format without touching pixel data. Audio decode is REAL for the JDK's
+  * container formats — [[realAudioDecode]] reads WAV/AIFF/AU headers via
+  * `javax.sound.sampled` (sample rate, channels, frame count, encoding)
+  * without decoding samples. Video codecs stay out of the dependency set,
+  * so the deterministic [[stubDecode]] remains that path's stand-in (and
+  * the DuckDB-oracle path: header decode has no SQL twin). The Spark-side
+  * plumbing is identical either way: schema
   * (`id, media binary, meta struct`), partition-batched iteration (the
   * shape a vectorized decoder needs), executor-side execution with no
   * driver collect.
@@ -67,6 +70,44 @@ object MultimodalPipeline {
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
           realDecode(r.media).map { case (w, h, fmt) => ImageMeta(r.id, w, h, fmt) }
+        }
+      }
+    }
+  }
+
+  /** Audio header metadata from a real decode. */
+  case class AudioMeta(
+      id: Long, sample_rate: Double, channels: Int, frames: Long, encoding: String)
+
+  /** Real audio decode via `javax.sound.sampled`: sample rate, channel
+    * count, frame length and encoding read from the WAV/AIFF/AU header
+    * WITHOUT decoding sample data (`getAudioFileFormat`, not
+    * `getAudioInputStream` + read). Returns None for payloads no installed
+    * provider recognizes. */
+  def realAudioDecode(bytes: Array[Byte]): Option[(Double, Int, Long, String)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      Some((fmt.getSampleRate.toDouble, fmt.getChannels,
+        aff.getFrameLength.toLong, fmt.getEncoding.toString))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Partition-batched REAL audio decode — same batched mapPartitions shape
+    * as [[decodeImages]]; unrecognized payloads drop, the binary payload
+    * never leaves the partition. */
+  def decodeAudio(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          realAudioDecode(r.media).map { case (sr, ch, fr, enc) =>
+            AudioMeta(r.id, sr, ch, fr, enc)
+          }
         }
       }
     }

@@ -85,6 +85,31 @@ class MultimodalSuite extends SparkSpec {
       2L -> ((5, 9, "jpeg"))), metas.toString) // junk row dropped, no exception
   }
 
+  test("real audio decode: WAV fixtures yield rate/channels/frames, junk is dropped") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // real fixture audio, generated deterministically in-test through the
+    // JDK's own WAV writer: 16-bit PCM, a sawtooth payload
+    def wavBytes(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = Array.tabulate[Byte](frames * channels * 2)(i => (i * 7 % 251).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MultimodalPipeline.MediaRow(1L, wavBytes(8000f, 1, 120), "wav"),
+      MultimodalPipeline.MediaRow(2L, wavBytes(44100f, 2, 37), "wav"),
+      MultimodalPipeline.MediaRow(3L, Array[Byte](1, 2, 3, 4), "junk")).toDS()
+    val metas = MultimodalPipeline.decodeAudio(media, batchSize = 2).collect()
+      .map(m => m.id -> ((m.sample_rate, m.channels, m.frames, m.encoding))).toMap
+    assert(metas == Map(
+      1L -> ((8000.0, 1, 120L, "PCM_SIGNED")),
+      2L -> ((44100.0, 2, 37L, "PCM_SIGNED"))), metas.toString) // junk dropped
+  }
+
   test("expression path agrees with mapPartitions path on byte length") {
     import spark.implicits._
     val viaExpr = MultimodalPipeline.mediaFeatures(spark, Sf0001)

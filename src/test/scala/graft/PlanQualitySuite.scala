@@ -31,6 +31,29 @@ class PlanQualitySuite extends SparkSpec {
       s"${broken.size}/${planResults.size} queries fail before execution:\n${broken.mkString("\n")}")
   }
 
+  test("every registered query has an oracle (driver records only a weak rows-check without one)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: ${missing.toSeq.sorted}")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle SQL without a query: ${orphaned.toSeq.sorted}")
+  }
+
+  test("no registered query emits nested columns (driver compare crashes on unhashable cells)") {
+    // the driver's pandas compare sorts all columns and cannot hash
+    // ndarray/dict cells — arrays must be exploded to scalar rows upstream
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      scala.util.Try(fn(spark, Sf0001).schema).toOption.toSeq.flatMap {
+        _.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+      }
+    }
+    assert(offenders.isEmpty, s"nested output columns: $offenders")
+  }
+
   test("no registered query contains a cartesian product") {
     plans.foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")

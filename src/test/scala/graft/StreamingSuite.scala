@@ -635,6 +635,54 @@ class StreamingSuite extends SparkSpec {
       s"restarted stream diverged from batch: only streamed ${out.map(_.toSeq).toSet -- batch}, only batch ${batch -- out.map(_.toSeq).toSet}")
   }
 
+  test("online ANN index: streamed cell assignments equal the batch quantizer assignment") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    // the TRAINED quantizer is the static side (broadcast, tiny by contract)
+    val cents = graft.similarity.SimilarityQueries
+      .trainedCentroidVectors(spark, Sf0001)
+      .select(col("cell"), col("centroid"))
+      .localCheckpoint()
+
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .as[StreamingSuite.Vec].collect()
+
+    val input = MemoryStream[StreamingSuite.Vec]
+    val q = graft.streaming.StreamingIndex.assignCells(input.toDF(), cents)
+      .writeStream.format("memory").queryName("ann_index_stream")
+      .outputMode("append").start()
+    try {
+      // three micro-batches — ingest is stateless, so any batching works
+      vecs.grouped((vecs.length + 2) / 3).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ann_index_stream")
+        .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+
+      // batch twin: the topkIvf assignment discipline (max cosine, ties to
+      // the lower cell) over the same corpus and quantizer
+      val batch = Tables.embeddings(spark, Sf0001)
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", expr("cosine_sim(e, centroid)"))
+        .groupBy($"vec_id")
+        .agg(max(struct($"csim", (-$"cell").as("negcell"))).as("m"))
+        .select($"vec_id", (-$"m.negcell").as("cell"))
+        .as[(Long, Long)].collect().toMap
+
+      assert(streamed == batch,
+        s"${streamed.count { case (k, v) => batch.get(k) != Some(v) }} of ${streamed.size} assignments diverge")
+      assert(streamed.size == vecs.length)
+      // occupancy monitor covers every cell the corpus occupies
+      val occ = graft.streaming.StreamingIndex.cellOccupancy(
+        spark.table("ann_index_stream")).collect()
+      assert(occ.map(_.getLong(1)).sum == vecs.length)
+    } finally q.stop()
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path
@@ -651,4 +699,5 @@ class StreamingSuite extends SparkSpec {
 object StreamingSuite {
   /** Top-level so spark.implicits can derive its encoder. */
   case class Doc(doc_id: Long, text: String, ingest_ts: java.sql.Timestamp)
+  case class Vec(vec_id: Long, e: Seq[Double])
 }

@@ -885,4 +885,100 @@ object DedupQueries {
        |  FROM wc GROUP BY doc_id)
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits""".stripMargin
   }
+
+  /** Canonical-document selection — the step after [[dedupComponents]] in a
+    * real dedup pipeline: each duplicate CLUSTER keeps exactly one survivor
+    * (here: the longest document, ties to the smaller doc_id), everything
+    * else is dropped. Returns one row per component with the kept doc.
+    *
+    * The survivor choice is `max(struct(n_chars, -doc_id))` — lexicographic
+    * struct-max IS the argmax with its tie-break, and unlike a rank-1
+    * window it partially aggregates map-side: no per-component sort, one
+    * |components|-row shuffle (the [[graft.relational.RelationalQueries.brandCheapest]]
+    * pattern). Only (doc_id, n_chars) rides the join — document text never
+    * shuffles, so the step costs edge-set + id-set traffic at any corpus
+    * size. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(spark, dir)
+    val chars = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    comp.join(chars, "doc_id")
+      .groupBy(col("canonical"))
+      .agg(
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("m"),
+        count(lit(1)).as("component_size"))
+      .select(col("canonical"), (-col("m.neg")).as("kept_doc"),
+        col("m.n_chars").as("kept_chars"), col("component_size"))
+  }
+
+  /** Oracle: the components CTE + a rank-1 window with the same tie-break. */
+  def dedupCanonicalSql: String =
+    s"""WITH comp AS ($dedupComponentsSql),
+       |j AS (SELECT c.doc_id, c.canonical, d.n_chars
+       |      FROM comp c JOIN documents d USING (doc_id))
+       |SELECT canonical, kept_doc, kept_chars, component_size FROM (
+       |  SELECT canonical, doc_id AS kept_doc, n_chars AS kept_chars,
+       |    count(*) OVER (PARTITION BY canonical) AS component_size,
+       |    row_number() OVER (PARTITION BY canonical
+       |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |  FROM j) t
+       |WHERE rn = 1""".stripMargin
+
+  /** Blocking threshold for [[erCandidates]]. */
+  private val ErMaxDist = 3
+
+  /** Entity-resolution candidate pairs over the part catalog — the
+    * record-linkage shape (Fellegi-Sunter blocking + edit-distance verify)
+    * that string-keyed dedup can't express: "red widget" and "blue widget"
+    * never hash-collide, but are the same entity under a ≤[[ErMaxDist]]
+    * edit-distance rule within a (brand, type) block.
+    *
+    * MULTI-PASS BLOCKING, the standard recall device: pass A blocks on the
+    * name's head token, pass B on its tail token (both with brand + type),
+    * so a pair differing in either token still co-blocks in the other
+    * pass. Each pass is the LSH bucket shape from [[dedupNearOn]] — ONE
+    * shuffle by blocking key, pairs expanded inside each bucket from a
+    * collect_list — not a self-join (which would rescan the table per
+    * side). Blocks are bounded by the catalog's (brand × type × token)
+    * granularity, so in-bucket expansion never goes quadratic in the
+    * table; the union of the two passes dedups on the pair key before the
+    * levenshtein verify (codegen'd built-in) prices each candidate once.
+    * Only (key, name) rides the shuffle. */
+  def erCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("p_name"), " ")
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        element_at(toks, 1).as("head"), element_at(toks, -1).as("tail"))
+    def pass(tok: String): DataFrame =
+      parts
+        .groupBy(col("p_brand"), col("p_type"), col(tok))
+        .agg(sort_array(collect_list(struct(col("p_partkey").as("id"), col("p_name").as("nm")))).as("ps"))
+        .filter(size(col("ps")) > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(ps) - 2),
+            |  i -> transform(slice(ps, i + 2, size(ps) - i - 1),
+            |       b -> struct(ps[i].id AS part_a, ps[i].nm AS name_a,
+            |                   b.id AS part_b, b.nm AS name_b))))""".stripMargin)).as("p"))
+        .select(col("p.part_a"), col("p.name_a"), col("p.part_b"), col("p.name_b"))
+    pass("head").union(pass("tail"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= ErMaxDist)
+      .select(col("part_a"), col("part_b"), col("dist"))
+  }
+
+  /** Oracle: the two blocking passes as one OR-join predicate (identical
+    * pair set), DuckDB's levenshtein (same unit-cost edit distance). */
+  def erCandidatesSql: String =
+    s"""WITH p AS (
+       |  SELECT p_partkey, p_name, p_brand, p_type,
+       |    string_split(p_name, ' ')[1] AS head,
+       |    string_split(p_name, ' ')[-1] AS tail
+       |  FROM part)
+       |SELECT part_a, part_b, dist FROM (
+       |  SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+       |  FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+       |    AND a.p_brand = b.p_brand AND a.p_type = b.p_type
+       |    AND (a.head = b.head OR a.tail = b.tail)) t
+       |WHERE dist <= $ErMaxDist""".stripMargin
 }

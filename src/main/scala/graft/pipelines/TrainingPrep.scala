@@ -91,6 +91,43 @@ object TrainingPrep {
       .select(explode(ngrams(col("text"), NGram)).as("gram"))
       .distinct()
 
+  /** [[decontaminate]] through an EXPLICIT Bloom-filter prefilter — the
+    * scale path for when the benchmark gram set outgrows a broadcast hash
+    * set (a multi-eval-suite set at full n-gram granularity runs to 10⁸+
+    * grams; a hash set of strings is tens of GB, a Bloom filter at the same
+    * item count is a fixed few hundred MB of bits — and here 1 MB).
+    *
+    * Three stages, all inside one plan:
+    *   1. BUILD: `bloom_agg(xxhash64(gram))` over the benchmark grams — a
+    *      constant-size aggregate ([[graft.functions.BloomFunctions]]),
+    *      attached as a scalar subquery so the analyzer ships it to probe
+    *      tasks like a broadcast variable.
+    *   2. PROBE: the corpus side filters on `bloom_might_contain` — map-side,
+    *      codegen'd, zero shuffle; only the surviving sliver (true overlaps
+    *      + the filter's ~0.1% false positives) continues.
+    *   3. VERIFY: an exact join against the true gram set prices each
+    *      survivor, so the result is EXACT — identical to [[decontaminate]]
+    *      and checked against the same oracle. At broadcast-breaking
+    *      benchmark sizes this join becomes a shuffled hash join whose
+    *      corpus side the Bloom stage has already cut by orders of
+    *      magnitude — the InjectRuntimeFilter pattern Spark applies to
+    *      shuffle joins automatically, materialized explicitly so it also
+    *      covers plans (and filter reuse across jobs) the optimizer rule
+    *      can't see. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bench = benchmarkGrams(spark, dir)
+    val bloom = bench
+      .agg(expr("bloom_agg(xxhash64(gram), 1000000L, 8388608L)").as("bf"))
+      .scalar()
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("source") =!= BenchmarkSource)
+      .select(col("doc_id"), explode(ngrams(col("text"), NGram)).as("gram"))
+      .filter(call_function("bloom_might_contain", bloom, xxhash64(col("gram"))))
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def decontaminateSql: String =
     s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
        |g AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+${NGram - 1}], ' ') AS gram

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{RollingHash, ShingleExpressions, SubstringExpressions, VectorExpressions}
+import graft.functions.{BloomFunctions, RollingHash, ShingleExpressions, SubstringExpressions, VectorExpressions}
 
 /** Session extension installing graft's native functions. Usable both
   * programmatically ([[GraftSession.builder]]) and via
@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SubstringExpressions.gramFpsDescriptor)
     ext.injectFunction(SubstringExpressions.gramsAtDescriptor)
     ext.injectFunction(SubstringExpressions.winnowSelectDescriptor)
+    ext.injectFunction(BloomFunctions.bloomAggDescriptor)
+    ext.injectFunction(BloomFunctions.bloomMightContainDescriptor)
   }
 }
 

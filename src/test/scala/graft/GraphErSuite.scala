@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupQueries
+import graft.graph.GraphQueries
+import graft.pipelines.TrainingPrep
+
+/** Engine-internal oracles for the round-9 additions: the degree-oriented
+  * triangle count, canonical-survivor selection, multi-pass ER blocking,
+  * and the Bloom-prefiltered decontamination. Each test checks the
+  * scale-shaped implementation against an independent straightforward
+  * formulation on the same session — the cross-engine DuckDB check is the
+  * driver's job; these pin the algebraic claims the scale shapes rest on. */
+class GraphErSuite extends SparkSpec {
+
+  test("copurchase_triangles: degree-oriented enumeration ≡ naive id-ordered enumeration") {
+    // The implementation orients edges by (degree, id); the claim letting
+    // the DuckDB oracle use plain id-order is that ANY total order yields
+    // each triangle exactly once. Check against an id-ordered three-way
+    // self-join built independently here.
+    val li = Tables.lineitem(spark, Sf0001).select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+        && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val tri = e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
+      .join(e.as("ac"), col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+      .select(col("ab.u").as("a"), col("ab.v").as("b"), col("bc.v").as("c"))
+    val naive = tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
+      .groupBy(col("part_id")).agg(count(lit(1)).as("triangles"))
+    val fast = GraphQueries.copurchaseTriangles(spark, Sf0001)
+    val diff = fast.exceptAll(naive).count() + naive.exceptAll(fast).count()
+    Caches.drain()
+    assert(diff == 0, s"degree-oriented and naive triangle counts diverge on $diff rows")
+  }
+
+  test("dedup_canonical: one survivor per component, survivor is in its own component") {
+    val canon = Caches.persisted(DedupQueries.dedupCanonical(spark, Sf0001))
+    val comp = DedupQueries.dedupComponents(spark, Sf0001)
+    // exactly one row per canonical label, and sizes agree with components
+    assert(canon.groupBy(col("canonical")).count().filter(col("count") > 1).count() == 0)
+    val mismatched = canon.join(comp,
+        canon("kept_doc") === comp("doc_id") && canon("canonical") === comp("canonical"),
+        "left_anti").count()
+    val sizeWrong = canon.join(
+        comp.groupBy(col("canonical")).agg(count(lit(1)).as("sz")), "canonical")
+      .filter(col("component_size") =!= col("sz")).count()
+    // the survivor really is the longest member (ties: smallest id)
+    val chars = Tables.documents(spark, Sf0001).select(col("doc_id"), col("n_chars"))
+    val beats = comp.join(chars, "doc_id")
+      .join(canon.select(col("canonical"), col("kept_doc"), col("kept_chars")), "canonical")
+      .filter(col("n_chars") > col("kept_chars")
+        || (col("n_chars") === col("kept_chars") && col("doc_id") < col("kept_doc")))
+      .count()
+    Caches.drain()
+    assert(mismatched == 0, s"$mismatched survivors not members of their component")
+    assert(sizeWrong == 0, s"$sizeWrong component sizes disagree")
+    assert(beats == 0, s"$beats component members beat their chosen survivor")
+  }
+
+  test("er_candidates: bucket-expansion passes ≡ direct blocked self-join") {
+    val toks = split(col("p_name"), " ")
+    val p = Tables.part(spark, Sf0001)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        element_at(toks, 1).as("head"), element_at(toks, -1).as("tail"))
+    val direct = p.as("a").join(p.as("b"),
+        col("a.p_partkey") < col("b.p_partkey")
+          && col("a.p_brand") === col("b.p_brand") && col("a.p_type") === col("b.p_type")
+          && (col("a.head") === col("b.head") || col("a.tail") === col("b.tail")))
+      .select(col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 3)
+    val fast = DedupQueries.erCandidates(spark, Sf0001)
+    val diff = fast.exceptAll(direct).count() + direct.exceptAll(fast).count()
+    Caches.drain()
+    assert(diff == 0, s"multi-pass blocking and direct self-join diverge on $diff rows")
+  }
+
+  test("bloom_decontaminate ≡ decontaminate (Bloom stage is a pure prefilter)") {
+    val plain = TrainingPrep.decontaminate(spark, Sf0001)
+    val bloom = TrainingPrep.bloomDecontaminate(spark, Sf0001)
+    val diff = plain.exceptAll(bloom).count() + bloom.exceptAll(plain).count()
+    Caches.drain()
+    assert(diff == 0, s"Bloom-prefiltered result diverges on $diff rows")
+  }
+
+  test("bloom_might_contain has no false negatives and rejects most non-members") {
+    import spark.implicits._
+    val members = (1L to 2000L).toDF("x")
+    val bloom = members.agg(expr("bloom_agg(xxhash64(x), 10000L, 131072L)").as("bf")).scalar()
+    val probe = (1L to 20000L).toDF("x")
+      .withColumn("hit", call_function("bloom_might_contain", bloom, xxhash64(col("x"))))
+    val missed = probe.filter(col("x") <= 2000 && !col("hit")).count()
+    val falsePos = probe.filter(col("x") > 2000 && col("hit")).count()
+    assert(missed == 0, s"$missed false negatives — Bloom contract broken")
+    // 2k items in 128k bits ⇒ fpp well under 1%; 18k non-members probe it
+    assert(falsePos < 180, s"$falsePos false positives out of 18000 — filter mis-sized")
+  }
+}

@@ -607,4 +607,153 @@ object EventQueries {
       |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
       |     AND v.ms >= p.ms - 3600000 AND v.ms < p.ms) AS views_1h
       |FROM ev p WHERE p.event_type = 'purchase'""".stripMargin
+
+  /** 2σ-outlier days per event type — anomaly detection over the daily
+    * volume series, done in EXACT integer arithmetic so the flag is
+    * bit-identical across engines. With n days, daily counts c_i, S = Σc,
+    * SS = Σc², the population z-score condition |z| > 2 rewrites to
+    *   (n·c − S)² > 4·(n·SS − S²)
+    * (2σ, not 3σ: the generated volume series is near-Poisson-flat, and 3σ
+    * days don't exist below sf0.1 — a zero-row witness verifies nothing)
+    * — no division, no floating point, so a borderline day can never flip
+    * between Spark and the oracle on rounding. The comparison runs in
+    * decimal(38,0): with per-day counts in the billions (100 TB territory),
+    * (n·c − S)² exceeds int64 while decimal128 has 2× the headroom; the
+    * day/count outputs stay int64.
+    *
+    * Scale shape: the daily rollup is one partial-aggregable shuffle whose
+    * width is (types × days), the per-type moment table is a second partial
+    * agg over THAT (tiny), broadcast back onto the daily rollup. Raw events
+    * are scanned once, two narrow columns. */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("s"),
+        sum(col("n_events") * col("n_events")).as("ss"))
+    val dec = "decimal(38,0)"
+    val dev = (col("n_days") * col("n_events") - col("s")).cast(dec)
+    val spread = (col("n_days") * col("ss") - col("s") * col("s")).cast(dec)
+    daily.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(4).cast(dec) * spread)
+      .select(col("event_type"), col("day"), col("n_events"))
+  }
+
+  def anomalyDaysSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n_days, sum(n_events) AS s,
+      |    sum(n_events * n_events) AS ss
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, day, n_events
+      |FROM daily JOIN stats USING (event_type)
+      |WHERE CAST(n_days * n_events - s AS HUGEINT) * CAST(n_days * n_events - s AS HUGEINT)
+      |    > 4 * CAST(n_days * ss - s * s AS HUGEINT)""".stripMargin
+
+  /** First-order Markov transition counts between consecutive events of the
+    * same user — the sequence-mining staple behind next-action prediction
+    * and session-flow dashboards. Order within a user is (ts, event_id):
+    * event_id breaks microsecond ties deterministically, so the transition
+    * table is engine-portable.
+    *
+    * Scale shape: one shuffle keyed on user_id feeds the per-user sort
+    * window (`lead`), and per-user state is a single lookahead row — Spark
+    * streams each user partition, nothing holistic. The final (from, to)
+    * rollup is |types|²-sized with map-side combine. At 100 TB a power user
+    * is one task's sorted run, not a cross join. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  def transitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      |  FROM e)
+      |SELECT from_type, to_type, count(*) AS n_transitions
+      |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** Daily OHLC bars per event type over `value` — the time-series rollup
+    * (open = value at the first event of the day, close = at the last,
+    * high/low = extremes). open/close use `min_by`/`max_by` with a
+    * (ts, event_id) struct key so microsecond ties resolve identically in
+    * both engines; DuckDB's ordered-aggregate `first(… ORDER BY …)` is the
+    * oracle twin. All four outputs are SELECTED doubles, never arithmetic
+    * results, so the hash-compare sees bit-identical parquet values.
+    *
+    * Scale shape: a single partial-aggregable shuffle of width
+    * (types × days); min_by/max_by partials are one (key, value) pair each,
+    * so map-side combine reduces every partition to its bar fragments. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("value"), expr("unix_micros(ts)").as("us"), col("event_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        min_by(col("value"), struct(col("us"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+
+  def ohlcBarsSql: String =
+    """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  first(value ORDER BY epoch_us(ts), event_id) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  last(value ORDER BY epoch_us(ts), event_id) AS close,
+      |  count(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Count-Min point-frequency audit: the 20 busiest users (exact count,
+    * deterministic tiebreak) each checked against the
+    * [[graft.functions.CountMinSketch]] estimate. Both contract flags are
+    * decidable by the oracle because the sketch's counters are
+    * bit-identical under every merge order (elementwise-sum merge):
+    *   - `cms_no_undercount`: CMS estimates NEVER undercount — a hard
+    *     guarantee, TRUE under any data;
+    *   - `cms_within_1pct`: overcount ≤ max(1, N/100) — the expected
+    *     colliding mass is N/4096 per row and the estimate takes the MIN
+    *     over 5 independently-hashed rows, so 1% of N is ~40× margin, not
+    *     slack in the claim.
+    *
+    * Scale shape: the exact side is one partial-agg shuffle + global
+    * top-20 (TakeOrderedAndProject); the sketch side ships ONE 160 KiB
+    * array per partition regardless of user cardinality; sketch and total
+    * broadcast back as single rows. This is the shape that answers
+    * "how often does key X occur in 100 TB" without materializing the
+    * full per-key count table. */
+  def cmsUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.events(spark, dir).select(col("user_id"))
+    val top = ids.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id").asc).limit(20)
+    val sketch = ids.as[Long]
+      .select(new graft.functions.CountMinSketch().toColumn.name("sk"))
+    val total = ids.agg(count(lit(1)).as("total"))
+    val est = graft.functions.CountMinSketch.probe(col("sk"), col("user_id"))
+    top.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+      .select(col("user_id"), col("n_events"),
+        (est >= col("n_events")).as("cms_no_undercount"),
+        (est <= col("n_events") + greatest(lit(1L), expr("total div 100")))
+          .as("cms_within_1pct"))
+  }
+
+  def cmsUserCountsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  TRUE AS cms_no_undercount, TRUE AS cms_within_1pct
+      |FROM events GROUP BY user_id
+      |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin
 }

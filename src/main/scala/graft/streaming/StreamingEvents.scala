@@ -135,6 +135,47 @@ object StreamingEvents {
       .select(col("user_id"), col("purchase_id").as("event_id"), col("views_1h"))
   }
 
+  /** Daily OHLC bars per event type — the streaming twin of
+    * [[graft.events.EventQueries.ohlcBars]]. `min_by`/`max_by` with a
+    * (ts, event_id) struct key are declarative aggregates whose partial
+    * state is ONE (key, value) pair, so the streaming store holds five
+    * scalars per open (day, type) cell and the watermark bounds the open
+    * cells to (watermark / 1 day) per type — O(active windows), never
+    * O(events). Runs unchanged on batch frames (parity-tested); the
+    * tiebreak makes open/close deterministic under any micro-batch split,
+    * since min_by over a total order is arrival-order-free. */
+  def dailyOhlc(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+
+  /** Per-day Count-Min sketch of user activity — the streaming twin of
+    * [[graft.events.EventQueries.cmsUserCounts]]'s sketch side. The
+    * [[graft.functions.CountMinSketch]] aggregator's merge is elementwise
+    * sum, so the per-window counters are BIT-IDENTICAL to a batch run under
+    * any micro-batch arrival split (the property the parity test asserts,
+    * probing estimates through the same Catalyst expression). State per
+    * open window is one fixed 160 KiB array — the streaming answer to
+    * "how often did key X occur today" that never materializes a per-key
+    * count table. */
+  def dailyUserSketch(events: DataFrame, watermark: String = "2 days"): DataFrame = {
+    val cmsUdaf = udaf(new graft.functions.CountMinSketch(),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(cmsUdaf(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day_start"), col("sk"), col("n_events"))
+  }
+
   case class FunnelRow(
       user_id: Long, viewed: Boolean, clicked_after_view: Boolean,
       purchased_after_click: Boolean)

@@ -683,6 +683,74 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming daily OHLC bars equal the batch twin on driver data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val events = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    val (firstHalf, secondHalf) = events.sortBy(_.event_id).splitAt(events.size / 2)
+
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.dailyOhlc(input.toDF())
+      .writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: open/close must not depend on arrival split
+      input.addData(firstHalf: _*)
+      q.processAllAvailable()
+      input.addData(secondHalf: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_stream").collect().map(_.toSeq).toSet
+      val batch = StreamingEvents.dailyOhlc(events.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming daily CMS sketch is bit-identical to batch under a micro-batch split") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val events = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    val (a, b) = events.sortBy(_.event_id).splitAt(events.size / 3)
+
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.dailyUserSketch(input.toDF())
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getTimestamp(0), r.getSeq[Long](1), r.getLong(2))).toSet
+      val streamed = canon(spark.table("cms_stream").collect())
+      val batch = canon(StreamingEvents.dailyUserSketch(events.toDF()).collect())
+      assert(streamed == batch) // counters, not just estimates, are exact
+      assert(streamed.nonEmpty)
+
+      // probe through the same Catalyst expression the batch query uses:
+      // no (day, user) estimate may undercount its true per-day count
+      val truth = events.groupBy(e => (e.ts.getTime / 86400000L * 86400000L, e.user_id))
+        .view.mapValues(_.size.toLong).toMap
+      val users = events.map(_.user_id).distinct.toDF("user_id")
+      val probed = spark.table("cms_stream").crossJoin(users)
+        .select($"day_start", $"user_id",
+          graft.functions.CountMinSketch.probe($"sk", $"user_id").as("est"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1)) -> r.getLong(2)).toMap
+      truth.foreach { case (k, c) =>
+        assert(probed.getOrElse(k, 0L) >= c, s"undercount at $k")
+      }
+    } finally q.stop()
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path

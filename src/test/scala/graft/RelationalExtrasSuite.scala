@@ -194,4 +194,24 @@ class RelationalExtrasSuite extends SparkSpec {
     assert(got == brute)
     assert(got.nonEmpty) // exact dups exist in testdata → hamming-0 pairs
   }
+
+  test("part_skyline: window formulation equals the textbook NOT-EXISTS dominance definition") {
+    val pairs = Tables.part(spark, Sf0001)
+      .select(round(col("p_retailprice") * 100).cast("bigint").as("price_cents"),
+        col("p_size").cast("bigint").as("p_size"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute force: p survives iff nothing dominates it (<=, >=, one strict)
+    val brute = pairs.filter { case (pr, sz) =>
+      !pairs.exists { case (pr2, sz2) =>
+        pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz)
+      }
+    }.toSet
+    val got = RelationalQueries.partSkyline(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty)
+    // frontier is strictly monotone: price up => size up
+    val sorted = got.toSeq.sortBy(_._1)
+    sorted.zip(sorted.tail).foreach { case ((_, s1), (_, s2)) => assert(s2 > s1) }
+  }
 }

@@ -683,6 +683,35 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition pairs equal the batch Markov transition counts on driver data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    // horizon wider than the data span: no user's chain may break between
+    // deliveries (same discipline as the funnel parity test)
+    val q = StreamingEvents.transitionPairs(input.toDS(), 40L * 86400000L)
+      .writeStream.format("memory").queryName("transitions_stream")
+      .outputMode("append").start()
+    try {
+      val boundary = evts.map(_.ts.getTime).sorted.apply(evts.length / 2)
+      input.addData(evts.filter(_.ts.getTime < boundary): _*)
+      q.processAllAvailable()
+      input.addData(evts.filter(_.ts.getTime >= boundary): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("transitions_stream")
+        .groupBy($"from_type", $"to_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.events.EventQueries.transitions(spark, Sf0001)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming daily OHLC bars equal the batch twin on driver data") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

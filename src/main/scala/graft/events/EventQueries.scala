@@ -756,4 +756,138 @@ object EventQueries {
       |  TRUE AS cms_no_undercount, TRUE AS cms_within_1pct
       |FROM events GROUP BY user_id
       |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin
+
+  /** Gap-filled hourly series — the resample operator: every (type, hour)
+    * cell in the observed global hour range exists in the output, zeros
+    * included (real zeros at the verify SF: each type misses ~5% of the
+    * 720-hour span at sf0.01). Time-series consumers (anomaly detection,
+    * forecasting) need the dense grid; a groupBy alone silently drops
+    * empty cells and the downstream model never knows.
+    *
+    * Scale shape: the spine is |types| × |hours| rows built from a
+    * broadcast min/max scalar and a `sequence` explode — never a scan of
+    * raw events; the observed counts attach by a left join that Catalyst
+    * plans against the (types × hours)-sized aggregate, not the fact
+    * table. */
+  def hourlyFilled(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = hourly.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val types = hourly.select(col("event_type")).distinct()
+    types
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+      .join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  def hourlyFilledSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+      |spine AS (
+      |  SELECT t.event_type, u.hour
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t,
+      |       bounds, unnest(range(h0, h1 + 1)) AS u(hour))
+      |SELECT spine.event_type, spine.hour, coalesce(n, 0) AS n_events
+      |FROM spine LEFT JOIN hourly
+      |  ON hourly.event_type = spine.event_type AND hourly.hour = spine.hour""".stripMargin
+
+  /** CDC-style compaction: each user's LATEST event (by event time,
+    * event_id tiebreak) — the "current state" materialization every
+    * change-stream consumer runs. One `max_by` with a total-order key:
+    * a single partial-aggregable shuffle whose state per key is one
+    * struct, vs the row_number-over-window formulation that sorts every
+    * user's full history. */
+  def latestPerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("event_id"), col("event_type"), col("us")),
+          struct(col("us"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"), col("last.us").as("last_us"))
+
+  def latestPerUserSql: String =
+    """SELECT user_id,
+      |  last(event_id ORDER BY epoch_us(ts), event_id) AS last_event_id,
+      |  last(event_type ORDER BY epoch_us(ts), event_id) AS last_type,
+      |  last(epoch_us(ts) ORDER BY epoch_us(ts), event_id) AS last_us
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Peak session concurrency — the sweep-line / gaps-and-islands member
+    * of the event family: how many 30-minute-gap sessions were open at
+    * once, at their global maximum, and when that peak was first reached.
+    *
+    * Sessions come from the same marker-cumsum machinery as [[sessions]];
+    * each closed session emits (+1 at start, −1 at end+1) boundary rows
+    * and a running sum over the global (time, delta) order is the live
+    * count — `delta` ascending within a tie-second processes the −1
+    * first, so back-to-back sessions never double-count. The final row is
+    * the max count with the earliest second achieving it (total order ⇒
+    * engine-identical).
+    *
+    * Scale shape: boundaries are 2×|sessions| rows — orders of magnitude
+    * below raw events — so the one global sort is tiny; past that, the
+    * standard two-level prefix sum (per-bucket cumsum + carry-in of
+    * per-bucket totals) computes the same running count with no global
+    * sort, bucketed by day. */
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("new_session",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > SessionGapSec, 1)
+          .when(lag(col("sec"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("sec")).as("s0"), max(col("sec")).as("s1"))
+    val bounds = sess
+      .select(col("s0").as("t"), lit(1L).as("delta"))
+      .union(sess.select((col("s1") + 1).as("t"), lit(-1L).as("delta")))
+    val swept = bounds
+      .withColumn("live", sum(col("delta")).over(
+        Window.orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    swept.agg(max(col("live")).as("max_concurrent"))
+      .crossJoin(swept)
+      .filter(col("live") === col("max_concurrent"))
+      .groupBy(col("max_concurrent"))
+      .agg(min(col("t")).as("first_peak_sec"))
+  }
+
+  def sessionConcurrencySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       |marked AS (
+       |  SELECT user_id, sec, event_id,
+       |    CASE WHEN lag(sec) OVER w IS NULL THEN 1
+       |         WHEN sec - lag(sec) OVER w > $SessionGapSec THEN 1
+       |         ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       |numbered AS (
+       |  SELECT user_id, sec,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM marked),
+       |sess AS (
+       |  SELECT user_id, session_idx, min(sec) AS s0, max(sec) AS s1
+       |  FROM numbered GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT s0 AS t, CAST(1 AS BIGINT) AS delta FROM sess
+       |  UNION ALL SELECT s1 + 1, -1 FROM sess),
+       |swept AS (
+       |  SELECT t, CAST(sum(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING)
+       |            AS BIGINT) AS live
+       |  FROM bounds)
+       |SELECT max_concurrent, min(t) AS first_peak_sec
+       |FROM swept, (SELECT max(live) AS max_concurrent FROM swept)
+       |WHERE live = max_concurrent
+       |GROUP BY 1""".stripMargin
 }

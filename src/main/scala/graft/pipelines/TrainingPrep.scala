@@ -287,6 +287,32 @@ object TrainingPrep {
        |GROUP BY lang""".stripMargin
   }
 
+  private val SampleK = 100
+
+  /** Fixed-size deterministic uniform sample — bottom-k by md5(doc_id):
+    * the k documents whose id-hash sorts lowest. The third member of the
+    * sampling family (rate-based [[stratifiedSample]], bucket-based
+    * [[trainSplit]]) covers the case those can't: an EXACTLY-k sample
+    * that is stable under reruns, engine-portable (both engines hash the
+    * same decimal string) and composable — the bottom-k of a union is the
+    * bottom-k of the per-shard bottom-k's, the mergeable-summary property
+    * that makes it one `TakeOrderedAndProject` at any scale: each
+    * partition keeps its local k, the driver merges k × partitions rows,
+    * no global sort ever materializes. */
+  def docSampleBottomK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(SampleK)
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  def docSampleBottomKSql: String =
+    s"""SELECT doc_id, source, lang
+       |FROM (SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+       |      FROM documents)
+       |ORDER BY h, doc_id LIMIT $SampleK""".stripMargin
+
   /** The training-prep composition — the downstream half of the corpus
     * story ([[CorpusPipeline]] is the cleaning half): exclude documents
     * contaminated by the benchmark ([[decontaminate]]), gate out repetitive

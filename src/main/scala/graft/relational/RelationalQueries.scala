@@ -1426,6 +1426,48 @@ object RelationalQueries {
       |JOIN nation ON s_nationkey = n_nationkey
       |WHERE s_suppkey IN (SELECT l_suppkey FROM flows)""".stripMargin
 
+  /** Incremental view maintenance of the Q1 pricing summary: the base
+    * partition (90% of lineitem) is aggregated once, the delta partition
+    * (10%) separately, and the published summary is the MERGE of the two
+    * partial aggregates — sums add, counts add, averages derive from the
+    * merged sums. The oracle recomputes from scratch over all rows, so
+    * the hash-compare IS the algebraic-mergeability proof.
+    *
+    * This is the pattern that turns a 100 TB nightly rescan into a
+    * delta-sized update: the base aggregate is a stored table (here the
+    * base branch of the plan); only the delta ever shuffles. Works for
+    * any commutative-monoid aggregate — exactly the reference's
+    * commutative-reduce lowering condition (SURVEY §2.1 F7), surfaced as
+    * a user-level maintenance pattern. */
+  def pricingIncremental(spark: SparkSession, dir: String): DataFrame = {
+    def partialAgg(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("l_quantity"))).as("sq"),
+        sum(cents(col("l_extendedprice"))).as("sp"))
+    val li = Tables.lineitem(spark, dir)
+    val base  = partialAgg(li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0))
+    val delta = partialAgg(li.filter(pmod(col("l_orderkey"), lit(10)) === 0))
+    base.unionAll(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"), sum(col("sp")).as("sp"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("n"),
+        (col("sq") / 100.0).as("sum_qty"),
+        (col("sp") / 100.0).as("sum_price"),
+        (col("sq").cast("double") / col("n").cast("double") / 100.0).as("avg_qty"))
+  }
+
+  def pricingIncrementalSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) / 100.0 AS avg_qty
+      |FROM lineitem
+      |GROUP BY 1, 2""".stripMargin
+
   /** Skyline (Pareto frontier) of parts: minimize price, maximize size —
     * the preference-query operator family (Börzsönyi et al., "The Skyline
     * Operator", ICDE 2001). A (price, size) point survives iff no other

@@ -795,6 +795,28 @@ object EventQueries {
       |FROM spine LEFT JOIN hourly
       |  ON hourly.event_type = spine.event_type AND hourly.hour = spine.hour""".stripMargin
 
+  /** The same as-of result as [[asofPurchase]], computed through the
+    * NATIVE [[graft.plans.AsofJoinExec]] physical operator instead of the
+    * union-window composition: clicks merge-joined to the latest strictly
+    * earlier purchase per user in one O(|L|+|R|) sorted pass. Shares
+    * [[asofPurchaseSql]]'s oracle — two physical strategies, one
+    * hash-verified answer (the same pattern as `events_top3_agg`). */
+  def asofPurchaseNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ms"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("prev_purchase_id"),
+        col("ms").as("p_ms"))
+    graft.plans.AsofJoinOps
+      .asof(spark, clicks, "user_id", "ms", "event_id",
+        purchases, "p_user", "p_ms", "prev_purchase_id")
+      .select(col("user_id"), col("event_id"), col("prev_purchase_id"),
+        (col("ms") - col("p_ms")).as("ms_since_purchase"))
+  }
+
   /** CDC-style compaction: each user's LATEST event (by event time,
     * event_id tiebreak) — the "current state" materialization every
     * change-stream consumer runs. One `max_by` with a total-order key:

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(BloomFunctions.bloomAggDescriptor)
     ext.injectFunction(BloomFunctions.bloomMightContainDescriptor)
     ext.injectFunction(ArrayExpressions.sortedIntersectDescriptor)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 

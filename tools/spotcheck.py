@@ -66,7 +66,8 @@ def main():
             for c in s.columns:
                 a, b = s[c], o[c]
                 if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
-                    if not ((a - b).abs() < 1e-9).all():
+                    a, b = pd.to_numeric(a), pd.to_numeric(b)
+                    if not (((a - b).abs() < 1e-9) | (a.isna() & b.isna())).all():
                         ok = False
                 elif not (a.astype(str) == b.astype(str)).all():
                     ok = False

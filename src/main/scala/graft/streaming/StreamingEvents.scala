@@ -238,6 +238,63 @@ object StreamingEvents {
     Iterator.empty
   }
 
+  case class AsofRow(
+      user_id: Long, event_id: Long, prev_purchase_id: java.lang.Long,
+      ms_since_purchase: java.lang.Long)
+
+  /** Streaming as-of: each click is paired with the user's latest
+    * strictly-earlier purchase — the third member of the as-of family
+    * (window composition [[graft.events.EventQueries.asofPurchase]],
+    * native physical operator [[graft.plans.AsofJoinExec]], and this).
+    * Unlike [[intervalJoin]]'s bounded attribution window, the lookback
+    * here is UNBOUNDED — exactly what stream-stream join watermarks
+    * cannot express (an unbounded join would pin both state stores
+    * forever). The state that CAN be bounded is one (ms, id) pair per
+    * user: the latest purchase seen. Both event kinds arrive as one
+    * keyed stream; per batch, events replay in (ms, id) order against
+    * that single slot. Same replayable-ingest discipline as
+    * [[funnelStages]]; idle users evict after `idleHorizonMs`. */
+  def asofClicks(
+      events: Dataset[Event],
+      idleHorizonMs: Long = 86400000L): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingEvents.updateAsof(idleHorizonMs))
+  }
+
+  /** State: the user's latest purchase (epoch ms, event_id). */
+  private def updateAsof(idleHorizonMs: Long)(
+      userId: Long,
+      evts: Iterator[Event],
+      state: GroupState[(Long, Long)]): Iterator[AsofRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var last = state.getOption
+    val out = Seq.newBuilder[AsofRow]
+    sorted.foreach { e =>
+      val ms = e.ts.getTime
+      e.event_type match {
+        case "click" =>
+          out += (last match {
+            case Some((pms, pid)) => AsofRow(userId, e.event_id, pid, ms - pms)
+            case None => AsofRow(userId, e.event_id, null, null)
+          })
+        case "purchase" => last = Some((ms, e.event_id))
+        case _ => ()
+      }
+    }
+    last.foreach(state.update)
+    if (state.exists)
+      state.setTimeoutTimestamp(
+        math.max(state.getCurrentWatermarkMs() + 1, sorted.last.ts.getTime + idleHorizonMs))
+    out.result().iterator
+  }
+
   case class TransitionRow(user_id: Long, from_type: String, to_type: String)
 
   /** Streaming twin of [[graft.events.EventQueries.transitions]]: per-user

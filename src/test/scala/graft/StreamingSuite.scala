@@ -683,6 +683,36 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of clicks equal the batch as-of on driver data (unbounded lookback)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.asofClicks(input.toDS(), 40L * 86400000L)
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      val boundary = evts.map(_.ts.getTime).sorted.apply(evts.length / 2)
+      input.addData(evts.filter(_.ts.getTime < boundary): _*)
+      q.processAllAvailable()
+      input.addData(evts.filter(_.ts.getTime >= boundary): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))
+      val streamed = spark.table("asof_stream")
+        .select($"user_id", $"event_id", $"prev_purchase_id", $"ms_since_purchase")
+        .collect().map(key).toSet
+      val batch = graft.events.EventQueries.asofPurchase(spark, Sf0001)
+        .collect().map(key).toSet
+      assert(streamed == batch)
+      assert(streamed.exists(_._3 >= 0))
+    } finally q.stop()
+  }
+
   test("streaming transition pairs equal the batch Markov transition counts on driver data") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

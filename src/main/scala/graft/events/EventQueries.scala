@@ -626,9 +626,12 @@ object EventQueries {
     * agg over THAT (tiny), broadcast back onto the daily rollup. Raw events
     * are scanned once, two narrow columns. */
   def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+    // persisted: the (types × days)-sized rollup feeds both the moment
+    // table and the flag join — without it the plan re-expands into two
+    // full scans of the raw events (seen in ExplainAll)
+    val daily = graft.Caches.persisted(Tables.events(spark, dir)
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("s"),
         sum(col("n_events") * col("n_events")).as("ss"))
@@ -742,12 +745,16 @@ object EventQueries {
       .orderBy(col("n_events").desc, col("user_id").asc).limit(20)
     val sketch = ids.as[Long]
       .select(new graft.functions.CountMinSketch().toColumn.name("sk"))
-    val total = ids.agg(count(lit(1)).as("total"))
     val est = graft.functions.CountMinSketch.probe(col("sk"), col("user_id"))
-    top.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+    // N comes from the sketch itself: every update increments exactly one
+    // counter per row, so row 0 sums to the stream length — no third scan
+    // of the raw events (ExplainAll showed one before this derivation)
+    val total = expr(
+      s"aggregate(slice(sk, 1, ${graft.functions.CountMinSketch.Width}), 0L, (a, x) -> a + x)")
+    top.crossJoin(broadcast(sketch))
       .select(col("user_id"), col("n_events"),
         (est >= col("n_events")).as("cms_no_undercount"),
-        (est <= col("n_events") + greatest(lit(1L), expr("total div 100")))
+        (est <= col("n_events") + greatest(lit(1L), (total / lit(100)).cast("long")))
           .as("cms_within_1pct"))
   }
 
@@ -770,9 +777,12 @@ object EventQueries {
     * plans against the (types × hours)-sized aggregate, not the fact
     * table. */
   def hourlyFilled(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
+    // persisted: bounds, the type list and the left join all read this
+    // (types × hours)-sized rollup — unpersisted, each consumer re-scans
+    // the raw events (three full passes, seen in ExplainAll)
+    val hourly = graft.Caches.persisted(Tables.events(spark, dir)
       .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val bounds = hourly.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
     val types = hourly.select(col("event_type")).distinct()
     types
@@ -870,13 +880,17 @@ object EventQueries {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(min(col("sec")).as("s0"), max(col("sec")).as("s1"))
-    val bounds = sess
+    // persisted at both reuse points: unpersisted, the boundary union and
+    // the max/filter pair re-expand into four full scans of raw events
+    // (seen in ExplainAll); sessions and boundaries are both tiny
+    val sessP = graft.Caches.persisted(sess)
+    val bounds = sessP
       .select(col("s0").as("t"), lit(1L).as("delta"))
-      .union(sess.select((col("s1") + 1).as("t"), lit(-1L).as("delta")))
-    val swept = bounds
+      .union(sessP.select((col("s1") + 1).as("t"), lit(-1L).as("delta")))
+    val swept = graft.Caches.persisted(bounds
       .withColumn("live", sum(col("delta")).over(
         Window.orderBy(col("t"), col("delta"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     swept.agg(max(col("live")).as("max_concurrent"))
       .crossJoin(swept)
       .filter(col("live") === col("max_concurrent"))

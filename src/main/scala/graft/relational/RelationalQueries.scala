@@ -1515,4 +1515,80 @@ object RelationalQueries {
       |  FROM pairs)
       |SELECT price_cents, p_size, n_parts
       |FROM marked WHERE best_before IS NULL OR p_size > best_before""".stripMargin
+
+  /** Table profiling (the ANALYZE / data-quality pass): one row per column
+    * of `orders` with row count, null count, exact distinct count, and
+    * typed min/max — numeric columns (timestamps as epoch seconds) in
+    * `min_num`/`max_num`, string columns in `min_str`/`max_str`.
+    *
+    * Profiling must touch every cell by definition, so the scalable shape
+    * is about SHUFFLE volume, not scan volume: the table unpivots once to
+    * (column, value) cells — a narrow explode, no wide row ever shuffles —
+    * then (a) per-column stats as ONE partial-agg shuffle whose reduce side
+    * is |columns| rows, and (b) exact distincts as a two-level aggregation
+    * (groupBy (column, value) partial, then per-column count) — the
+    * classic re-aggregation that avoids Spark's multi-`count(distinct)`
+    * Expand, which would multiply the SCAN by |columns| instead of the
+    * cells. At 1000 executors both shuffles are (column, distinct-value)-
+    * bounded, orders of magnitude below the cell count on real data.
+    *
+    * Exactness: counts are integers; min/max are exact values (epoch
+    * seconds of midnight-dated timestamps are integral doubles); no
+    * approximation anywhere, so the oracle compare is a hash match. */
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame = {
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strings = Seq("o_orderstatus", "o_orderpriority")
+    val cellStructs =
+      numeric.map(c => struct(lit(c).as("col_name"),
+        col(c).cast("double").as("num_value"),
+        lit(null).cast("string").as("str_value"))) ++
+      Seq(struct(lit("o_orderdate").as("col_name"),
+        unix_seconds(col("o_orderdate").cast("timestamp")).cast("double").as("num_value"),
+        lit(null).cast("string").as("str_value"))) ++
+      strings.map(c => struct(lit(c).as("col_name"),
+        lit(null).cast("double").as("num_value"),
+        col(c).as("str_value")))
+    val cells = Tables.orders(spark, dir)
+      .select(explode(array(cellStructs: _*)).as("c"))
+      .select(col("c.col_name"), col("c.num_value"), col("c.str_value"))
+    val stats = cells
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("num_value").isNull && col("str_value").isNull, 1L)
+          .otherwise(0L)).as("n_null"),
+        min(col("num_value")).as("min_num"),
+        max(col("num_value")).as("max_num"),
+        min(col("str_value")).as("min_str"),
+        max(col("str_value")).as("max_str"))
+    val distincts = cells
+      .filter(col("num_value").isNotNull || col("str_value").isNotNull)
+      .groupBy(col("col_name"), col("num_value"), col("str_value"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_distinct"))
+    stats.join(distincts, "col_name").orderBy(col("col_name"))
+  }
+
+  def ordersProfileSql: String = {
+    def numBlock(c: String, numExpr: String) =
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($c))::BIGINT AS n_null,
+         |  min($numExpr)::DOUBLE AS min_num, max($numExpr)::DOUBLE AS max_num,
+         |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct
+         |FROM orders""".stripMargin
+    def strBlock(c: String) =
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($c))::BIGINT AS n_null,
+         |  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+         |  min($c) AS min_str, max($c) AS max_str,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct
+         |FROM orders""".stripMargin
+    val blocks =
+      Seq("o_orderkey", "o_custkey", "o_totalprice").map(c => numBlock(c, c)) ++
+      Seq(numBlock("o_orderdate", "epoch(o_orderdate)")) ++
+      Seq("o_orderstatus", "o_orderpriority").map(strBlock)
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
 }

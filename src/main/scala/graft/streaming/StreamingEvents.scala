@@ -157,6 +157,46 @@ object StreamingEvents {
       .select(col("w.start").as("day_start"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"), col("n_events"))
 
+  /** Per-day approximate value quantiles per event type — the streaming
+    * twin of [[graft.events.EventQueries.quantileSketch]], completing the
+    * batch↔streaming parity of the sketch family (HLL has the batch side,
+    * CMS has [[dailyUserSketch]], rank quantiles get this). The
+    * Greenwald-Khanna-family `percentile_approx` buffer is a MERGEABLE
+    * fixed-size aggregate, so the state store holds one O(accuracy·log n)
+    * sketch per open (day, type) cell and the deterministic rank-error
+    * guarantee (≤ 1/accuracy) survives any micro-batch arrival split. The
+    * parity test audits the emitted quantiles against exact batch RANKS —
+    * the guarantee — rather than a batch run's bit pattern, since the
+    * sketch's internal layout is merge-order-sensitive while its contract
+    * is not. */
+  def dailyQuantiles(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(1000)).as("ap"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day_start"), col("event_type"),
+        col("ap")(0).as("a50"), col("ap")(1).as("a90"), col("n_events"))
+
+  /** Per-day distinct active users via HLL++ — the streaming twin of
+    * [[graft.events.EventQueries.userHll]]'s cardinality sketch, closing
+    * streaming parity for the third sketch family (CMS point counts:
+    * [[dailyUserSketch]]; GK rank quantiles: [[dailyQuantiles]]; HLL
+    * cardinality: this). `approx_count_distinct`'s HLL++ registers are a
+    * fixed-size max-merge — commutative and idempotent — so the estimate is
+    * BIT-IDENTICAL to a batch run under any micro-batch arrival split (the
+    * strongest parity the family admits, and what the test asserts), and
+    * state per open day is one register array regardless of user count. */
+  def dailyDistinctUsers(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day_start"), col("approx_users"), col("n_events"))
+
   /** Per-day Count-Min sketch of user activity — the streaming twin of
     * [[graft.events.EventQueries.cmsUserCounts]]'s sketch side. The
     * [[graft.functions.CountMinSketch]] aggregator's merge is elementwise

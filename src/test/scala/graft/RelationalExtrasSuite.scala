@@ -214,4 +214,31 @@ class RelationalExtrasSuite extends SparkSpec {
     val sorted = got.toSeq.sortBy(_._1)
     sorted.zip(sorted.tail).foreach { case ((_, s1), (_, s2)) => assert(s2 > s1) }
   }
+
+  test("orders_profile: one row per column, consistent counts, exact distincts, no Expand") {
+    val df = RelationalQueries.ordersProfile(spark, Sf0001)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq(
+      "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+      "o_orderstatus", "o_totalprice"))
+    val nOrders = Tables.orders(spark, Sf0001).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nOrders)
+      assert(r.getAs[Long]("n_null") == 0L) // TPC-H-ish data carries no nulls
+      assert(r.getAs[Long]("n_distinct") <= nOrders)
+    }
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    // o_orderkey is the primary key: distinct == rows; min/max bracket it
+    assert(byName("o_orderkey").getAs[Long]("n_distinct") == nOrders)
+    assert(byName("o_orderstatus").getAs[Long]("n_distinct") <= 3)
+    assert(byName("o_totalprice").getAs[Double]("min_num")
+      <= byName("o_totalprice").getAs[Double]("max_num"))
+    // midnight-dated timestamps profile as integral epoch seconds
+    val dMin = byName("o_orderdate").getAs[Double]("min_num")
+    assert(dMin == math.floor(dMin) && dMin % 86400 == 0)
+    // exact distincts must come from re-aggregation, not multi-countDistinct
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"profile must re-aggregate, not Expand the scan per column:\n$plan")
+  }
 }

@@ -810,6 +810,89 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming daily quantile sketch meets the GK rank bound under a micro-batch split") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val events = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    val (a, b) = events.sortBy(_.event_id).splitAt(events.size / 3)
+
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.dailyQuantiles(input.toDF())
+      .writeStream.format("memory").queryName("quantile_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("quantile_stream").collect()
+      assert(streamed.nonEmpty)
+      // exact per-(day, type) values from the same driver data
+      val byCell = events.groupBy(e =>
+        (e.ts.getTime / 86400000L * 86400000L, e.event_type))
+        .view.mapValues(_.map(_.value).sorted).toMap
+      // ε = 0.01 audit against the sketch's guaranteed 0.001 (accuracy=1000):
+      // SOME rank of the returned element must lie within ε of the target,
+      // tie-aware on both sides — the same contract the batch operator pins.
+      val eps = 0.01
+      def rankOk(sortedVals: Seq[Double], got: Double, tgt: Double): Boolean = {
+        val n = sortedVals.size.toDouble
+        val lt = sortedVals.count(_ < got)
+        val le = sortedVals.count(_ <= got)
+        lt <= (tgt + eps) * n && le >= (tgt - eps) * n
+      }
+      streamed.foreach { r =>
+        val key = (r.getTimestamp(0).getTime, r.getString(1))
+        val vals = byCell(key)
+        assert(r.getAs[Long]("n_events") == vals.size.toLong,
+          s"count mismatch at $key")
+        assert(rankOk(vals, r.getAs[Double]("a50"), 0.5), s"p50 rank bound at $key")
+        assert(rankOk(vals, r.getAs[Double]("a90"), 0.9), s"p90 rank bound at $key")
+      }
+      // every (day, type) cell of the input must have emitted
+      assert(streamed.length == byCell.size)
+    } finally q.stop()
+  }
+
+  test("streaming daily HLL distinct-users is bit-identical to batch and within rsd of exact") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val events = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    val (a, b) = events.sortBy(_.event_id).splitAt(2 * events.size / 5)
+
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.dailyDistinctUsers(input.toDF())
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      val streamed = canon(spark.table("hll_stream").collect())
+      // max-merge registers: the split must not change a single bit
+      val batch = canon(StreamingEvents.dailyDistinctUsers(events.toDF()).collect())
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // estimates within a generous multiple of the 2% rsd of the exact counts
+      val exact = events.groupBy(_.ts.getTime / 86400000L * 86400000L)
+        .view.mapValues(_.map(_.user_id).distinct.size).toMap
+      streamed.foreach { case (day, est, _) =>
+        val truth = exact(day.getTime)
+        assert(math.abs(est - truth) <= math.max(3, 0.1 * truth),
+          s"day $day: est $est vs exact $truth")
+      }
+    } finally q.stop()
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path

@@ -856,4 +856,62 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id) AS rank
        |  FROM ad) r
        |WHERE rank <= $K""".stripMargin
+
+  /** Eval-set size and cosine threshold for [[semanticDecontaminate]] —
+    * calibrated to the driver embeddings (near-orthogonal vectors: the
+    * global nearest-neighbor cosine tops out ≈0.51, so 0.4 marks the
+    * suspicious tail the way `embedNearPairs`' threshold does). */
+  private[graft] val EvalVectors = 50
+  private[graft] val DecontamTau = 0.4
+
+  /** SEMANTIC decontamination — the embedding-space sibling of the n-gram
+    * [[graft.pipelines.TrainingPrep]] `decontaminate` operator: flag every
+    * corpus vector whose max cosine to ANY held-out eval vector reaches
+    * [[DecontamTau]] (benchmark leakage that paraphrasing hides from
+    * n-gram overlap). Eval membership here is the deterministic id prefix
+    * (`vec_id < EvalVectors`), standing in for a real eval-embedding table.
+    *
+    * Scale shape: the eval side is benchmark-sized — it BROADCASTS, like
+    * the n-gram operator's eval-gram set — and the corpus side is one
+    * narrow pass: |corpus|·|eval| cosine evaluations inside a codegen
+    * projection, then a per-vector partial-agg argmax. No corpus shuffle,
+    * no index to maintain; an IVF-routed variant drops in by reusing
+    * [[trainedCentroidVectors]] when the eval set outgrows broadcast.
+    *
+    * Exactness: `cosine_sim` folds in index order (bit-identical to the
+    * oracle's ordered fold) and the argmax carries a (cosine, -eval_id)
+    * total order, so ties pick the same eval vector in both engines. */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val evalSet = base
+      .filter(col("vec_id") < EvalVectors)
+      .select(col("vec_id").as("eval_id"), col("e").as("ee"))
+    base
+      .filter(col("vec_id") >= EvalVectors)
+      .crossJoin(broadcast(evalSet))
+      .withColumn("cosine", expr("cosine_sim(ee, e)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg"))).as("m"))
+      .select(
+        col("vec_id"),
+        (-col("m.neg")).as("eval_id"),
+        col("m.cosine").as("max_cos"),
+        (col("m.cosine") >= lit(DecontamTau)).as("contaminated"))
+  }
+
+  def semanticDecontaminateSql: String =
+    s"""WITH $normCte,
+       |ev AS (SELECT vec_id AS eval_id, e AS ee, nrm AS en FROM n
+       |       WHERE vec_id < $EvalVectors),
+       |scored AS (
+       |  SELECT b.vec_id, eval_id,
+       |    list_reduce(list_transform(range(1, len(ee) + 1), i -> ee[i] * b.e[i]), (a, x) -> a + x)
+       |      / (sqrt(en) * sqrt(b.nrm)) AS cosine
+       |  FROM ev, n b WHERE b.vec_id >= $EvalVectors)
+       |SELECT vec_id, eval_id, cosine AS max_cos,
+       |       cosine >= $DecontamTau AS contaminated
+       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cosine DESC, eval_id) AS rk FROM scored) t
+       |WHERE rk = 1""".stripMargin
 }

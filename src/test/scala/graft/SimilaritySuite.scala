@@ -179,4 +179,34 @@ class SimilaritySuite extends SparkSpec {
     assert(shared.nonEmpty)
     shared.foreach { case (a, b) => assert(a == b, "ADC distance must be identical") }
   }
+
+  test("semantic_decontaminate: one verdict per corpus vector, argmax correct, eval broadcast") {
+    val df = SimilarityQueries.semanticDecontaminate(spark, Sf0001)
+    val rows = df.collect()
+    val base = Tables.embeddings(spark, Sf0001).count()
+    assert(rows.length == base - 50) // every non-eval vector gets a verdict
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) < 50, "nearest eval id must be in the eval set")
+      val mc = r.getDouble(2)
+      assert(mc >= -1.0 && mc <= 1.0)
+      assert(r.getBoolean(3) == (mc >= 0.4))
+    }
+    // brute recheck of one vector's max cosine against the eval set
+    import org.apache.spark.sql.functions._
+    val probe = rows.head
+    val brute = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .filter(col("vec_id") < 50)
+      .crossJoin(Tables.embeddings(spark, Sf0001)
+        .filter(col("vec_id") === probe.getLong(0))
+        .select(col("embedding").cast("array<double>").as("pe")))
+      .select(expr("cosine_sim(e, pe)").as("c"))
+      .agg(max(col("c"))).head.getDouble(0)
+    assert(math.abs(brute - probe.getDouble(2)) < 1e-12)
+    // the eval side must broadcast — the corpus side never shuffles
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"eval set must broadcast:\n$plan")
+  }
 }

@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -78,20 +78,37 @@ object ShingleExpressions {
 /** `minhash_sig(text)` → `array<bigint>` of [[MinHashSig.NumHashes]] minhash
   * values over the document's distinct 3-word shingles. Empty array when the
   * document has fewer than 3 tokens. */
-case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFallback {
-  import ShingleExpressions._
+case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val sh = shingles(input.asInstanceOf[UTF8String].toString)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(input.asInstanceOf[UTF8String])
+
+  // static-kernel codegen (the SimHashSig pattern): the signature loop is
+  // one JVM call, and the surrounding scan stays whole-stage-compiled
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.MinHashSig.sig($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  import ShingleExpressions._
+
+  val NumHashes = 64
+
+  /** Shared kernel for eval and generated code. */
+  def sig(text: UTF8String): GenericArrayData = {
+    val sh = shingles(text.toString)
     if (sh.isEmpty) return new GenericArrayData(Array.emptyLongArray)
-    val mins = Array.fill(MinHashSig.NumHashes)(Long.MaxValue)
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
     sh.foreach { s =>
       val h = hash64(s)
       var k = 0
-      while (k < MinHashSig.NumHashes) {
+      while (k < NumHashes) {
         val hk = mix(h + k * 0x9e3779b97f4a7c15L)
         if (hk < mins(k)) mins(k) = hk
         k += 1
@@ -99,13 +116,6 @@ case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFal
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-}
-
-object MinHashSig {
-  val NumHashes = 64
 }
 
 /** `simhash_sig(text, nHexDigits)` → bigint: the `4·nHexDigits`-bit SimHash
@@ -211,17 +221,25 @@ object SimHashKernel {
 
 /** `shingle_set(text)` → `array<string>` of the document's distinct 3-word
   * shingles (insertion order). */
-case class ShingleSet(child: Expression) extends UnaryExpression with CodegenFallback {
-  import ShingleExpressions._
+case class ShingleSet(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_set"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val sh = shingles(input.asInstanceOf[UTF8String].toString)
-    new GenericArrayData(sh.iterator.map(UTF8String.fromString).toArray[Any])
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleSet.set(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.ShingleSet.set($t)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
     copy(child = newChild)
+}
+
+object ShingleSet {
+  /** Shared kernel for eval and generated code. */
+  def set(text: UTF8String): GenericArrayData = {
+    val sh = ShingleExpressions.shingles(text.toString)
+    new GenericArrayData(sh.iterator.map(UTF8String.fromString).toArray[Any])
+  }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -170,7 +170,7 @@ object SubstringExpressions {
 /** `gram_fps(text, k)` → `array<bigint>`: the Karp-Rabin fingerprint of
   * every k-token window, array index = 0-based window start. */
 case class GramFps(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gram_fps"
@@ -184,6 +184,13 @@ case class GramFps(left: Expression, right: Expression)
   override protected def nullSafeEval(text: Any, k: Any): Any =
     SubstringExpressions.fps(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
 
+  // the generated code calls the same static kernel eval uses, so the
+  // postings scan stays inside the WholeStageCodegen span instead of
+  // breaking it with an interpreted-fallback boundary
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) =>
+      s"graft.functions.SubstringExpressions.fps($t, $k)")
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GramFps =
     copy(left = newLeft, right = newRight)
 }
@@ -191,7 +198,7 @@ case class GramFps(left: Expression, right: Expression)
 /** `winnow_select(text, k, w)` → `array<struct<pos:int, fp:bigint>>`: the
   * winnowing-selected k-gram fingerprints (rightmost window minima). */
 case class WinnowSelect(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("pos", IntegerType, nullable = false),
@@ -211,6 +218,10 @@ case class WinnowSelect(first: Expression, second: Expression, third: Expression
     SubstringExpressions.winnowSelect(
       text.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) =>
+      s"graft.functions.SubstringExpressions.winnowSelect($t, $k, $w)")
+
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): WinnowSelect =
     copy(first = newFirst, second = newSecond, third = newThird)
@@ -219,7 +230,7 @@ case class WinnowSelect(first: Expression, second: Expression, third: Expression
 /** `grams_at(text, positions, k)` → `array<string>`: the k-token gram
   * starting at each 0-based token position, aligned with `positions`. */
 case class GramsAt(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "grams_at"
@@ -237,6 +248,10 @@ case class GramsAt(first: Expression, second: Expression, third: Expression)
   override protected def nullSafeEval(text: Any, positions: Any, k: Any): Any =
     SubstringExpressions.gramsAt(
       text.asInstanceOf[UTF8String], positions.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p, k) =>
+      s"graft.functions.SubstringExpressions.gramsAt($t, $p, $k)")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): GramsAt =

@@ -65,4 +65,62 @@ class SinkSuite extends SparkSpec {
     val merged = spark.read.text(out).collect().map(_.getString(0)).sorted.toSeq
     assert(merged == Seq("a 1", "b 2", "c 3", "d 4"))
   }
+
+  test("dynamic partition pruning: a runtime dim filter prunes fact partitions at execution") {
+    // The at-scale join shape: a fact table partitioned on the join key,
+    // joined to a dimension whose filter is only known at plan time on a
+    // NON-key column — static pruning can't help, DPP inserts a runtime
+    // subquery into the fact scan's partition filters.
+    val out = Files.createTempDirectory("graft-dpp").toString
+    Tables.lineitem(spark, Sf0001)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val fact = spark.read.parquet(out)
+    import spark.implicits._
+    // the dim must be a FILE relation: a local Seq would have its filter
+    // constant-folded away (ConvertToLocalRelation), and DPP's heuristic
+    // requires a surviving selective predicate on the build side
+    val dimPath = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("R", "returned"), ("A", "accepted"), ("N", "none"))
+      .toDF("l_returnflag", "status_desc")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact
+      .join(dim.filter(col("status_desc") === "returned"), "l_returnflag")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-pruning subquery in the fact scan:\n$plan")
+    val rows = joined.collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "R")
+    assert(rows.head.getLong(1) ==
+      Tables.lineitem(spark, Sf0001).filter(col("l_returnflag") === "R").count())
+  }
+
+  test("range-partitioned sorted export: files carry disjoint ordered key ranges (terasort shape)") {
+    // Global total-order output without a single-partition sort: range
+    // exchange + per-partition sort, then per-file min/max must tile the
+    // key space — the property that lets a reader binary-search files.
+    val out = Files.createTempDirectory("graft-sorted").toString
+    val nParts = 4
+    Tables.documents(spark, Sf0001)
+      .repartitionByRange(nParts, col("n_chars"), col("doc_id"))
+      .sortWithinPartitions(col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == nParts)
+    val ranges = files.toSeq.map { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select(col("n_chars"), col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == rows.sorted, s"${f.getName} not sorted within file")
+      (rows.head, rows.last)
+    }.sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, max1), (min2, _)) =>
+      assert(implicitly[Ordering[(Long, Long)]].lt(max1, min2),
+        "file key ranges must be disjoint and ordered")
+    }
+    // nothing lost in the exchange
+    assert(spark.read.parquet(out).count() == Tables.documents(spark, Sf0001).count())
+  }
 }

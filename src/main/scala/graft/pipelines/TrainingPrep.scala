@@ -491,6 +491,76 @@ object TrainingPrep {
         when(col("raw_score") >= 0L, 1L).otherwise(0L).as("keep"))
   }
 
+  /** Curriculum bucketing: split the corpus into three quality phases at
+    * EXACT score terciles — the data-ordering step of curriculum training
+    * (easy/medium/hard by classifier score), where "exact" means the cuts
+    * are the smallest scores whose cumulative count reaches ⌈n/3⌉ and
+    * ⌈2n/3⌉ (ties share a phase, so the split is a pure function of the
+    * score multiset — deterministic under any partitioning).
+    *
+    * Scale shape: the corpus collapses to a SCORE HISTOGRAM (one
+    * partial-agg shuffle; rows = distinct scores, orders of magnitude
+    * below the corpus); the cumulative window runs over that histogram,
+    * never the corpus, and the two cut scores broadcast back onto the
+    * per-doc score pass as a 1-row crossJoin. Integer comparisons
+    * (`3·cum ≥ n`, `3·cum ≥ 2n`) keep both engines' cuts bit-identical —
+    * no float quantile semantics to reconcile. */
+  def curriculumPhases(spark: SparkSession, dir: String): DataFrame = {
+    val scores = qualityClassifier(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("raw_score"))
+    val hist = scores.groupBy(col("raw_score")).agg(count(lit(1)).as("c"))
+    // single-partition window over DISTINCT SCORES only (documented above)
+    val wCum = Window.orderBy(col("raw_score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(
+        min(when(col("cum") * 3 >= col("n"), col("raw_score"))).as("c1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("raw_score"))).as("c2"))
+    scores
+      .crossJoin(broadcast(cuts))
+      .withColumn("phase",
+        when(col("raw_score") <= col("c1"), 1L)
+          .when(col("raw_score") <= col("c2"), 2L)
+          .otherwise(3L))
+      .groupBy(col("phase"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("phase_tokens"),
+        min(col("raw_score")).as("min_score"),
+        max(col("raw_score")).as("max_score"))
+      .orderBy(col("phase"))
+  }
+
+  def curriculumPhasesSql: String =
+    s"""WITH scored AS (
+       |  ${qualityClassifierSql.replace("\n", "\n  ")}),
+       |hist AS (
+       |  SELECT raw_score, count(*) AS c FROM scored GROUP BY raw_score),
+       |cum AS (
+       |  SELECT raw_score,
+       |    sum(c) OVER (ORDER BY raw_score ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(c) OVER () AS n
+       |  FROM hist),
+       |cuts AS (
+       |  SELECT
+       |    min(CASE WHEN cum * 3 >= n THEN raw_score END) AS c1,
+       |    min(CASE WHEN cum * 3 >= n * 2 THEN raw_score END) AS c2
+       |  FROM cum)
+       |SELECT phase, count(*)::BIGINT AS n_docs,
+       |  sum(n_tokens)::BIGINT AS phase_tokens,
+       |  min(raw_score)::BIGINT AS min_score,
+       |  max(raw_score)::BIGINT AS max_score
+       |FROM (
+       |  SELECT s.*, CASE WHEN raw_score <= c1 THEN 1
+       |                   WHEN raw_score <= c2 THEN 2
+       |                   ELSE 3 END::BIGINT AS phase
+       |  FROM scored s CROSS JOIN cuts)
+       |GROUP BY phase
+       |ORDER BY phase""".stripMargin
+
   def qualityClassifierSql: String =
     s"""WITH w AS (
        |  SELECT CAST(b AS BIGINT) AS bucket,

@@ -129,4 +129,25 @@ class TrainingPrepSuite extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must use TakeOrderedAndProject, not a global Sort:\n$plan")
   }
+
+  test("curriculum_phases: three ordered phases, conserved totals, near-tercile sizes") {
+    val rows = graft.pipelines.TrainingPrep.curriculumPhases(spark, Sf0001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val scored = graft.pipelines.TrainingPrep.qualityClassifier(spark, Sf0001)
+    val nDocs = scored.count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "every doc lands in exactly one phase")
+    // score ranges must be disjoint and increasing phase over phase
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(4) < hi.getLong(3),
+        s"phase ${lo.getLong(0)} max must sit below phase ${hi.getLong(0)} min")
+    }
+    // exact-tercile property: phase 1 is the smallest prefix of the score
+    // order reaching >= ceil(n/3) docs — ties kept together
+    val n1 = rows(0).getLong(1)
+    assert(n1 * 3 >= nDocs, "phase 1 must reach the first tercile")
+    val c1 = rows(0).getLong(4) // max_score of phase 1
+    val below = scored.filter(org.apache.spark.sql.functions.col("raw_score") < c1).count()
+    assert(below * 3 < nDocs, "removing the cut score must drop below the tercile")
+  }
 }

@@ -1570,6 +1570,132 @@ object RelationalQueries {
     stats.join(distincts, "col_name").orderBy(col("col_name"))
   }
 
+  /** Order-independent table digests — the cross-replica integrity check
+    * (anti-entropy): two engines (or two copies of 100 TB) can compare a
+    * table without moving rows by exchanging one digest each. Each row
+    * canonicalizes to a '|'-joined string of integer-exact fields (money in
+    * cents, dates as ISO strings), hashes to a 60-bit md5 prefix, and the
+    * table digest is both the XOR and a modular SUM of those hashes — both
+    * commutative/associative, so ANY partitioning and merge order yields
+    * the identical digest. Two digests, two failure modes covered: XOR is
+    * blind to duplicated-row PAIRS, the modular sum is not; the sum alone
+    * could miss a swap that XOR catches at different multiplicities. The
+    * sum is mod 1e9 per term, so int64 holds to ~9·10⁹ rows per partition
+    * aggregate — beyond that, lower to DECIMAL(38,0) like the moment sums. */
+  def tableDigest(spark: SparkSession, dir: String): DataFrame = {
+    def digestOf(df: DataFrame, name: String, canonical: org.apache.spark.sql.Column) = {
+      val h = expr("cast(conv(substring(md5(canon), 1, 15), 16, 10) as bigint)")
+      df.select(canonical.as("canon"))
+        .select(h.as("h"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("digest_xor"),
+          sum(pmod(col("h"), lit(1000000000L))).as("digest_sum"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("digest_xor"), col("digest_sum"))
+    }
+    val li = digestOf(Tables.lineitem(spark, dir), "lineitem",
+      concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        cents(col("l_quantity")), cents(col("l_extendedprice")),
+        cents(col("l_discount")), cents(col("l_tax")),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("date").cast("string")))
+    val ord = digestOf(Tables.orders(spark, dir), "orders",
+      concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")),
+        col("o_orderdate").cast("date").cast("string"), col("o_orderpriority")))
+    li.unionAll(ord).orderBy(col("table_name"))
+  }
+
+  def tableDigestSql: String =
+    """WITH li AS (
+      |  SELECT 'lineitem' AS table_name, count(*)::BIGINT AS n_rows,
+      |    bit_xor(h)::BIGINT AS digest_xor, sum(h % 1000000000)::BIGINT AS digest_sum
+      |  FROM (SELECT ('0x' || substr(md5(concat_ws('|',
+      |      l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      |      CAST(round(l_quantity*100) AS BIGINT), CAST(round(l_extendedprice*100) AS BIGINT),
+      |      CAST(round(l_discount*100) AS BIGINT), CAST(round(l_tax*100) AS BIGINT),
+      |      l_returnflag, l_linestatus, l_shipdate::DATE::VARCHAR)), 1, 15))::BIGINT AS h
+      |    FROM lineitem) t),
+      |ord AS (
+      |  SELECT 'orders' AS table_name, count(*)::BIGINT AS n_rows,
+      |    bit_xor(h)::BIGINT AS digest_xor, sum(h % 1000000000)::BIGINT AS digest_sum
+      |  FROM (SELECT ('0x' || substr(md5(concat_ws('|',
+      |      o_orderkey, o_custkey, o_orderstatus,
+      |      CAST(round(o_totalprice*100) AS BIGINT),
+      |      o_orderdate::DATE::VARCHAR, o_orderpriority)), 1, 15))::BIGINT AS h
+      |    FROM orders) t)
+      |SELECT * FROM li UNION ALL SELECT * FROM ord ORDER BY table_name""".stripMargin
+
+  /** Z-order (Morton) clustering of parts on (size, price): interleave the
+    * bits of the two dimensions so range-partitioning on ONE key yields
+    * files that are tight BOXES in BOTH — the lakehouse data-clustering
+    * technique that makes min/max file skipping work for multi-dimensional
+    * predicates. The registered query reports, per z-range, the box each
+    * range occupies (count + min/max of both dims): tight, shrinking boxes
+    * are the clustering property itself, hash-checked against the oracle;
+    * SinkSuite proves the file-skipping consequence on disk.
+    *
+    * Pure integer bit arithmetic end to end (an `aggregate` fold over bit
+    * positions — the same shape both engines evaluate identically), so the
+    * oracle is exact. */
+  private[graft] def partWithZval(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast("bigint").as("sz"),
+        expr("cast(round(p_retailprice * 100) as bigint) div 16").as("pb"))
+    // data-derived bounds (broadcast 1-row, the resample-spine pattern):
+    // each dimension normalizes to 10 bits so both contribute equally to
+    // the curve regardless of their raw ranges — fixed constants would
+    // silently collapse the boxes if the generator's domains moved
+    val bounds = base.agg(
+      min(col("sz")).as("szmin"), max(col("sz")).as("szmax"),
+      min(col("pb")).as("pbmin"), max(col("pb")).as("pbmax"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("szn",
+        expr("(sz - szmin) * 1023 div greatest(szmax - szmin, 1)"))
+      .withColumn("pbn",
+        expr("(pb - pbmin) * 1023 div greatest(pbmax - pbmin, 1)"))
+      .withColumn("zval", expr(
+        """aggregate(sequence(0, 9), 0L, (acc, i) ->
+          |  acc | shiftleft(shiftright(szn, i) & 1L, 2*i)
+          |      | shiftleft(shiftright(pbn, i) & 1L, 2*i + 1))""".stripMargin))
+      .drop("szmin", "szmax", "pbmin", "pbmax", "szn", "pbn")
+  }
+
+  def partZorder(spark: SparkSession, dir: String): DataFrame =
+    partWithZval(spark, dir)
+      .withColumn("zbucket", expr("zval div 65536"))
+      .groupBy(col("zbucket"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("sz")).as("min_size"), max(col("sz")).as("max_size"),
+        min(col("pb")).as("min_pb"), max(col("pb")).as("max_pb"))
+      .orderBy(col("zbucket"))
+
+  def partZorderSql: String =
+    """WITH d AS (
+      |  SELECT CAST(p_size AS BIGINT) AS sz,
+      |         CAST(round(p_retailprice*100) AS BIGINT) // 16 AS pb
+      |  FROM part),
+      |b AS (
+      |  SELECT min(sz) AS szmin, max(sz) AS szmax,
+      |         min(pb) AS pbmin, max(pb) AS pbmax FROM d),
+      |z AS (
+      |  SELECT sz, pb,
+      |    list_reduce(list_prepend(0, range(0, 10)), (acc, i) ->
+      |      acc | (((szn >> i) & 1) << (2*i)) | (((pbn >> i) & 1) << (2*i + 1))) AS zval
+      |  FROM (SELECT sz, pb,
+      |          (sz - szmin) * 1023 // greatest(szmax - szmin, 1) AS szn,
+      |          (pb - pbmin) * 1023 // greatest(pbmax - pbmin, 1) AS pbn
+      |        FROM d CROSS JOIN b) n)
+      |SELECT zval // 65536 AS zbucket, count(*)::BIGINT AS n_parts,
+      |  min(sz)::BIGINT AS min_size, max(sz)::BIGINT AS max_size,
+      |  min(pb)::BIGINT AS min_pb, max(pb)::BIGINT AS max_pb
+      |FROM z
+      |GROUP BY zbucket ORDER BY zbucket""".stripMargin
+
   def ordersProfileSql: String = {
     def numBlock(c: String, numExpr: String) =
       s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,

@@ -241,4 +241,53 @@ class RelationalExtrasSuite extends SparkSpec {
     assert(!plan.contains("Expand"),
       s"profile must re-aggregate, not Expand the scan per column:\n$plan")
   }
+
+  test("table_digest: partition-independent, and a one-row perturbation flips it") {
+    val digest = RelationalQueries.tableDigest(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(digest.keySet == Set("lineitem", "orders"))
+    // same rows through a different physical layout must digest identically:
+    // recompute the lineitem digest from a deliberately reshuffled copy
+    val reshuffled = Tables.lineitem(spark, Sf0001).repartition(7, col("l_partkey"))
+    val out = java.nio.file.Files.createTempDirectory("graft-digest").toString
+    reshuffled.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    Tables.orders(spark, Sf0001).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val again = RelationalQueries.tableDigest(spark, out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == digest, "digest must not depend on row order or partitioning")
+    // perturb one row's quantity by one cent: both digests must move
+    val firstRow = Tables.lineitem(spark, Sf0001)
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(1)
+      .select(col("l_orderkey"), col("l_linenumber")).head()
+    val perturbed = Tables.lineitem(spark, Sf0001)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") === firstRow.getLong(0)
+          && col("l_linenumber") === firstRow.getInt(1),
+          col("l_quantity") + 0.01).otherwise(col("l_quantity")))
+    perturbed.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val moved = RelationalQueries.tableDigest(spark, out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(moved("orders") == digest("orders"))
+    assert(moved("lineitem")._1 == digest("lineitem")._1) // same row count
+    assert(moved("lineitem")._2 != digest("lineitem")._2, "xor digest must flip")
+    assert(moved("lineitem")._3 != digest("lineitem")._3, "sum digest must flip")
+  }
+
+  test("part_zorder: buckets are boxes — every bucket's area is a shrinking fraction of the global box") {
+    val rows = RelationalQueries.partZorder(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val gMinS = rows.map(_.getLong(2)).min; val gMaxS = rows.map(_.getLong(3)).max
+    val gMinP = rows.map(_.getLong(4)).min; val gMaxP = rows.map(_.getLong(5)).max
+    val globalArea = (gMaxS - gMinS + 1).toDouble * (gMaxP - gMinP + 1).toDouble
+    val totalParts = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val area = (r.getLong(3) - r.getLong(2) + 1).toDouble *
+        (r.getLong(5) - r.getLong(4) + 1).toDouble
+      val share = r.getLong(1).toDouble / totalParts
+      // a z-range holding x% of the rows must span far less than the whole
+      // space — the clustering property; 4x slack over the ideal box
+      assert(area <= globalArea * (share * 4 + 0.25),
+        s"zbucket ${r.getLong(0)} box too loose: area $area of $globalArea at share $share")
+    }
+  }
 }

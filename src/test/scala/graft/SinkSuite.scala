@@ -123,4 +123,52 @@ class SinkSuite extends SparkSpec {
     // nothing lost in the exchange
     assert(spark.read.parquet(out).count() == Tables.documents(spark, Sf0001).count())
   }
+
+  test("z-order layout skips more files than key-order for a 2-D box predicate") {
+    import graft.relational.RelationalQueries
+    // sf0.01 (2000 parts): enough rows per file that layout, not chance,
+    // decides which files a box predicate touches
+    val nFiles = 8
+    val z = RelationalQueries.partWithZval(spark, "/root/testdata/sf0.01")
+    def writeBy(label: String, key: org.apache.spark.sql.Column): String = {
+      val out = Files.createTempDirectory(s"graft-z-$label").toString
+      z.withColumn("_k", key)
+        .repartitionByRange(nFiles, col("_k"))
+        .sortWithinPartitions(col("_k"))
+        .drop("_k")
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    // per-file min/max stats → how many files could a reader skip for a box
+    // predicate on BOTH dimensions (the parquet row-group pruning model)?
+    def filesOverlapping(dir: String, szLo: Long, szHi: Long, pbLo: Long, pbHi: Long): Int =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .count { f =>
+          val s = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("sz")), max(col("sz")), min(col("pb")), max(col("pb")))
+            .head()
+          s.getLong(0) <= szHi && s.getLong(1) >= szLo &&
+            s.getLong(2) <= pbHi && s.getLong(3) >= pbLo
+        }
+    // the unclustered baseline orders by a HASH of the key: TPC-H derives
+    // p_retailprice from p_partkey, so raw key order is itself partially
+    // clustered on the price dimension and would understate the win
+    val (zDir, kDir) = (writeBy("zval", col("zval")), writeBy("rand", md5(col("p_partkey").cast("string"))))
+    // a selective box: one quarter of each dimension
+    val stats = z.agg(min(col("sz")), max(col("sz")), min(col("pb")), max(col("pb"))).head()
+    val (szLo, szHi) = (stats.getLong(0), stats.getLong(0) + (stats.getLong(1) - stats.getLong(0)) / 4)
+    val (pbLo, pbHi) = (stats.getLong(2), stats.getLong(2) + (stats.getLong(3) - stats.getLong(2)) / 4)
+    val zTouch = filesOverlapping(zDir, szLo, szHi, pbLo, pbHi)
+    val kTouch = filesOverlapping(kDir, szLo, szHi, pbLo, pbHi)
+    // the hash layout spreads the box over every file; z-order must
+    // confine it to at most half
+    assert(kTouch == nFiles, s"hash-ordered layout unexpectedly skippable ($kTouch/$nFiles)")
+    assert(zTouch * 2 <= nFiles, s"z-order should touch <= half the files, touched $zTouch/$nFiles")
+    // both layouts return identical rows for the box
+    def rowsIn(dir: String) = spark.read.parquet(dir)
+      .filter(col("sz").between(szLo, szHi) && col("pb").between(pbLo, pbHi))
+      .select(col("p_partkey")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rowsIn(zDir) == rowsIn(kDir) && rowsIn(zDir).nonEmpty)
+  }
 }

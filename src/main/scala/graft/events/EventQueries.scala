@@ -926,4 +926,95 @@ object EventQueries {
        |FROM swept, (SELECT max(live) AS max_concurrent FROM swept)
        |WHERE live = max_concurrent
        |GROUP BY 1""".stripMargin
+
+  /** Per-type linear trend over daily volumes — exact integer OLS (the
+    * REGR_SLOPE/REGR_INTERCEPT family, plus a one-step forecast), the
+    * time-series sibling of [[anomalyDays]]' variance gate. Day indices are
+    * re-centered against the broadcast global minimum so every power sum
+    * stays far inside int64, and slope/intercept/forecast are emitted in
+    * exact parts-per-million via integer floor division — the same value in
+    * any engine, where the textbook float quotients would hash-mismatch.
+    *
+    * Scale shape: one narrow rollup pass (the (types × days) daily table),
+    * a 1-row broadcast for the origin day, then a types-sized aggregation —
+    * raw events are scanned once. */
+  def trend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val origin = daily.agg(min(col("day")).as("d0"))
+    val sums = daily.crossJoin(broadcast(origin))
+      .withColumn("x", col("day") - col("d0"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        max(col("x")).as("xmax"))
+    sums
+      .filter(col("n_days") >= 2)
+      .withColumn("slope_ppm",
+        expr("(n_days * sxy - sx * sy) * 1000000 div (n_days * sxx - sx * sx)"))
+      .withColumn("intercept_ppm",
+        expr("(sy * 1000000 - slope_ppm * sx) div n_days"))
+      .withColumn("forecast_next_ppm",
+        expr("intercept_ppm + slope_ppm * (xmax + 1)"))
+      .select(col("event_type"), col("n_days"),
+        col("slope_ppm"), col("intercept_ppm"), col("forecast_next_ppm"))
+  }
+
+  def trendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |origin AS (SELECT min(day) AS d0 FROM daily),
+      |sums AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    sum(day - d0) AS sx, sum((day - d0) * (day - d0)) AS sxx,
+      |    sum(y) AS sy, sum((day - d0) * y) AS sxy,
+      |    max(day - d0) AS xmax
+      |  FROM daily CROSS JOIN origin GROUP BY 1)
+      |SELECT event_type, n_days::BIGINT AS n_days,
+      |  ((n_days * sxy - sx * sy) * 1000000 // (n_days * sxx - sx * sx))::BIGINT AS slope_ppm,
+      |  ((sy * 1000000 - ((n_days * sxy - sx * sy) * 1000000 // (n_days * sxx - sx * sx)) * sx)
+      |     // n_days)::BIGINT AS intercept_ppm,
+      |  (((sy * 1000000 - ((n_days * sxy - sx * sy) * 1000000 // (n_days * sxx - sx * sx)) * sx)
+      |     // n_days)
+      |   + ((n_days * sxy - sx * sy) * 1000000 // (n_days * sxx - sx * sx)) * (xmax + 1))::BIGINT
+      |    AS forecast_next_ppm
+      |FROM sums WHERE n_days >= 2""".stripMargin
+
+  /** Top user journeys: each user's first three events (ordered by
+    * (ts, event_id) — the engine-portable total order every sequence
+    * operator here uses) joined into a path string, counted across users,
+    * top-10 by frequency. The product-analytics "common paths" query.
+    *
+    * Scale shape: one per-user shuffle builds the (≤3)-step path — the
+    * sort is per-user inside an `array_sort`, never a window over the
+    * stream — then a path-sized partial agg and a TakeOrderedAndProject
+    * top-k. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(concat_ws(">",
+        expr("transform(slice(es, 1, 3), x -> x.event_type)")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("path"))
+      .limit(10)
+
+  def topPathsSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |paths AS (
+      |  SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, count(*)::BIGINT AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 10""".stripMargin
 }

@@ -1017,4 +1017,218 @@ object EventQueries {
       |SELECT path, count(*)::BIGINT AS n_users
       |FROM paths GROUP BY path
       |ORDER BY n_users DESC, path LIMIT 10""".stripMargin
+
+  /** The events span Jan 2024; MERGE splits the stream at this cut into a
+    * base snapshot and a CDC delta. */
+  private val MergeCutUs: Long =
+    java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli * 1000L
+
+  /** Per-user profile state for [[mergeUpsert]]: event count, last-activity
+    * micros, and account status = the event_type of the latest
+    * signup-or-error event ((us, event_id) total order; `max` of a struct
+    * ignores the nulls the `when` leaves on non-status rows). One partial-agg
+    * shuffle on user_id. */
+  private def profileState(e: DataFrame): DataFrame =
+    e.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      max(col("us")).as("last_us"),
+      max(when(col("event_type").isin("signup", "error"),
+        struct(col("us"), col("event_id"), col("event_type")))).as("st"))
+      .select(col("user_id"), col("n_events"), col("last_us"),
+        col("st.event_type").as("status"))
+
+  /** Batch CDC MERGE (the `MERGE INTO` of lakehouse engines): fold a change
+    * delta into a keyed base snapshot with insert, update, AND delete
+    * semantics — the piece [[latestPerUser]] (pure latest-per-key) does not
+    * exercise.
+    *
+    * Model: events before [[MergeCutUs]] build the base profile table;
+    * events after are the delta. The merge is one full-outer join on the
+    * key: counts add, last-activity takes the max, and status takes the
+    * delta's latest status event when it has one (every delta event
+    * postdates every base event, so `coalesce(delta, base)` IS
+    * latest-by-time). Users whose final status is 'error' (account closed)
+    * are deleted from the output; users with no signup ever never appear —
+    * the MERGE's delete branch.
+    *
+    * The oracle recomputes the final state from the unsplit stream, so the
+    * hash-compare proves the merge algebra (add / max / coalesce / delete)
+    * equals recompute-from-scratch — the same mergeability proof shape as
+    * `pricing_incremental`, extended to key-level upserts and deletes.
+    *
+    * Scale: each side is one partial-agg shuffle on user_id; the merge is a
+    * same-key full-outer join, so AQE plans a co-partitioned sort-merge with
+    * no extra exchange. At 100 TB the base snapshot would be stored bucketed
+    * by user_id, making the merge a zero-shuffle co-located join against
+    * yesterday's buckets ([[graft.sources.BucketedTables]] is that layout). */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val base = profileState(e.filter(col("us") < MergeCutUs))
+      .select(col("user_id"), col("n_events").as("b_n"),
+        col("last_us").as("b_last"), col("status").as("b_status"))
+    val delta = profileState(e.filter(col("us") >= MergeCutUs))
+      .select(col("user_id"), col("n_events").as("d_n"),
+        col("last_us").as("d_last"), col("status").as("d_status"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        coalesce(col("d_status"), col("b_status")).as("status"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_events"),
+        greatest(col("b_last"), col("d_last")).as("last_us"))
+      .filter(col("status") === "signup")
+  }
+
+  def mergeUpsertSql: String =
+    """WITH counts AS (
+      |  SELECT user_id, count(*)::BIGINT AS n_events,
+      |    max(epoch_us(ts)) AS last_us
+      |  FROM events GROUP BY 1),
+      |st AS (
+      |  SELECT user_id, event_type AS status FROM (
+      |    SELECT user_id, event_type, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+      |    ) AS rn
+      |    FROM events WHERE event_type IN ('signup', 'error'))
+      |  WHERE rn = 1)
+      |SELECT c.user_id, st.status, c.n_events, c.last_us
+      |FROM counts c JOIN st USING (user_id)
+      |WHERE st.status = 'signup'""".stripMargin
+
+  /** SCD2 point-in-time dimension join: each 'signup' event opens a new
+    * slowly-changing dimension version for its user (valid_from = the
+    * signup instant, valid_to = the next signup's instant via `lead`, open
+    * tail NULL), carrying a plan tier attribute (event_id mod 3). Each
+    * 'purchase' fact joins to the version valid at its own event time and
+    * revenue (integer cents) rolls up per tier; purchases before any signup
+    * land in tier -1.
+    *
+    * This is the canonical warehouse temporal join — distinct in plan shape
+    * from the window as-of ([[asofPurchase]]): the dimension is built once
+    * (small — one row per signup) and the fact side joins EQUI on user_id
+    * with the validity range as a join residual. Versions tile time
+    * disjointly, so each fact matches at most one version: no row
+    * explosion, and the per-user match work is |signups_u| × |purchases_u|
+    * worst case — bounded by per-user activity, never corpus-quadratic.
+    *
+    * Scale: dimension ≪ facts, so Spark broadcasts it (dims that outgrow
+    * the broadcast threshold fall back to a user_id-co-partitioned
+    * sort-merge with the same residual); the fact table is read in one
+    * narrow pass; the final rollup is a 4-row aggregate. */
+  def scd2Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("value"))
+    val dim = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("d_user"), col("event_id").as("d_id"),
+        (col("event_id") % 3).as("tier"), col("us").as("valid_from"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("d_user"))
+            .orderBy(col("valid_from"), col("d_id"))))
+      .drop("d_id")
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+    facts.join(dim,
+        facts("user_id") === dim("d_user") &&
+          facts("us") >= dim("valid_from") &&
+          (dim("valid_to").isNull || facts("us") < dim("valid_to")),
+        "left")
+      .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+  }
+
+  def scd2RevenueSql: String =
+    """WITH dim AS (
+      |  SELECT user_id AS d_user, event_id % 3 AS tier,
+      |    epoch_us(ts) AS valid_from,
+      |    lead(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ) AS valid_to
+      |  FROM events WHERE event_type = 'signup'),
+      |f AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT coalesce(d.tier, -1) AS tier,
+      |  count(*)::BIGINT AS n_purchases, sum(f.cents)::BIGINT AS cents
+      |FROM f LEFT JOIN dim d
+      |  ON f.user_id = d.d_user AND f.us >= d.valid_from
+      |  AND (d.valid_to IS NULL OR f.us < d.valid_to)
+      |GROUP BY 1""".stripMargin
+
+  /** Lag-1 autocorrelation of each type's daily event volume, in exact
+    * integer arithmetic: with n days (zero-filled over the type's observed
+    * [min, max] day span — the gap-fill spine is the [[hourlyFilled]]
+    * machinery at day grain) and S = Σ c_d, report the n²-scaled
+    * autocovariance Σ (n·c_d − S)(n·c_{d+1} − S) and variance
+    * Σ (n·c_d − S)² as int64s plus their IEEE quotient r1 — the
+    * signal behind "is traffic mean-reverting day over day" and the exact
+    * sibling of [[trendDaily]]'s OLS slope.
+    *
+    * Determinism: both sums are integer totals of integer products, so the
+    * result is partitioning-independent; only the final one-div ratio is
+    * floating point, identical in any engine. Int64 headroom: |n·c − S| <
+    * n·max(c); products stay under 2⁶³ while n·max(c) < 3×10⁹ — days ×
+    * daily-peak bounds far beyond these tables; past that the same plan
+    * runs in DECIMAL(38,0).
+    *
+    * Scale: one (type, day) partial agg over the stream, then everything
+    * downstream — spine, per-type scalars (5 rows, broadcast back), lead
+    * window, final agg — runs on the days×types table, thousands of rows at
+    * any corpus size. */
+  def autocorrDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
+    val daily = e.groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val filled = spine.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), coalesce(col("c"), lit(0L)).as("c"))
+    val stats = filled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    filled.join(broadcast(stats), Seq("event_type"))
+      .withColumn("cn", lead(col("c"), 1).over(byType))
+      .withColumn("dev", col("n") * col("c") - col("s"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_days"),
+        sum(when(col("cn").isNotNull,
+          col("dev") * (col("n") * col("cn") - col("s")))).as("acov_num"),
+        sum(col("dev") * col("dev")).as("var_num"))
+      .withColumn("r1", col("acov_num").cast("double") / col("var_num"))
+  }
+
+  def autocorrDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type, unnest(range(d0, d1 + 1)) AS d
+      |  FROM (SELECT event_type, min(d) AS d0, max(d) AS d1
+      |        FROM daily GROUP BY 1)),
+      |filled AS (
+      |  SELECT s.event_type, s.d, coalesce(daily.c, 0)::BIGINT AS c
+      |  FROM spine s LEFT JOIN daily USING (event_type, d)),
+      |st AS (
+      |  SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s
+      |  FROM filled GROUP BY 1),
+      |l AS (
+      |  SELECT f.event_type, f.c, st.n, st.s,
+      |    lead(f.c) OVER (PARTITION BY f.event_type ORDER BY f.d) AS cn
+      |  FROM filled f JOIN st USING (event_type))
+      |SELECT event_type, max(n) AS n_days,
+      |  sum(CASE WHEN cn IS NOT NULL
+      |      THEN (n*c - s) * (n*cn - s) END)::BIGINT AS acov_num,
+      |  sum((n*c - s) * (n*c - s))::BIGINT AS var_num,
+      |  CAST(sum(CASE WHEN cn IS NOT NULL
+      |      THEN (n*c - s) * (n*cn - s) END) AS DOUBLE)
+      |    / sum((n*c - s) * (n*c - s)) AS r1
+      |FROM l GROUP BY 1""".stripMargin
 }

@@ -578,4 +578,52 @@ object TrainingPrep {
        |  CAST(CASE WHEN sum(cnt * w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM pb JOIN w USING (bucket)
        |GROUP BY doc_id""".stripMargin
+
+  /** k-anonymity generalization of the corpus release manifest: publish
+    * per-(lang, source) document counts only for cells with ≥ k members;
+    * smaller cells generalize source → '*' per language, and languages
+    * whose generalized total is still < k collapse into the terminal
+    * ('*', '*') remainder row. The privacy-side sibling of
+    * `stratified_sample`: what a data release can disclose about cell
+    * membership, not what it samples.
+    *
+    * Determinism: the cascade is pure integer threshold logic on exact
+    * counts — no noise — so the output is partitioning-independent and
+    * oracle-exact.
+    *
+    * Scale: the corpus contributes one partial-agg shuffle (the cell
+    * count); the generalization cascade then runs entirely on the cell
+    * table — |langs| × |sources| rows no matter how many documents — so
+    * the two follow-up aggregations are driver-trivial at any corpus
+    * size. */
+  def kAnonymous(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val big = cells.filter(col("n_docs") >= k)
+    val byLang = cells.filter(col("n_docs") < k)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .select(col("lang"), lit("*").as("source"), col("n_docs"))
+    val rest = byLang.filter(col("n_docs") < k)
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .select(lit("*").as("lang"), lit("*").as("source"), col("n_docs"))
+      .filter(col("n_docs").isNotNull)
+    big.unionByName(byLang.filter(col("n_docs") >= k)).unionByName(rest)
+  }
+
+  def kAnonymousSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*)::BIGINT AS n_docs
+      |  FROM documents GROUP BY 1, 2),
+      |s1 AS (
+      |  SELECT lang, '*' AS source, sum(n_docs)::BIGINT AS n_docs
+      |  FROM cells WHERE n_docs < 10 GROUP BY 1)
+      |SELECT lang, source, n_docs FROM cells WHERE n_docs >= 10
+      |UNION ALL
+      |SELECT lang, source, n_docs FROM s1 WHERE n_docs >= 10
+      |UNION ALL
+      |SELECT '*' AS lang, '*' AS source, sum(n_docs)::BIGINT AS n_docs
+      |FROM s1 WHERE n_docs < 10
+      |HAVING sum(n_docs) IS NOT NULL""".stripMargin
 }

@@ -329,4 +329,60 @@ object TextQueries {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM documents GROUP BY lang""".stripMargin
+
+  /** The fixed query phrase for [[phraseSearch]] — adjacent tokens, distinct
+    * words, so occurrences cannot overlap and every engine counts them
+    * identically. */
+  val Phrase: Seq[String] = Seq("stream", "table", "hash")
+
+  /** Positional-index phrase search — the retrieval operator the boolean
+    * inverted index ([[invertedIndex]]) and ranked BM25 cannot answer:
+    * which documents contain the exact consecutive phrase, and how many
+    * times.
+    *
+    * Build: one `posexplode` pass emits (doc, term, position); the
+    * `isin(query terms)` filter drops every non-query token BEFORE the
+    * shuffle (the same trick as bm25_search), so the group-by that
+    * assembles per-(doc, term) sorted position lists moves query-term
+    * postings only — shuffle ∝ |postings of 3 terms|, never corpus size.
+    * Match: per document, positions of the first term are filtered by
+    * `array_contains` lookups into the following terms' lists (k-way
+    * position-list intersection) — all inside whole-stage codegen, no UDFs.
+    *
+    * At 100 TB the per-(doc, term) position lists ARE the positional
+    * inverted index; persisted once (partitioned by term), every phrase
+    * query reads only its own terms' postings. Result: doc_id +
+    * occurrence count for matching docs. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Phrase
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    val byDoc = postings.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("ps")))).as("m"))
+    // n_matches = |{p ∈ ps(term0) : ps(term_i) ∋ p+i ∀ i}|
+    val adjacency = terms.zipWithIndex.tail
+      .map { case (t, i) => s"array_contains(m['$t'], p + $i)" }
+      .mkString(" AND ")
+    byDoc
+      .filter(terms.map(t => array_contains(map_keys(col("m")), t)).reduce(_ && _))
+      .select(col("doc_id"),
+        expr(s"CAST(size(filter(m['${terms.head}'], p -> $adjacency)) AS BIGINT)")
+          .as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
+  def phraseSearchSql: String =
+    """SELECT doc_id, n_matches FROM (
+      |  SELECT doc_id,
+      |    len(list_filter(range(1, len(wl) - 1),
+      |      i -> wl[i] = 'stream' AND wl[i+1] = 'table' AND wl[i+2] = 'hash'
+      |    ))::BIGINT AS n_matches
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |                      x -> x <> '') AS wl
+      |        FROM documents) t) m
+      |WHERE n_matches > 0""".stripMargin
 }

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.events.EventQueries
+import graft.pipelines.TrainingPrep
+import graft.text.TextQueries
+
+/** Round-9 temporal / retrieval / privacy operators: CDC MERGE with
+  * deletes, the SCD2 point-in-time join, exact lag-1 autocorrelation,
+  * positional-index phrase search, and k-anonymity generalization. Each
+  * test pins a semantic invariant the DuckDB hash-compare alone would not
+  * localize. */
+class TemporalOpsSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  test("merge_upsert: insert, update, delete, and re-activation branches on a pinned fixture") {
+    // cut is 2024-01-20; users exercise every MERGE branch:
+    //  1 base-only signup (no delta: carried through)
+    //  2 signup then delta error (delta delete wins)
+    //  3 base error then delta signup (delta re-activation wins)
+    //  4 activity but never a status event (never inserted)
+    //  5 delta-only signup (pure insert: no base row)
+    //  6 base signup then later base error (base-side latest wins, deleted)
+    val rows = Seq(
+      (1L, "2024-01-02T00:00:00Z", 1L, "signup", 1.0, "{}"),
+      (2L, "2024-01-03T00:00:00Z", 1L, "click", 1.0, "{}"),
+      (3L, "2024-01-04T00:00:00Z", 2L, "signup", 1.0, "{}"),
+      (4L, "2024-01-22T00:00:00Z", 2L, "error", 1.0, "{}"),
+      (5L, "2024-01-05T00:00:00Z", 3L, "error", 1.0, "{}"),
+      (6L, "2024-01-23T00:00:00Z", 3L, "signup", 1.0, "{}"),
+      (7L, "2024-01-06T00:00:00Z", 4L, "view", 1.0, "{}"),
+      (8L, "2024-01-24T00:00:00Z", 5L, "signup", 1.0, "{}"),
+      (9L, "2024-01-07T00:00:00Z", 6L, "signup", 1.0, "{}"),
+      (10L, "2024-01-08T00:00:00Z", 6L, "error", 1.0, "{}"))
+      .map { case (id, t, u, ty, v, p) => (id, ts(t), u, ty, v, p) }
+    val dir = Files.createTempDirectory("graft-merge").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = EventQueries.mergeUpsert(spark, dir)
+      .orderBy("user_id")
+      .select("user_id", "status", "n_events", "last_us")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    def us(s: String) = Instant.parse(s).toEpochMilli * 1000L
+    assert(got == Seq(
+      (1L, "signup", 2L, us("2024-01-03T00:00:00Z")),
+      (3L, "signup", 2L, us("2024-01-23T00:00:00Z")),
+      (5L, "signup", 1L, us("2024-01-24T00:00:00Z"))))
+  }
+
+  test("merge_upsert: split-and-merge equals recompute from the unsplit stream") {
+    // The MERGE algebra (add counts / max activity / coalesce status /
+    // delete on error) must be indistinguishable from folding the whole
+    // stream at once — same invariant shape as pricing_incremental, at
+    // key level with deletes.
+    val whole = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        max(col("us")).as("last_us"),
+        max(when(col("event_type").isin("signup", "error"),
+          struct(col("us"), col("event_id"), col("event_type")))).as("st"))
+      .select(col("user_id"), col("st.event_type").as("status"),
+        col("n_events"), col("last_us"))
+      .filter(col("status") === "signup")
+    val merged = EventQueries.mergeUpsert(spark, Sf0001)
+    assert(merged.count() > 0)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("scd2_revenue: versions tile time — every purchase matches exactly one version or tier -1") {
+    val purchases = Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "purchase").count()
+    val out = EventQueries.scd2Revenue(spark, Sf0001)
+    val total = out.agg(sum("n_purchases")).collect()(0).getLong(0)
+    // disjoint validity intervals ⇒ the left join neither drops nor
+    // duplicates facts
+    assert(total == purchases)
+  }
+
+  test("scd2_revenue: interval-join formulation agrees with the window as-of formulation") {
+    // Two plans, one semantics: the SCD2 equi-join + validity residual
+    // must give the same per-tier rollup as carrying the last signup
+    // forward over the per-user event order.
+    val e = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = e
+      .withColumn("cur_tier",
+        last(when(col("event_type") === "signup", col("event_id") % 3),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("cur_tier"), lit(-1L)).as("tier"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100).cast("bigint")).as("cents"))
+    val viaJoin = EventQueries.scd2Revenue(spark, Sf0001)
+    assert(viaJoin.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaJoin).isEmpty)
+  }
+
+  test("autocorr: |r1| bounded by 1, exact integer parts consistent, full day span") {
+    val rows = EventQueries.autocorrDaily(spark, Sf0001)
+      .select("event_type", "n_days", "acov_num", "var_num", "r1")
+      .as[(String, Long, Long, Long, Double)].collect()
+    val nTypes = Tables.events(spark, Sf0001).select("event_type").distinct().count()
+    assert(rows.length == nTypes)
+    rows.foreach { case (_, nDays, num, den, r1) =>
+      assert(nDays >= 1 && den > 0)
+      // Cauchy-Schwarz over the lag pairs, denominator over all n days
+      assert(math.abs(num) <= den)
+      assert(r1 == num.toDouble / den)
+    }
+  }
+
+  test("phrase_search: matches a driver-side brute-force scan of the corpus") {
+    val phrase = TextQueries.Phrase
+    val expected = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val toks = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+        id -> toks.indices.dropRight(phrase.size - 1)
+          .count(i => phrase.indices.forall(j => toks(i + j) == phrase(j)))
+      }
+      .filter(_._2 > 0).toMap
+    val got = TextQueries.phraseSearch(spark, Sf0001)
+      .as[(Long, Long)].collect().map { case (id, n) => id -> n.toInt }.toMap
+    assert(got == expected)
+  }
+
+  test("k_anonymous: every published cell has >= k members (or is the terminal remainder) and mass is conserved") {
+    val k = 10
+    val out = TrainingPrep.kAnonymous(spark, Sf0001, k)
+      .select("lang", "source", "n_docs").as[(String, String, Long)].collect()
+    val total = Tables.documents(spark, Sf0001).count()
+    assert(out.map(_._3).sum == total)
+    out.foreach { case (lang, source, n) =>
+      assert(n >= k || (lang == "*" && source == "*"),
+        s"cell ($lang, $source) published with $n < $k members")
+    }
+    // generalized rows only where the original cell was below k
+    assert(out.count { case (l, s, _) => l == "*" && s != "*" } == 0)
+  }
+}

@@ -138,4 +138,34 @@ object StreamingCorpus {
     }
     out.result().iterator
   }
+
+  /** Streaming Misra-Gries heavy hitters — the streaming twin of the batch
+    * `word_heavy_hitters` sketch, completing the sketch family's streaming
+    * parity (HLL, GK quantiles, and Count-Min already have twins in
+    * [[StreamingEvents]]).
+    *
+    * One ≤ k-counter [[graft.functions.MgBuffer]] lives in the streaming
+    * aggregation state; each micro-batch folds its tokens in through the
+    * aggregator's `reduce` and partial buffers combine with the mergeable-
+    * summaries COMBINE (Agarwal et al. 2013) — the SAME algebra the batch
+    * plan applies across partitions. Consequence: the membership guarantee
+    * (every item with true frequency > n/(k+1) is present) holds under ANY
+    * micro-batch split of the stream, while the counter values themselves
+    * remain split-dependent — so, exactly as in batch, only membership
+    * leaves the operator. State is O(k) forever: this is the sketch whose
+    * point is that unbounded streams need no watermark to stay bounded.
+    *
+    * @param docs streaming DataFrame with a `text` column
+    * @param k    counter budget; guarantees membership above n/(k+1) */
+  def heavyHitters(docs: DataFrame, k: Int = 49): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(graft.text.TextQueries.tokens(col("text"))).as("word"))
+      .as[String]
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.MisraGries(k).toColumn.name("summary"))
+      .toDF("g", "summary")
+      .select(col("summary"))
+  }
 }

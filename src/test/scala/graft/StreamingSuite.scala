@@ -441,6 +441,35 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming misra-gries: membership contract holds under two different micro-batch splits") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, Sf0001).select("text").as[String].collect()
+    // exact truth, driver-side: every word with cnt*(k+1) > n MUST appear
+    val toks = texts.flatMap(_.split("[^\\p{L}]+")).filter(_.nonEmpty)
+    val n = toks.length.toLong
+    val exact = toks.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val mustHave = exact.collect { case (w, c) if c * 50 > n => w }.toSet
+    assert(mustHave.nonEmpty)
+
+    for ((parts, name) <- Seq((3, "mg_stream_a"), (7, "mg_stream_b"))) {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[String]
+      val q = graft.streaming.StreamingCorpus.heavyHitters(input.toDF().toDF("text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        texts.grouped((texts.length + parts - 1) / parts).foreach { batch =>
+          input.addData(batch: _*)
+          q.processAllAvailable()
+        }
+        val summary = spark.table(name).as[Seq[String]].collect().head.toSet
+        assert(summary.size <= 49)
+        assert(mustHave.subsetOf(summary),
+          s"$name missing guaranteed heavy hitters: ${mustHave -- summary}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming binned range join: views in the preceding hour per purchase, zero-view purchases restored") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

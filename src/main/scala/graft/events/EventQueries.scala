@@ -1183,7 +1183,12 @@ object EventQueries {
   def autocorrDaily(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
-    val daily = e.groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c"))
+    // persisted: daily feeds the spine bounds, the gap-fill join, and (via
+    // filled) the per-type scalars — unpersisted, each consumer re-expands
+    // into its own full scan of raw events (4 scans in the static plan)
+    // for a days×types-sized table
+    val daily = graft.Caches.persisted(
+      e.groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c")))
     val spine = daily.groupBy(col("event_type"))
       .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))

@@ -597,9 +597,13 @@ object TrainingPrep {
     * the two follow-up aggregations are driver-trivial at any corpus
     * size. */
   def kAnonymous(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val cells = Tables.documents(spark, dir)
-      .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"))
+    // persisted: the big/generalized/remainder branches all read the cell
+    // table — unpersisted, the three union branches each re-scan the full
+    // corpus for a |langs|×|sources|-row aggregate
+    val cells = graft.Caches.persisted(
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs")))
     val big = cells.filter(col("n_docs") >= k)
     val byLang = cells.filter(col("n_docs") < k)
       .groupBy(col("lang"))

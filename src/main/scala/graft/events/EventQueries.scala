@@ -1236,4 +1236,51 @@ object EventQueries {
       |      THEN (n*c - s) * (n*cn - s) END) AS DOUBLE)
       |    / sum((n*c - s) * (n*c - s)) AS r1
       |FROM l GROUP BY 1""".stripMargin
+
+  /** Per-user time-weighted average value (TWAP) — the step-function time
+    * integral: each event's value holds until the user's next event, so
+    * the average weights every observation by how long it was current,
+    * not by how often the user emitted events. The temporal-analytics
+    * staple that plain `avg(value)` silently gets wrong on irregular
+    * streams (a burst of cheap events would swamp one long-held state).
+    *
+    * Exact arithmetic: value in integer cents, durations in integer
+    * micros; the numerator Σ cents·Δus and denominator Σ Δus are int64
+    * sums of int64 products (headroom: cents·span < 2⁶³ until per-user
+    * spans × values reach ~10¹⁸ µs-cents — decades); `twap` is their one
+    * IEEE division. The last event has no successor and zero width —
+    * single-event users carry no interval mass and are excluded, matching
+    * the integral's domain.
+    *
+    * Scale: one per-user window (lead) on the (us, event_id) total order
+    * — a single keyed shuffle — then a per-user partial agg on the same
+    * key; Spark plans the window's sort and the agg in one exchange. */
+  def twapPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("dur", lead(col("us"), 1).over(byUser) - col("us"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("dur")).as("span_us"),
+        sum(col("cents") * col("dur")).as("twap_num"))
+      .filter(col("span_us") > 0)
+      .withColumn("twap", col("twap_num").cast("double") / col("span_us"))
+  }
+
+  def twapPerUserSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    lead(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ) - epoch_us(ts) AS dur
+      |  FROM events)
+      |SELECT user_id, sum(dur)::BIGINT AS span_us,
+      |  sum(cents * dur)::BIGINT AS twap_num,
+      |  CAST(sum(cents * dur) AS DOUBLE) / sum(dur) AS twap
+      |FROM e WHERE dur IS NOT NULL
+      |GROUP BY user_id HAVING sum(dur) > 0""".stripMargin
 }

@@ -313,6 +313,42 @@ object TrainingPrep {
        |      FROM documents)
        |ORDER BY h, doc_id LIMIT $SampleK""".stripMargin
 
+  /** Fixed-size WEIGHTED sample without replacement — sequential Poisson
+    * sampling (Ohlsson 1998): each document draws a deterministic uniform
+    * u from its id-hash and ranks by u / weight; the bottom-k ranks are
+    * the sample, so heavy documents (weight = n_chars, the "sample
+    * long documents proportionally more" curation knob) win
+    * proportionally more of the k slots. The fourth member of the
+    * sampling family: [[docSampleBottomK]] is its uniform special case
+    * (weight ≡ 1).
+    *
+    * Engine-exactness is the design constraint solved here: the textbook
+    * A-ES key (-ln u / w) is transcendental, and ln differs across engines
+    * in the last ULP — enough to flip a boundary rank. Sequential Poisson
+    * ranks by u / w instead: u = (h + 0.5) with h the 52-bit md5 prefix
+    * (the constant 2⁻⁵² scale cancels in ranking), so the key is one
+    * integer-valued double and one correctly-rounded IEEE division —
+    * bit-identical in any engine, ties broken by doc_id.
+    *
+    * Same scale shape as bottom-k: mergeable (per-shard bottom-k then
+    * merge), one TakeOrderedAndProject, no global sort. */
+  def docSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("double") + 0.5) / col("n_chars")).as("rank_key"))
+      .orderBy(col("rank_key"), col("doc_id"))
+      .limit(SampleK)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  def docSampleWeightedSql: String =
+    s"""SELECT doc_id, source, n_chars
+       |FROM (SELECT doc_id, source, n_chars,
+       |        (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+       |              AS DOUBLE) + 0.5) / n_chars AS rank_key
+       |      FROM documents)
+       |ORDER BY rank_key, doc_id LIMIT $SampleK""".stripMargin
+
   /** The training-prep composition — the downstream half of the corpus
     * story ([[CorpusPipeline]] is the cleaning half): exclude documents
     * contaminated by the benchmark ([[decontaminate]]), gate out repetitive

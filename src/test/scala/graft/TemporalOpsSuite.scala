@@ -137,6 +137,46 @@ class TemporalOpsSuite extends SparkSpec {
     assert(got == expected)
   }
 
+  test("twap: per-user span is last-minus-first, value bounded by observed extremes, single-event users excluded") {
+    val truth = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), (max(col("us")) - min(col("us"))).as("span"),
+        min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (u, n, span, lo, hi) => u -> (n, span, lo, hi) }.toMap
+    val out = EventQueries.twapPerUser(spark, Sf0001)
+      .select("user_id", "span_us", "twap")
+      .as[(Long, Long, Double)].collect()
+    // exactly the multi-event users appear, with the full interval span
+    assert(out.map(_._1).toSet == truth.collect {
+      case (u, (n, span, _, _)) if n > 1 && span > 0 => u
+    }.toSet)
+    out.foreach { case (u, span, twap) =>
+      val (_, trueSpan, lo, hi) = truth(u)
+      assert(span == trueSpan, s"user $u span $span != $trueSpan")
+      // a weighted average of held values cannot leave the excluded-last
+      // observations' hull only by the last value, which carries no weight
+      assert(twap >= lo - 1e-9 && twap <= hi + 1e-9, s"user $u twap $twap outside [$lo, $hi]")
+    }
+  }
+
+  test("doc_sample_weighted: exactly k, deterministic, and biased toward heavy documents") {
+    val a = TrainingPrep.docSampleWeighted(spark, Sf0001)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val b = TrainingPrep.docSampleWeighted(spark, Sf0001)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    assert(a.length == 100 && a.toSeq == b.toSeq)
+    val corpusMean = Tables.documents(spark, Sf0001)
+      .agg(avg("n_chars")).collect()(0).getDouble(0)
+    val sampleMean = a.map(_._2).sum.toDouble / a.length
+    // weight = n_chars ⇒ the sample must oversample long documents; the
+    // draw is hash-deterministic, so this margin cannot flake
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("k_anonymous: every published cell has >= k members (or is the terminal remainder) and mass is conserved") {
     val k = 10
     val out = TrainingPrep.kAnonymous(spark, Sf0001, k)

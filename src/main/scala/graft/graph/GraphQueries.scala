@@ -203,4 +203,68 @@ object GraphQueries {
       |FROM (SELECT pairs.*, iu.cnt AS cu, iv.cnt AS cv
       |      FROM pairs JOIN item iu ON iu.part = u
       |      JOIN item iv ON iv.part = v), n""".stripMargin
+
+  private val LpaRounds = 3
+
+  /** Community detection by SYNCHRONOUS label propagation over the
+    * co-purchase graph — the density-grouping member of the graph family
+    * (components answers connectivity, PageRank answers centrality; LPA
+    * answers "which parts sell together as a cluster").
+    *
+    * Classic async LPA is run-order-dependent; this is the deterministic
+    * formulation: every round, ALL nodes simultaneously adopt the modal
+    * label among their neighbors, ties broken by smallest label, for a
+    * fixed [[LpaRounds]] rounds. Deterministic inputs + total-order
+    * tie-break ⇒ engine-identical assignments, so the unrolled-round SQL
+    * oracle hash-matches.
+    *
+    * Scale: per round one adjacency⋈labels join keyed on the neighbor id
+    * and one (node, label) partial agg — both EDGE-set-sized, the
+    * components/PageRank loop shape — with `localCheckpoint` truncating
+    * each round so the plan stays O(1) in rounds. The modal argmax is
+    * `max(struct(cnt, -label))`: no per-node sort, just a partial-agg
+    * max. */
+  def copurchaseCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(spark, dir)
+    val adj = graft.Caches.persisted(
+      e.select(col("u").as("v"), col("v").as("n"))
+        .unionByName(e.select(col("v").as("v"), col("u").as("n"))))
+    var labels = adj.select(col("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaRounds) {
+      labels = adj
+        .join(labels.select(col("v").as("n"), col("label")), "n")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("v").as("part_id"), col("label"))
+  }
+
+  /** Oracle: the same three synchronous rounds unrolled as CTEs, modal
+    * argmax as `row_number` over (count desc, label asc). */
+  def copurchaseCommunitiesSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT v, label FROM (
+         |    SELECT a.v, l.label, count(*) AS cnt,
+         |      row_number() OVER (
+         |        PARTITION BY a.v ORDER BY count(*) DESC, l.label ASC) AS rn
+         |    FROM adj a JOIN $prev l ON a.n = l.v
+         |    GROUP BY a.v, l.label)
+         |  WHERE rn = 1)"""
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |adj AS (SELECT u AS v, v AS n FROM e UNION ALL SELECT v AS v, u AS n FROM e),
+       |l0 AS (SELECT DISTINCT v, v AS label FROM adj),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT v AS part_id, label FROM l3""".stripMargin
+  }
 }

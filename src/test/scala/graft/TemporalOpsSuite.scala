@@ -177,6 +177,29 @@ class TemporalOpsSuite extends SparkSpec {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("copurchase_communities: matches a driver-side reference of 3 synchronous LPA rounds") {
+    val edges = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).as[(Long, Long)].collect()
+      .groupBy(_._1).values
+      .flatMap { basket =>
+        val ps = basket.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2) }
+    var labels: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      val snapshot = labels
+      labels = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(snapshot).view.mapValues(_.size)
+        v -> counts.toSeq.minBy { case (label, cnt) => (-cnt, label) }._1
+      }
+    }
+    val got = graft.graph.GraphQueries.copurchaseCommunities(spark, Sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got == labels)
+  }
+
   test("k_anonymous: every published cell has >= k members (or is the terminal remainder) and mass is conserved") {
     val k = 10
     val out = TrainingPrep.kAnonymous(spark, Sf0001, k)

@@ -32,7 +32,9 @@ object ScaleProbe {
     "bm25_search", "ngram_perplexity", "dsir_weights", "domain_mixture",
     "ngram_repetition", "events_retention", "embed_topk_pq", "embed_topk_ivfpq",
     "gopher_filter", "events_anomaly", "events_transitions", "events_ohlc",
-    "events_cms", "bpe_train", "bpe_encode")
+    "events_cms", "bpe_train", "bpe_encode",
+    "events_merge_upsert", "events_scd2_revenue", "events_autocorr",
+    "events_twap", "phrase_search", "docs_k_anonymous", "doc_sample_weighted")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

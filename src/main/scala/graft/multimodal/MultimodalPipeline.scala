@@ -113,6 +113,107 @@ object MultimodalPipeline {
     }
   }
 
+  /** Pixel-level image statistics: width/height, exact integer luma mass,
+    * and an 8-bin luma histogram. */
+  case class ImageStats(
+      id: Long, width: Int, height: Int, n_pixels: Long,
+      luma_sum_milli: Long, mean_luma: Double, luma_hist: Seq[Long])
+
+  /** REAL pixel-level feature extraction — the step past header metadata
+    * ([[decodeImages]]): `ImageIO.read` decodes the full bitmap and the
+    * features come from the pixels themselves. Luma is the integer
+    * BT.601 weighting 299·R + 587·G + 114·B (0..254 745 per pixel,
+    * "milli-luma"), summed exactly in int64; the histogram buckets
+    * milli-luma into 8 equal bins of the 0..255 000 range. All-integer
+    * accumulation ⇒ the stats are decode-deterministic and
+    * partition-order-independent; the one division (mean) happens last.
+    *
+    * Scale shape: identical to every other decode here — batched
+    * `mapPartitions`, pixels allocated per image and released, the payload
+    * never shuffles; only (id, stats) rows leave the partition. A 100 TB
+    * image corpus runs this as the map side of whatever aggregation
+    * follows; undecodable payloads drop (flatMap), matching
+    * [[decodeImages]]'s junk policy. */
+  def imagePixelStats(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media)))
+            .map { img =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val hist = new Array[Long](8)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val luma = 299 * ((rgb >> 16) & 0xff) +
+                    587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+                  sum += luma
+                  hist((luma * 8) / 255001) += 1 // 255001: bin 7 closes at 255000
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              ImageStats(r.id, w, h, n, sum, sum / (1000.0 * n), hist.toSeq)
+            }
+        }
+      }
+    }
+  }
+
+  /** Sample-level audio statistics: exact integer absolute mass and peak
+    * over the decoded 16-bit PCM stream. */
+  case class AudioStats(
+      id: Long, n_samples: Long, abs_sum: Long, peak: Int, mean_abs: Double)
+
+  /** REAL sample-level audio feature extraction — the step past header
+    * metadata ([[decodeAudio]]): `AudioSystem.getAudioInputStream` decodes
+    * the PCM payload and the features come from the samples themselves
+    * (per-corpus loudness/clipping screens). Little-endian signed 16-bit
+    * samples accumulate |s| exactly in int64 with the running peak; the
+    * mean is the one final division. Undecodable or non-16-bit payloads
+    * drop. Same batched-mapPartitions shape; the payload never shuffles. */
+  def audioPcmStats(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.media))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+              else {
+                val bytes = ais.readAllBytes()
+                var (i, sum, peak, n) = (0, 0L, 0, 0L)
+                while (i + 1 < bytes.length) {
+                  val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+                  val a = math.abs(s)
+                  sum += a
+                  if (a > peak) peak = a
+                  n += 1
+                  i += 2
+                }
+                if (n == 0) None
+                else Some(AudioStats(r.id, n, sum, peak, sum.toDouble / n))
+              }
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic stand-in decoder: FNV-1a checksum + length. Used by tests
     * and by [[extractFeatures]]'s default so the pipeline runs end-to-end. */
   def stubDecode(id: Long, format: String)(bytes: Array[Byte]): MediaFeatures = {

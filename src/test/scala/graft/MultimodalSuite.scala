@@ -85,6 +85,52 @@ class MultimodalSuite extends SparkSpec {
       2L -> ((5, 9, "jpeg"))), metas.toString) // junk row dropped, no exception
   }
 
+  test("pixel stats: exact BT.601 luma mass and histogram on a known 2x2 PNG") {
+    import spark.implicits._
+    // black, white, pure red, pure green — milli-luma 0 / 255000 / 76245 /
+    // 149685, bins 0 / 7 / 2 / 4 (PNG is lossless, so pixels round-trip)
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x00ff00)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val media = Seq(
+      MultimodalPipeline.MediaRow(1L, bos.toByteArray, "png"),
+      MultimodalPipeline.MediaRow(2L, Array[Byte](9, 9), "junk")).toDS()
+    val out = MultimodalPipeline.imagePixelStats(media).collect()
+    assert(out.length == 1) // junk dropped
+    val s = out.head
+    assert((s.width, s.height, s.n_pixels) == ((2, 2, 4L)))
+    assert(s.luma_sum_milli == 0L + 255000L + 76245L + 149685L)
+    assert(s.mean_luma == s.luma_sum_milli / 4000.0)
+    assert(s.luma_hist == Seq(1L, 0L, 1L, 0L, 1L, 0L, 0L, 1L))
+  }
+
+  test("pcm stats: exact abs mass and peak on a known 16-bit WAV") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val frames = 120
+    val pcm = Array.tabulate[Byte](frames * 2)(i => (i * 7 % 251).toByte)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    // driver-side expectation from the same little-endian samples
+    val samples = (0 until frames).map(i =>
+      (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt))
+    val media = Seq(
+      MultimodalPipeline.MediaRow(1L, bos.toByteArray, "wav"),
+      MultimodalPipeline.MediaRow(2L, Array[Byte](1, 2, 3), "junk")).toDS()
+    val out = MultimodalPipeline.audioPcmStats(media).collect()
+    assert(out.length == 1)
+    val s = out.head
+    assert(s.n_samples == frames.toLong)
+    assert(s.abs_sum == samples.map(v => math.abs(v).toLong).sum)
+    assert(s.peak == samples.map(math.abs).max)
+    assert(s.mean_abs == s.abs_sum.toDouble / frames)
+  }
+
   test("real audio decode: WAV fixtures yield rate/channels/frames, junk is dropped") {
     import spark.implicits._
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}

@@ -615,6 +615,38 @@ object TrainingPrep {
        |FROM pb JOIN w USING (bucket)
        |GROUP BY doc_id""".stripMargin
 
+  private val PerStratumK = 20
+
+  /** Exactly-k-PER-STRATUM deterministic sample — the grouped member of
+    * the sampling family: [[docSampleBottomK]] takes a global k,
+    * [[stratifiedSample]] a per-language rate; this takes the k smallest
+    * id-hashes WITHIN each language, so every stratum is represented with
+    * a fixed budget (the "balanced eval slice" draw) no matter how skewed
+    * the corpus mixture is.
+    *
+    * Plan shape worth naming: the rank filter is k-bounded, so Spark
+    * plans a WindowGroupLimit BELOW the shuffle — each input partition
+    * forwards at most k rows per language before any exchange, making the
+    * shuffle O(k · |langs| · partitions) instead of O(corpus). The suite
+    * pins the operator's presence in the plan. */
+  def docSamplePerLang(spark: SparkSession, dir: String, k: Int = PerStratumK): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  def docSamplePerLangSql: String =
+    s"""SELECT doc_id, lang, source FROM (
+       |  SELECT doc_id, lang, source,
+       |    row_number() OVER (
+       |      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |    ) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $PerStratumK""".stripMargin
+
   /** k-anonymity generalization of the corpus release manifest: publish
     * per-(lang, source) document counts only for cells with ≥ k members;
     * smaller cells generalize source → '*' per language, and languages

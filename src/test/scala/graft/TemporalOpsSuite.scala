@@ -177,6 +177,23 @@ class TemporalOpsSuite extends SparkSpec {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("doc_sample_per_lang: exactly k per stratum, WindowGroupLimit bounds the shuffle") {
+    val out = TrainingPrep.docSamplePerLang(spark, Sf0001, 20)
+    val perLang = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val truth = Tables.documents(spark, Sf0001).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(perLang.keySet == truth.keySet)
+    perLang.foreach { case (lang, n) =>
+      assert(n == math.min(20L, truth(lang)), s"$lang drew $n of ${truth(lang)}")
+    }
+    // the k-bounded rank filter must push a WindowGroupLimit below the
+    // exchange — per-partition top-k BEFORE the shuffle, O(k·|langs|) moved
+    val plan = TrainingPrep.docSamplePerLang(spark, Sf0001, 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rank pushdown lost:\n$plan")
+  }
+
   test("copurchase_communities: matches a driver-side reference of 3 synchronous LPA rounds") {
     val edges = Tables.lineitem(spark, Sf0001)
       .select(col("l_orderkey"), col("l_partkey")).as[(Long, Long)].collect()

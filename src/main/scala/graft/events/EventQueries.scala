@@ -1020,7 +1020,7 @@ object EventQueries {
 
   /** The events span Jan 2024; MERGE splits the stream at this cut into a
     * base snapshot and a CDC delta. */
-  private val MergeCutUs: Long =
+  private[graft] val MergeCutUs: Long =
     java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli * 1000L
 
   /** Per-user profile state for [[mergeUpsert]]: event count, last-activity
@@ -1028,7 +1028,7 @@ object EventQueries {
     * signup-or-error event ((us, event_id) total order; `max` of a struct
     * ignores the nulls the `when` leaves on non-status rows). One partial-agg
     * shuffle on user_id. */
-  private def profileState(e: DataFrame): DataFrame =
+  private[graft] def profileState(e: DataFrame): DataFrame =
     e.groupBy(col("user_id")).agg(
       count(lit(1)).as("n_events"),
       max(col("us")).as("last_us"),

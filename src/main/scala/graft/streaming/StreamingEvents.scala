@@ -378,6 +378,56 @@ object StreamingEvents {
     out.result().iterator
   }
 
+  case class TwapRow(user_id: Long, span_ms: Long, twap_num: Long, twap: Double)
+
+  /** Streaming twin of the batch TWAP ([[graft.events.EventQueries]]
+    * `events_twap`): the per-user step-function time integral maintained
+    * incrementally. State is four scalars per user — last (ms, event_id,
+    * cents) plus the accumulated Σ cents·Δms / Σ Δms — so an unbounded
+    * stream needs O(1) per live user, evicted by the idle-horizon timeout.
+    * Each micro-batch folds its (batch-sorted) events into the integral
+    * exactly as the batch window's `lead` would; emit is the running
+    * per-user TWAP after each batch (Update mode), whose final value
+    * matches the batch operator on the same data under any micro-batch
+    * split — the integral is associative in event-time order. */
+  def twapPerUser(
+      events: Dataset[Event],
+      idleHorizonMs: Long = 86400000L): Dataset[TwapRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingEvents.updateTwap(idleHorizonMs))
+  }
+
+  /** State: (last ms, last event_id, last cents, Σ cents·Δms, Σ Δms). */
+  private def updateTwap(idleHorizonMs: Long)(
+      userId: Long,
+      evts: Iterator[Event],
+      state: GroupState[(Long, Long, Long, Long, Long)]): Iterator[TwapRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var (lastMs, lastId, lastCents, num, den) =
+      state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L))
+    var seen = state.getOption.isDefined
+    sorted.foreach { e =>
+      val cents = math.round(e.value * 100)
+      if (seen) {
+        val dur = e.ts.getTime - lastMs
+        num += lastCents * dur
+        den += dur
+      }
+      lastMs = e.ts.getTime; lastId = e.event_id; lastCents = cents; seen = true
+    }
+    state.update((lastMs, lastId, lastCents, num, den))
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs() + 1, lastMs + idleHorizonMs))
+    if (den > 0) Iterator.single(TwapRow(userId, den, num, num.toDouble / den))
+    else Iterator.empty
+  }
+
   val SessionGapSec = 1800L
 
   /** Event-time sessionization via `flatMapGroupsWithState`: per-user state

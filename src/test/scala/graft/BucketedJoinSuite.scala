@@ -61,4 +61,46 @@ class BucketedJoinSuite extends SparkSpec {
     assert(tree.indexOf("Exchange") < tree.indexOf("Join"),
       s"the one exchange must sit above the join, not below it:\n$tree")
   }
+
+  test("CDC merge against a bucketed base snapshot: the snapshot never re-shuffles") {
+    // events_merge_upsert's scaladoc claims the 100 TB shape: a base
+    // snapshot stored bucketed by user_id makes the daily merge a
+    // co-located join where ONLY the delta moves. Prove it: write the
+    // base profile bucketed, merge the delta, and assert the base side
+    // of the join carries no Exchange — the only shuffle is the delta's
+    // own aggregation, re-distributed to the bucket layout.
+    import graft.events.EventQueries
+    val e = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val baseTable = "profile_base_bkt"
+    if (!spark.catalog.tableExists(baseTable))
+      EventQueries.profileState(e.filter(col("us") < EventQueries.MergeCutUs))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"${sys.props("java.io.tmpdir")}/graft-bucketed/profile_base")
+        .saveAsTable(baseTable)
+    val base = spark.table(baseTable)
+      .select(col("user_id"), col("n_events").as("b_n"),
+        col("last_us").as("b_last"), col("status").as("b_status"))
+    val delta = EventQueries.profileState(e.filter(col("us") >= EventQueries.MergeCutUs))
+      .select(col("user_id"), col("n_events").as("d_n"),
+        col("last_us").as("d_last"), col("status").as("d_status"))
+    val merged = base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("d_status"), col("b_status")).as("status"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_events"),
+        greatest(col("b_last"), col("d_last")).as("last_us"))
+      .filter(col("status") === "signup")
+    val tree = merged.queryExecution.executedPlan.toString
+    assert(tree.contains("Bucketed: true"), s"base scan not bucketed:\n$tree")
+    // only the delta side may shuffle: its partial agg plus (at most) the
+    // re-distribution onto the 8-bucket layout; a third exchange would
+    // mean the snapshot itself moved
+    assert("Exchange".r.findAllIn(tree).size <= 2,
+      s"merge re-shuffles beyond the delta side:\n$tree")
+    // result parity with the single-table operator
+    val direct = EventQueries.mergeUpsert(spark, Sf0001)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
 }

@@ -742,6 +742,47 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming TWAP converges to the batch step-function integral on driver data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.twapPerUser(input.toDS(), 40L * 86400000L)
+      .writeStream.format("memory").queryName("twap_stream")
+      .outputMode("update").start()
+    try {
+      // three event-time-ordered deliveries; within each, arrival order
+      // is scrambled (the update fn re-sorts per batch)
+      val ordered = evts.sortBy(e => (e.ts.getTime, e.event_id))
+      ordered.grouped((ordered.length + 2) / 3).foreach { batch =>
+        input.addData(scala.util.Random.shuffle(batch.toSeq): _*)
+        q.processAllAvailable()
+      }
+      // last emitted row per user = the converged integral
+      val streamed = spark.table("twap_stream")
+        .groupBy($"user_id")
+        .agg(last($"span_ms").as("span_ms"), last($"twap_num").as("num"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (u, d, n) => u -> ((d, n)) }.toMap
+      // batch reference at ms grain, driver-side
+      val expected = evts.groupBy(_.user_id).collect {
+        case (u, es) if es.length > 1 =>
+          val s = es.sortBy(e => (e.ts.getTime, e.event_id))
+          val (num, den) = s.zip(s.tail).foldLeft((0L, 0L)) {
+            case ((n, d), (a, b)) =>
+              val dur = b.ts.getTime - a.ts.getTime
+              (n + math.round(a.value * 100) * dur, d + dur)
+          }
+          u -> ((den, num))
+      }.filter(_._2._1 > 0)
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming transition pairs equal the batch Markov transition counts on driver data") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

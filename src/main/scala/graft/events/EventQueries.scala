@@ -1237,6 +1237,52 @@ object EventQueries {
       |    / sum((n*c - s) * (n*c - s)) AS r1
       |FROM l GROUP BY 1""".stripMargin
 
+  /** Conversion bar for [[abTest]] — the synthetic per-user purchase-count
+    * median, so both variants hold informative proportions. */
+  private val AbConvertBar = 14L
+
+  /** A/B experiment readout — the experimentation-analytics operator: users
+    * split into two deterministic variants (id-hash parity, the engine's
+    * no-RNG assignment discipline shared with `train_split`), and the
+    * conversion contrast (converted = at least [[AbConvertBar]] purchases —
+    * every synthetic user buys at least once, so the bar sits at the
+    * median to make the proportion informative) is reported in exact
+    * integers: exposed users, converted users, conversion in ppm (integer
+    * division) — the sufficient statistics for any significance test,
+    * kept partition- and engine-exact so the readout cannot drift between
+    * engines; the suite reconstructs the two-proportion z-statistic from
+    * these counts.
+    *
+    * Scale: one (user → variant, converted) partial agg over the stream —
+    * the per-user distinct is the only corpus-sized shuffle — then a 2-row
+    * rollup. */
+  def abTest(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= AbConvertBar, 1L).otherwise(0L).as("converted"))
+      .withColumn("variant",
+        when(pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("bigint"), lit(2)) === 0, "A").otherwise("B"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+      .withColumn("conversion_ppm",
+        expr("n_converted * 1000000 div n_users"))
+
+  def abTestSql: String =
+    s"""SELECT variant, count(*)::BIGINT AS n_users,
+       |  sum(converted)::BIGINT AS n_converted,
+       |  ((sum(converted)::BIGINT * 1000000) // count(*))::BIGINT AS conversion_ppm
+       |FROM (
+       |  SELECT user_id,
+       |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 = 0
+       |         THEN 'A' ELSE 'B' END AS variant,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |              >= $AbConvertBar THEN 1 ELSE 0 END AS converted
+       |  FROM events GROUP BY user_id) u
+       |GROUP BY variant""".stripMargin
+
   /** Per-user time-weighted average value (TWAP) — the step-function time
     * integral: each event's value holds until the user's next event, so
     * the average weights every observation by how long it was current,

@@ -177,6 +177,26 @@ class TemporalOpsSuite extends SparkSpec {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("ab_test: variants partition the users, counts are sufficient for the z-statistic") {
+    val rows = EventQueries.abTest(spark, Sf0001)
+      .select("variant", "n_users", "n_converted")
+      .as[(String, Long, Long)].collect()
+      .map { case (v, n, c) => v -> ((n, c)) }.toMap
+    assert(rows.keySet == Set("A", "B"))
+    val totalUsers = Tables.events(spark, Sf0001).select("user_id").distinct().count()
+    assert(rows.values.map(_._1).sum == totalUsers)
+    rows.values.foreach { case (n, c) => assert(c <= n) }
+    // the exact counts reconstruct the two-proportion z-stat: just prove
+    // the arithmetic is well-defined on this data (pooled p strictly
+    // inside (0,1) so the denominator is nonzero)
+    val (na, ca) = rows("A"); val (nb, cb) = rows("B")
+    val p = (ca + cb).toDouble / (na + nb)
+    assert(p > 0 && p < 1)
+    val z = (ca.toDouble / na - cb.toDouble / nb) /
+      math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(!z.isNaN && math.abs(z) < 10)
+  }
+
   test("doc_sample_per_lang: exactly k per stratum, WindowGroupLimit bounds the shuffle") {
     val out = TrainingPrep.docSamplePerLang(spark, Sf0001, 20)
     val perLang = out.groupBy("lang").count()

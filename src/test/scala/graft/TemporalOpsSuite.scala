@@ -237,6 +237,32 @@ class TemporalOpsSuite extends SparkSpec {
     assert(got == labels)
   }
 
+  test("round-9 operators are invariant under the shuffle partition count") {
+    // the determinism claims above are all per-run; this pins the stronger
+    // property — the same rows under different physical parallelism
+    val names = Seq("events_merge_upsert", "events_scd2_revenue", "events_autocorr",
+      "events_twap", "events_ab_test", "phrase_search", "docs_k_anonymous",
+      "doc_sample_weighted", "doc_sample_per_lang", "copurchase_communities")
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    def digest(): Map[String, Seq[String]] = names.map { n =>
+      val df = SparkEntry.queries(n)(spark, Sf0001)
+      val cols = df.columns.sorted
+      val rows = df.select(cols.head, cols.tail: _*)
+        .collect().map(_.toString).sorted.toSeq
+      Caches.drain()
+      n -> rows
+    }.toMap
+    try {
+      spark.conf.set(key, "3")
+      val a = digest()
+      spark.conf.set(key, "17")
+      val b = digest()
+      names.foreach(n => assert(a(n) == b(n), s"$n diverges across partition counts"))
+      assert(a.values.forall(_.nonEmpty))
+    } finally spark.conf.set(key, before)
+  }
+
   test("k_anonymous: every published cell has >= k members (or is the terminal remainder) and mass is conserved") {
     val k = 10
     val out = TrainingPrep.kAnonymous(spark, Sf0001, k)

@@ -1237,6 +1237,43 @@ object EventQueries {
       |    / sum((n*c - s) * (n*c - s)) AS r1
       |FROM l GROUP BY 1""".stripMargin
 
+  /** Exact rolling 7-day active users per day (the WAU curve) — the
+    * sliding-window DISTINCT count, which no window frame computes
+    * directly (count-distinct over a moving frame isn't an associative
+    * aggregate). The scalable formulation: collapse the stream to
+    * distinct (user, day) presence pairs — the only corpus-sized shuffle —
+    * then each pair CONTRIBUTES presence to the 7 window-days it can
+    * serve, and a distinct on (window_day, user) + a per-day count gives
+    * the exact rolling distinct. Total shuffled volume is 7×|user-days|,
+    * linear in activity; the naive per-day re-scan reads each event 7
+    * times AND re-deduplicates per window. Windows clip to the observed
+    * [min, max] day span so every reported day aggregates a fully-defined
+    * (possibly ramp-up) window. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val bounds = ud.agg(max(col("d")).as("d1"))
+    ud.select(col("user_id"), explode(sequence(col("d"), col("d") + 6)).as("day"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("d1"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("wau"))
+  }
+
+  def rollingActiveUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+      |  FROM events),
+      |b AS (SELECT max(d) AS d1 FROM ud),
+      |w AS (
+      |  SELECT DISTINCT user_id, d + g AS day
+      |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS g) s)
+      |SELECT day, count(*)::BIGINT AS wau
+      |FROM w, b WHERE day <= d1
+      |GROUP BY day""".stripMargin
+
   /** Conversion bar for [[abTest]] — the synthetic per-user purchase-count
     * median, so both variants hold informative proportions. */
   private val AbConvertBar = 14L

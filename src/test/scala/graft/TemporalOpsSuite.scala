@@ -237,6 +237,21 @@ class TemporalOpsSuite extends SparkSpec {
     assert(got == labels)
   }
 
+  test("rolling_wau: contribution formulation equals a brute-force per-day distinct recount") {
+    val ud = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct().as[(Long, Long)].collect()
+    val maxD = ud.map(_._2).max
+    val expected = (ud.map(_._2).min to maxD + 6).filter(_ <= maxD).map { day =>
+      day -> ud.collect { case (u, d) if d >= day - 6 && d <= day => u }.distinct.length.toLong
+    }.filter(_._2 > 0).toMap
+    val got = EventQueries.rollingActiveUsers(spark, Sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // ramp-up: day 1 of the span cannot exceed day 7's window
+    assert(got(got.keys.min) <= got.values.max)
+  }
+
   test("round-9 operators are invariant under the shuffle partition count") {
     // the determinism claims above are all per-run; this pins the stronger
     // property — the same rows under different physical parallelism

@@ -1237,6 +1237,69 @@ object EventQueries {
       |    / sum((n*c - s) * (n*c - s)) AS r1
       |FROM l GROUP BY 1""".stripMargin
 
+  /** Session-entry revenue attribution — the marketing-analytics operator
+    * on top of [[sessions]]' machinery: every purchase's revenue (integer
+    * cents) is credited to the event type that OPENED its session (the
+    * "how did the converting visit start" readout; funnel counts
+    * conversions, this routes the money). Same 30-minute-gap marker
+    * cumsum as [[sessions]], then `first` over the per-session order
+    * labels every event with its session's entry type, purchases filter
+    * out, and a 5-row rollup sums exact cents per entry type.
+    *
+    * Scale: the one corpus shuffle is the per-user window (both windows —
+    * session numbering and entry labeling — share the user_id exchange,
+    * the second just re-sorts within it); the rollup is |event types|
+    * rows. */
+  def sessionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val evts = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("new_session",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > SessionGapSec, 1)
+          .when(lag(col("sec"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts"), col("event_id"))
+    evts
+      .withColumn("entry_type", first(col("event_type")).over(bySession))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+  }
+
+  def sessionAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |marked AS (
+       |  SELECT *,
+       |    CASE WHEN lag(sec) OVER w IS NULL THEN 1
+       |         WHEN sec - lag(sec) OVER w > $SessionGapSec THEN 1
+       |         ELSE 0 END AS new_session
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT *,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM marked),
+       |labeled AS (
+       |  SELECT *,
+       |    first_value(event_type) OVER (
+       |      PARTITION BY user_id, session_idx ORDER BY ts, event_id
+       |    ) AS entry_type
+       |  FROM numbered)
+       |SELECT entry_type, count(*)::BIGINT AS n_purchases,
+       |  sum(cents)::BIGINT AS cents
+       |FROM labeled WHERE event_type = 'purchase'
+       |GROUP BY entry_type""".stripMargin
+
   /** Exact rolling 7-day active users per day (the WAU curve) — the
     * sliding-window DISTINCT count, which no window frame computes
     * directly (count-distinct over a moving frame isn't an associative

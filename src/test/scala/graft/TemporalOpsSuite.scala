@@ -237,6 +237,36 @@ class TemporalOpsSuite extends SparkSpec {
     assert(got == labels)
   }
 
+  test("attribution: every purchase credited exactly once, to its session's true entry event") {
+    val out = EventQueries.sessionAttribution(spark, Sf0001)
+      .select("entry_type", "n_purchases", "cents")
+      .as[(String, Long, Long)].collect()
+    val purchases = Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "purchase")
+    assert(out.map(_._2).sum == purchases.count())
+    assert(out.map(_._3).sum == purchases
+      .agg(sum(round(col("value") * 100).cast("bigint"))).collect()(0).getLong(0))
+    // driver-side reference sessionizer: same 30-min gap, same total order
+    // sort on full event-time precision (the query orders by ts, event_id);
+    // the session gap itself is whole-second, as in the operator
+    val evts = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, Long, String)].collect()
+    val expected = evts.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._4))
+      var entry = s.head._5
+      var lastSec = s.head._3
+      s.map { e =>
+        if (e._3 - lastSec > 1800) entry = e._5
+        lastSec = e._3
+        (e._5, entry)
+      }
+    }.collect { case ("purchase", entry) => entry }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.map(t => t._1 -> t._2).toMap == expected)
+  }
+
   test("rolling_wau: contribution formulation equals a brute-force per-day distinct recount") {
     val ud = Tables.events(spark, Sf0001)
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))

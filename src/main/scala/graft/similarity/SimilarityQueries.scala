@@ -914,4 +914,52 @@ object SimilarityQueries {
        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
        |        ORDER BY cosine DESC, eval_id) AS rk FROM scored) t
        |WHERE rk = 1""".stripMargin
+
+  /** Fixed-point scale for [[gramMatrix]] entries: each coordinate rounds
+    * to an integer at 10⁴, so every product is exact in int64 and every
+    * sum is associative (5 × 10⁴-scaled coords ≤ ~3; products ≤ ~10⁹;
+    * dim-pair sums across 10⁹ vectors stay < 2⁶³). */
+  private val GramScale = 10000L
+
+  /** Distributed Gram matrix Eᵀ·E over the embedding corpus — the matrix-
+    * computation primitive behind PCA/covariance/whitening of a 100 TB
+    * embedding store. The classic outer-product formulation: each vector
+    * emits its upper-triangle coordinate products keyed by (i, j), and
+    * partial aggregation collapses them to |dims|² cells per partition
+    * BEFORE the shuffle — so the one exchange carries O(dims² ×
+    * partitions) regardless of corpus size, and the result is d×d no
+    * matter how many vectors stream through.
+    *
+    * Exactness: coordinates round to [[GramScale]] fixed-point once, then
+    * all arithmetic is int64 (associative, partition-order-proof); the
+    * one float division de-scales at the end. Output: upper-triangle
+    * (i ≤ j) cells with the exact scaled sum and its double view. */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(expr(
+        s"""transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $GramScale + 0.5) AS BIGINT))""")
+        .as("sv"))
+      .select(posexplode(col("sv")).as(Seq("i", "xi")), col("sv"))
+      .select(col("i"), col("xi"), posexplode(col("sv")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("g_scaled"))
+      .select(col("i").cast("bigint").as("i"), col("j").cast("bigint").as("j"),
+        col("g_scaled"),
+        (col("g_scaled").cast("double") / (GramScale.toDouble * GramScale)).as("g"))
+
+  def gramMatrixSql: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(x::DOUBLE * $GramScale + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+       |    k -> {'i': k - 1, 'x': v[k]}), recursive := true)
+       |  FROM sv)
+       |SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+       |  sum(a.x * b.x)::BIGINT AS g_scaled,
+       |  CAST(sum(a.x * b.x) AS DOUBLE) / (${GramScale}.0 * $GramScale) AS g
+       |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -282,6 +282,22 @@ class TemporalOpsSuite extends SparkSpec {
     assert(got(got.keys.min) <= got.values.max)
   }
 
+  test("embed_gram: exact fixed-point Gram cells match a driver-side fold") {
+    val sv = Tables.embeddings(spark, Sf0001).select("embedding")
+      .as[Seq[Float]].collect()
+      .map(_.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong).toArray)
+    val d = sv.head.length
+    val got = graft.similarity.SimilarityQueries.gramMatrix(spark, Sf0001)
+      .select("i", "j", "g_scaled").as[(Long, Long, Long)].collect()
+      .map { case (i, j, g) => (i, j) -> g }.toMap
+    assert(got.size == d * (d + 1) / 2)
+    // full row 0 exactly, and PSD diagonal
+    (0 until d).foreach { j =>
+      assert(got((0L, j.toLong)) == sv.map(v => v(0) * v(j)).sum, s"cell (0,$j)")
+    }
+    (0 until d).foreach(i => assert(got((i.toLong, i.toLong)) >= 0))
+  }
+
   test("round-9 operators are invariant under the shuffle partition count") {
     // the determinism claims above are all per-run; this pins the stronger
     // property — the same rows under different physical parallelism

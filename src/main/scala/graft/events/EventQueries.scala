@@ -1429,4 +1429,59 @@ object EventQueries {
       |  CAST(sum(cents * dur) AS DOUBLE) / sum(dur) AS twap
       |FROM e WHERE dur IS NOT NULL
       |GROUP BY user_id HAVING sum(dur) > 0""".stripMargin
+
+  private val EwmaDepth = 16
+
+  /** Per-user EWMA (α = ½) of purchase values — the smoothed-spend signal
+    * behind trend/anomaly baselines, truncated at [[EwmaDepth]] terms so
+    * the geometric weights are exact powers of two.
+    *
+    * Exact arithmetic: with the last [[EwmaDepth]] cents values collected
+    * oldest→newest in a rows-window, the left fold `a·2 + x` over the
+    * REVERSED list yields num = Σ cents_j·2^j (newest highest), and
+    * den = 2^L − 1; `ewma_cents = num div den`. The oracle computes the
+    * same rational with every weight scaled by 2^(16−L) (a rank-distance
+    * self-join — no list lambdas needed in SQL): floor division is
+    * invariant under common positive scaling, so both engines emit the
+    * identical integer. All inputs are non-negative, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree.
+    *
+    * Scale shape: ONE per-user keyed window (sort amortized with the
+    * partitioning exchange), constant 16-element state per row, no joins
+    * — the corpus-sized output is a narrow per-event enrichment exactly
+    * like `events_running_totals`. The oracle's O(16·n) self-join
+    * formulation is for the referee only. */
+  def ewmaPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-(EwmaDepth - 1), 0)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("ws", collect_list(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"),
+        size(col("ws")).cast("bigint").as("n_window"),
+        expr("""aggregate(reverse(ws), CAST(0 AS BIGINT), (a, x) -> a * 2 + x)
+               |  div (shiftleft(CAST(1 AS BIGINT), size(ws)) - 1)""".stripMargin)
+          .as("ewma_cents"))
+      .withColumn("ewma", col("ewma_cents") / 100.0)
+  }
+
+  def ewmaPerUserSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+       |    row_number() OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT a.user_id, a.event_id,
+       |  CAST(count(*) AS BIGINT) AS n_window,
+       |  CAST(sum(b.cents * (1::BIGINT << (${EwmaDepth - 1} - (a.rn - b.rn)))) //
+       |       sum(1::BIGINT << (${EwmaDepth - 1} - (a.rn - b.rn))) AS BIGINT) AS ewma_cents,
+       |  CAST(sum(b.cents * (1::BIGINT << (${EwmaDepth - 1} - (a.rn - b.rn)))) //
+       |       sum(1::BIGINT << (${EwmaDepth - 1} - (a.rn - b.rn))) AS BIGINT) / 100.0e0 AS ewma
+       |FROM p a JOIN p b
+       |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - ${EwmaDepth - 1} AND a.rn
+       |GROUP BY a.user_id, a.event_id""".stripMargin
 }

@@ -112,6 +112,133 @@ object DataSelection {
       .select(col("doc_id"), col("n_terms"), col("score"))
   }
 
+  // ------------------------------------------------- hybrid retrieval (RRF)
+
+  private val RrfK = 60L
+  private val RrfDepth = 50
+  private val RrfTop = 20
+  /** The dense query: document 0's own embedding (deterministic, always
+    * present). Fused ranks therefore exclude id 0 from both lists. */
+  private val RrfQueryId = 0L
+
+  /** Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    * (Cormack et al. 2009): the standard way modern retrieval stacks
+    * combine a BM25 ranking with an embedding-similarity ranking without
+    * score calibration. Each list contributes `1 / (60 + rank)` per
+    * document — here as the EXACT integer `10⁹ div (60 + rank)` so the
+    * fused sum is associative and engine-identical (the float reciprocal
+    * would differ in the last ulp between engines at some rank).
+    *
+    * Lexical list: the [[bm25Search]] scoring (same micro-nat pipeline)
+    * ranked to depth 50; dense list: cosine against document 0's
+    * embedding (`doc_id` ≡ `vec_id` in the corpus), depth 50. Fusion is a
+    * full outer join of two ≤50-row lists — trivially broadcast — and the
+    * final top-20 orders by (fused score desc, doc_id). Ranks are emitted
+    * 0-coalesced for absent-in-list.
+    *
+    * Scale shape: each side is its own scale-safe ranking (BM25: one
+    * narrow corpus pass, `isin`-filtered before the group-by, top-depth
+    * via TakeOrderedAndProject; dense: one broadcast-query corpus pass,
+    * same top-depth) — fusion touches only 2·depth rows regardless of
+    * corpus size. */
+  def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // lexical: BM25 score_micro per doc (the bm25Search pipeline minus its
+    // final top-20), ranked to RrfDepth
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("bigint").as("dl"))
+    val corpus = docs.agg(
+      count(lit(1)).cast("bigint").as("n_docs"),
+      sum(col("dl")).cast("bigint").as("total_len"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("bigint").as("df"))
+    val lexScores = tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_micro",
+        expr("cast(round(ln(1 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * 1000000) as bigint)"))
+      .withColumn("term_micro",
+        expr("""cast(round(idf_micro
+               |  * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl * n_docs / total_len)))) as bigint)""".stripMargin))
+      .filter(col("doc_id") =!= RrfQueryId)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(RrfDepth)
+    val lex = lexScores
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc)).cast("bigint"))
+      .select(col("doc_id"), col("lex_rank"))
+    // dense: cosine against doc 0's embedding, ranked to RrfDepth
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = emb.filter(col("vec_id") === RrfQueryId)
+      .select(col("e").as("qe"))
+    val dense = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= RrfQueryId)
+      .withColumn("cosine", expr("cosine_sim(qe, e)"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(RrfDepth)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("bigint"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    // fuse by union + one hash agg, NOT a full-outer join (full outer can't
+    // broadcast-hash, so Spark would sort-merge two 50-row sides): each list
+    // contributes its integer reciprocal, absent-in-list ranks surface as
+    // the max over the 0 sentinel
+    lex.select(col("doc_id"), col("lex_rank"), lit(0L).as("dense_rank"),
+        expr(s"1000000000L div (${RrfK} + lex_rank)").as("rrf_nano"))
+      .unionByName(
+        dense.select(col("doc_id"), lit(0L).as("lex_rank"), col("dense_rank"),
+          expr(s"1000000000L div (${RrfK} + dense_rank)").as("rrf_nano")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("lex_rank")).as("lex_rank"),
+        max(col("dense_rank")).as("dense_rank"),
+        sum(col("rrf_nano")).as("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
+      .limit(RrfTop)
+  }
+
+  def hybridSearchRrfSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dd),
+       |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dd) e
+       |       WHERE tok IN ($bm25TermsSqlList)
+       |       GROUP BY 1, 2, 3),
+       |idf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |t AS (SELECT doc_id,
+       |        CAST(round(CAST(round(ln(1 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * 1000000) AS BIGINT)
+       |          * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl * n_docs / total_len)))) AS BIGINT) AS term_micro
+       |      FROM tf JOIN idf USING (tok), c),
+       |lex AS (SELECT doc_id, row_number() OVER (
+       |          ORDER BY sum(term_micro) DESC, doc_id ASC) AS lex_rank
+       |        FROM t WHERE doc_id <> $RrfQueryId GROUP BY doc_id
+       |        ORDER BY sum(term_micro) DESC, doc_id ASC LIMIT $RrfDepth),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |        list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, x) -> a + x) AS nrm
+       |      FROM embeddings),
+       |q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = $RrfQueryId),
+       |dense AS (SELECT vec_id AS doc_id, row_number() OVER (
+       |            ORDER BY list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * b.e[i]), (a, x) -> a + x)
+       |              / (sqrt(qn) * sqrt(b.nrm)) DESC, vec_id ASC) AS dense_rank
+       |          FROM q, n b WHERE b.vec_id <> $RrfQueryId
+       |          ORDER BY dense_rank LIMIT $RrfDepth)
+       |SELECT doc_id,
+       |  CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |  CAST(coalesce(dense_rank, 0) AS BIGINT) AS dense_rank,
+       |  CAST(CASE WHEN lex_rank IS NULL THEN 0 ELSE 1000000000 // ($RrfK + lex_rank) END
+       |     + CASE WHEN dense_rank IS NULL THEN 0 ELSE 1000000000 // ($RrfK + dense_rank) END AS BIGINT) AS rrf_nano
+       |FROM lex FULL OUTER JOIN dense USING (doc_id)
+       |ORDER BY rrf_nano DESC, doc_id ASC
+       |LIMIT $RrfTop""".stripMargin
+
   def bm25SearchSql: String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),

@@ -303,7 +303,8 @@ class TemporalOpsSuite extends SparkSpec {
     // property — the same rows under different physical parallelism
     val names = Seq("events_merge_upsert", "events_scd2_revenue", "events_autocorr",
       "events_twap", "events_ab_test", "phrase_search", "docs_k_anonymous",
-      "doc_sample_weighted", "doc_sample_per_lang", "copurchase_communities")
+      "doc_sample_weighted", "doc_sample_per_lang", "copurchase_communities",
+      "events_ewma", "graph_bfs_hops", "hybrid_search_rrf")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>
@@ -336,5 +337,70 @@ class TemporalOpsSuite extends SparkSpec {
     }
     // generalized rows only where the original cell was below k
     assert(out.count { case (l, s, _) => l == "*" && s != "*" } == 0)
+  }
+
+  test("graph_bfs_hops: matches a driver-side BFS from the same hub") {
+    val edges = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).as[(Long, Long)].collect()
+      .groupBy(_._1).values
+      .flatMap { basket =>
+        val ps = basket.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2) }
+    val hub = adj.toSeq.map { case (v, ns) => (v, ns.size) }
+      .minBy { case (v, d) => (-d, v) }._1
+    var dist = Map(hub -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (v, h) =>
+        adj(v).map(n => n -> (h + 1))
+      } ++ dist.toSeq
+      dist = relaxed.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    val got = graft.graph.GraphQueries.bfsHops(spark, Sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got == dist)
+    assert(got(hub) == 0L && got.values.max <= 3L)
+  }
+
+  test("events_ewma: exact alpha=1/2 geometric fold matches a driver-side reference") {
+    val evts = Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = evts.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3))
+      s.indices.map { i =>
+        val window = s.slice(math.max(0, i - 15), i + 1).map(_._4)
+        // newest-highest powers of two: fold the reversed window as a·2 + x
+        val num = window.reverse.foldLeft(0L)((a, x) => a * 2 + x)
+        val den = (1L << window.length) - 1
+        s(i)._3 -> (window.length.toLong, num / den)
+      }
+    }.toMap
+    val got = EventQueries.ewmaPerUser(spark, Sf0001)
+      .select("event_id", "n_window", "ewma_cents")
+      .as[(Long, Long, Long)].collect()
+      .map { case (e, n, c) => e -> (n, c) }.toMap
+    assert(got == expected)
+  }
+
+  test("hybrid_search_rrf: fused score is exactly the integer RRF of the two rank lists") {
+    val out = graft.pipelines.DataSelection.hybridSearchRrf(spark, Sf0001)
+      .select("doc_id", "lex_rank", "dense_rank", "rrf_nano")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 20)
+    out.foreach { case (id, lex, dense, rrf) =>
+      assert(lex > 0 || dense > 0, s"doc $id in neither list")
+      assert(lex <= 50 && dense <= 50)
+      val expect = (if (lex > 0) 1000000000L / (60 + lex) else 0L) +
+        (if (dense > 0) 1000000000L / (60 + dense) else 0L)
+      assert(rrf == expect, s"doc $id rrf $rrf != $expect")
+    }
+    // the fused list must actually mix modalities: some docs from each side
+    assert(out.exists(r => r._2 > 0 && r._3 == 0) || out.exists(_._2 > 0))
+    assert(out.exists(_._3 > 0))
   }
 }

@@ -401,6 +401,53 @@ object StreamingEvents {
         StreamingEvents.updateTwap(idleHorizonMs))
   }
 
+  case class EwmaRow(user_id: Long, event_id: Long, n_window: Long, ewma_cents: Long)
+
+  /** Streaming twin of the batch EWMA ([[graft.events.EventQueries]]
+    * `events_ewma`): the per-user α=½ exponentially-weighted purchase
+    * average maintained incrementally. State is the last ≤16 purchase
+    * cents per user (the batch operator's exact truncation depth), so an
+    * unbounded stream needs O(16) per live user, evicted by the
+    * idle-horizon timeout. Each purchase appends to the ring and emits
+    * the same `num div den` powers-of-two fold the batch rows-window
+    * computes — one Append-mode row per purchase, equal to the batch
+    * output under any event-time-ordered micro-batch split (the ring
+    * after k events is a function of the last 16 events only). */
+  def ewmaPerUser(
+      events: Dataset[Event],
+      idleHorizonMs: Long = 86400000L): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == "purchase")
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingEvents.updateEwma(idleHorizonMs))
+  }
+
+  /** State: the last ≤16 cents values, oldest→newest. */
+  private def updateEwma(idleHorizonMs: Long)(
+      userId: Long,
+      evts: Iterator[Event],
+      state: GroupState[Seq[Long]]): Iterator[EwmaRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var ring = state.getOption.getOrElse(Seq.empty[Long])
+    val out = sorted.map { e =>
+      ring = (ring :+ math.round(e.value * 100)).takeRight(16)
+      // newest-highest powers of two — identical to the batch fold
+      val num = ring.reverse.foldLeft(0L)((a, x) => a * 2 + x)
+      val den = (1L << ring.length) - 1
+      EwmaRow(userId, e.event_id, ring.length.toLong, num / den)
+    }
+    state.update(ring)
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs() + 1,
+        sorted.last.ts.getTime + idleHorizonMs))
+    out.iterator
+  }
+
   /** State: (last ms, last event_id, last cents, Σ cents·Δms, Σ Δms). */
   private def updateTwap(idleHorizonMs: Long)(
       userId: Long,

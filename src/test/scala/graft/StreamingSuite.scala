@@ -783,6 +783,38 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA equals the batch rows-window fold on driver data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.ewmaPerUser(input.toDS(), 40L * 86400000L)
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    try {
+      // three event-time-ordered deliveries; within each, arrival order is
+      // scrambled (the update fn re-sorts per batch)
+      val ordered = evts.sortBy(e => (e.ts.getTime, e.event_id))
+      ordered.grouped((ordered.length + 2) / 3).foreach { batch =>
+        input.addData(scala.util.Random.shuffle(batch.toSeq): _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ewma_stream")
+        .select($"event_id", $"n_window", $"ewma_cents")
+        .as[(Long, Long, Long)].collect()
+        .map { case (e, n, c) => e -> ((n, c)) }.toMap
+      val batchRows = graft.events.EventQueries.ewmaPerUser(spark, Sf0001)
+        .select($"event_id", $"n_window", $"ewma_cents")
+        .as[(Long, Long, Long)].collect()
+        .map { case (e, n, c) => e -> ((n, c)) }.toMap
+      assert(streamed == batchRows)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming transition pairs equal the batch Markov transition counts on driver data") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -962,4 +962,104 @@ object SimilarityQueries {
        |  CAST(sum(a.x * b.x) AS DOUBLE) / (${GramScale}.0 * $GramScale) AS g
        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
        |GROUP BY 1, 2""".stripMargin
+
+  private val MmrDepth = 20
+  private val MmrK = 5
+
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998) — the greedy
+    * selection every retrieval stack applies after top-k: from the
+    * [[MmrDepth]] highest-cosine candidates to the query (document 0's
+    * embedding), pick [[MmrK]] results one at a time, each maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(d, s)`; at λ = ½ the argmax is
+    * `rel − maxsim` exactly, so λ never enters the arithmetic.
+    *
+    * Exactness: every cosine is snapped to integer micro-units BEFORE any
+    * comparison (the candidate cut orders by the snapped value too, so the
+    * boundary decision is the same integer in both engines); the greedy
+    * recursion is unrolled — [[MmrK]] rounds in both the plan and the
+    * oracle's CTE chain, ties to the smallest vec_id.
+    *
+    * Scale shape: the corpus contributes ONE narrow broadcast-query pass
+    * ending in a depth-20 TakeOrderedAndProject (exactly `embed_topk`'s
+    * scale path); the greedy rounds run on the persisted ≤20-row candidate
+    * table — re-ranking cost is independent of corpus size, which is the
+    * point of candidate-set MMR. Each round's ≤r-row selected set persists
+    * so the chained lineage evaluates once (the BFS lesson). */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = base.filter(col("vec_id") === 0L).select(col("e").as("qe"))
+    val cand = graft.Caches.persisted(
+      base.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0L)
+        .withColumn("rel",
+          expr("cast(round(cosine_sim(qe, e) * 1000000) as bigint)"))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+        .limit(MmrDepth)
+        .select(col("vec_id"), col("e"), col("rel")))
+    // round 1: pure relevance
+    var selected = graft.Caches.persisted(
+      cand.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("e"), col("rel"),
+          lit(1L).as("rank"), col("rel").as("score")))
+    for (r <- 2 to MmrK) {
+      val pickId = cand
+        .join(broadcast(selected.select(col("vec_id").as("s_id"), col("e").as("se"))),
+          col("vec_id") =!= col("s_id"))
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(count(lit(1)).as("n_other"),
+          max(expr("cast(round(cosine_sim(e, se) * 1000000) as bigint)")).as("maxsim"))
+        // candidates not yet selected pair with all r-1 selected rows;
+        // already-selected ones self-filter via the <> join down to r-2
+        .filter(col("n_other") === (r - 1))
+        .withColumn("score", col("rel") - col("maxsim"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(1)
+        .select(col("vec_id").as("p_id"), lit(r.toLong).as("rank"), col("score"))
+      val pick = cand.join(broadcast(pickId), col("vec_id") === col("p_id"))
+        .select(col("vec_id"), col("e"), col("rel"), col("rank"), col("score"))
+      selected = graft.Caches.persisted(selected.unionByName(pick))
+    }
+    selected.select(col("rank"), col("vec_id").as("doc_id"),
+      col("rel").as("rel_micro"), col("score").as("score_micro"))
+  }
+
+  /** Oracle: the same greedy rounds unrolled as CTEs. */
+  def mmrRerankSql: String = {
+    def round(prev: String, cur: String, r: Int): String =
+      s"""$cur AS (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT vec_id, e, nrm2, rel, $r AS rank, score FROM (
+         |    SELECT c.vec_id, c.e, c.nrm2, c.rel,
+         |      c.rel - max(CAST(round(
+         |        list_reduce(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * s.e[i]), (a, x) -> a + x)
+         |          / (sqrt(c.nrm2) * sqrt(s.nrm2)) * 1000000) AS BIGINT)) AS score
+         |    FROM candn c JOIN $prev s ON c.vec_id <> s.vec_id
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |    GROUP BY c.vec_id, c.e, c.nrm2, c.rel
+         |    ORDER BY score DESC, c.vec_id ASC LIMIT 1))"""
+    s"""WITH $normCte,
+       |q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, b.e AS e, CAST(round(
+       |    list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * b.e[i]), (a, x) -> a + x)
+       |      / (sqrt(qn) * sqrt(b.nrm)) * 1000000) AS BIGINT) AS rel
+       |  FROM q, n b WHERE b.vec_id <> 0
+       |  ORDER BY rel DESC, vec_id ASC LIMIT $MmrDepth),
+       |candn AS (
+       |  SELECT vec_id, e, rel,
+       |    list_reduce(list_transform(e, x -> x * x), (a, x) -> a + x) AS nrm2
+       |  FROM cand),
+       |s1 AS (
+       |  SELECT vec_id, e, nrm2, rel, 1 AS rank, rel AS score
+       |  FROM candn ORDER BY rel DESC, vec_id ASC LIMIT 1),
+       |${round("s1", "s2", 2)},
+       |${round("s2", "s3", 3)},
+       |${round("s3", "s4", 4)},
+       |${round("s4", "s5", 5)}
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id AS doc_id,
+       |  rel AS rel_micro, score AS score_micro
+       |FROM s5""".stripMargin
+  }
 }

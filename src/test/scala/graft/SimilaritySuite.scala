@@ -209,4 +209,41 @@ class SimilaritySuite extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"eval set must broadcast:\n$plan")
   }
+
+  test("mmr_rerank: matches a driver-side greedy MMR over the same candidate set") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000)
+    }
+    val q = vecs(0L)
+    val cand = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cosMicro(q, v)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(20)
+    var selected = Vector(cand.minBy { case (id, _, rel) => (-rel, id) })
+    var expected = Vector((1L, selected.head._1, selected.head._3, selected.head._3))
+    for (r <- 2 to 5) {
+      val pick = cand.filterNot(c => selected.exists(_._1 == c._1))
+        .map { c =>
+          val maxsim = selected.map(s => cosMicro(c._2, s._2)).max
+          (c._1, c._2, c._3, c._3 - maxsim)
+        }
+        .minBy { case (id, _, _, score) => (-score, id) }
+      selected :+= ((pick._1, pick._2, pick._3))
+      expected :+= ((r.toLong, pick._1, pick._3, pick._4))
+    }
+    val got = SimilarityQueries.mmrRerank(spark, Sf0001)
+      .select("rank", "doc_id", "rel_micro", "score_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toVector
+    Caches.drain()
+    assert(got == expected)
+    // selected set is diverse: no two picks more similar than pick-to-query relevance bound
+    assert(got.map(_._2).distinct.length == 5)
+  }
 }

@@ -304,7 +304,7 @@ class TemporalOpsSuite extends SparkSpec {
     val names = Seq("events_merge_upsert", "events_scd2_revenue", "events_autocorr",
       "events_twap", "events_ab_test", "phrase_search", "docs_k_anonymous",
       "doc_sample_weighted", "doc_sample_per_lang", "copurchase_communities",
-      "events_ewma", "graph_bfs_hops", "hybrid_search_rrf")
+      "events_ewma", "graph_bfs_hops", "hybrid_search_rrf", "mmr_rerank")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

@@ -258,6 +258,108 @@ object DataSelection {
        |ORDER BY CAST(sum(term_micro) AS BIGINT) DESC, doc_id ASC
        |LIMIT 20""".stripMargin
 
+  // ------------------------------------------- distribution drift (PSI)
+
+  private val PsiRefSource = "src1"
+  private val PsiBins = 10
+
+  /** Population Stability Index between the in-domain reference slice
+    * (`source = src1`, the same slice [[ngramPerplexity]] trains on) and
+    * the rest of the corpus, over the document-length distribution — the
+    * standard drift monitor every production data pipeline runs before
+    * a mix goes to training (PSI > 0.2 ⇒ the incoming distribution has
+    * shifted and selection thresholds need re-derivation).
+    *
+    * Exactness: bin edges are the reference slice's decile VALUES at the
+    * integer ranks `ceil(i·N/10)` (a value is determined by the sorted
+    * multiset, so the doc_id tiebreak cannot change it); both slices bin
+    * by `count(edges ≤ score)`; each bin's `(p̂−q̂)·ln(p̂/q̂)` uses +1/+10
+    * Laplace smoothing so empty bins stay defined, with ln taken on an
+    * int64-ratio double (identical bits both engines) and snapped to
+    * micro-nats before the exact integer product — sign(p̂−q̂) =
+    * sign(ln), so the contribution is non-negative and floor-vs-trunc
+    * division never diverges.
+    *
+    * Scale shape: the EDGES come from the (small, in-domain) reference
+    * slice — its rank window is the only sort, bounded by the reference
+    * set, never the corpus; the corpus side is one narrow pass binned
+    * against the broadcast 9-element edge array + a 10-bin partial agg.
+    * Counts-to-PSI is 10-row arithmetic with broadcast 1-row totals. */
+  def corpusDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val ref = docs.filter(col("source") === PsiRefSource)
+    val cur = docs.filter(col("source") =!= PsiRefSource)
+    val nRef = ref.agg(count(lit(1)).as("n_ref"))
+    val nCur = cur.agg(count(lit(1)).as("n_cur"))
+    val ranked = ref.select(col("n_chars"),
+      row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))).as("rn"))
+    // 9 decile ranks (duplicates preserved: a repeated edge value must
+    // advance the bin index more than once)
+    val edgeRanks = nRef
+      .select(explode(sequence(lit(1), lit(PsiBins - 1))).as("i"), col("n_ref"))
+      .select(expr("(i * n_ref + 9) div 10").as("rn"))
+    val edges = ranked.join(broadcast(edgeRanks), "rn")
+      .agg(sort_array(collect_list(col("n_chars"))).as("edges"))
+    def binned(slice: DataFrame): DataFrame = slice
+      .crossJoin(broadcast(edges))
+      .select(expr("cast(size(filter(edges, e -> n_chars >= e)) as bigint)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val refCounts = binned(ref).select(col("bin"), col("c").as("c_ref"))
+    val curCounts = binned(cur).select(col("bin"), col("c").as("c_cur"))
+    nRef.select(explode(sequence(lit(0), lit(PsiBins - 1))).as("b"))
+      .select(col("b").cast("bigint").as("bin"))
+      .join(broadcast(refCounts), Seq("bin"), "left")
+      .join(broadcast(curCounts), Seq("bin"), "left")
+      .crossJoin(broadcast(nRef))
+      .crossJoin(broadcast(nCur))
+      .select(col("bin"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"),
+        col("n_ref"), col("n_cur"))
+      .withColumn("ln_micro",
+        expr(s"""cast(round(ln(((c_ref + 1) * (n_cur + $PsiBins)) /
+               |  ((c_cur + 1) * (n_ref + $PsiBins))) * 1000000) as bigint)""".stripMargin))
+      .withColumn("psi_contrib_micro",
+        expr(s"""((c_ref + 1) * (n_cur + $PsiBins) - (c_cur + 1) * (n_ref + $PsiBins))
+               |  * ln_micro div ((n_ref + $PsiBins) * (n_cur + $PsiBins))""".stripMargin))
+      .select(col("bin"), col("c_ref"), col("c_cur"), col("ln_micro"),
+        col("psi_contrib_micro"),
+        round(col("psi_contrib_micro") / 1000000.0, 6).as("psi_contrib"))
+  }
+
+  def corpusDriftPsiSql: String =
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+       |ref AS (SELECT doc_id, n_chars FROM d WHERE source = '$PsiRefSource'),
+       |cur AS (SELECT doc_id, n_chars FROM d WHERE source <> '$PsiRefSource'),
+       |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM ref),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cur FROM cur),
+       |ranked AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn FROM ref),
+       |er AS (SELECT (i * n_ref + 9) // 10 AS rn FROM range(1, $PsiBins) t(i), nr),
+       |edges AS (SELECT list_sort(list(ranked.n_chars)) AS es FROM er JOIN ranked USING (rn)),
+       |rc AS (SELECT len(list_filter(es, e -> r.n_chars >= e)) AS bin, count(*) AS c
+       |       FROM ref r, edges GROUP BY 1),
+       |cc AS (SELECT len(list_filter(es, e -> c.n_chars >= e)) AS bin, count(*) AS c
+       |       FROM cur c, edges GROUP BY 1),
+       |spine AS (SELECT CAST(i AS BIGINT) AS bin FROM range(0, $PsiBins) t(i)),
+       |j AS (SELECT bin,
+       |        CAST(coalesce(rc.c, 0) AS BIGINT) AS c_ref,
+       |        CAST(coalesce(cc.c, 0) AS BIGINT) AS c_cur, n_ref, n_cur
+       |      FROM spine LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin), nr, nc)
+       |SELECT bin, c_ref, c_cur,
+       |  CAST(round(ln((((c_ref + 1) * (n_cur + $PsiBins))::DOUBLE) /
+       |    ((c_cur + 1) * (n_ref + $PsiBins))) * 1000000) AS BIGINT) AS ln_micro,
+       |  CAST(((c_ref + 1) * (n_cur + $PsiBins) - (c_cur + 1) * (n_ref + $PsiBins))
+       |    * CAST(round(ln((((c_ref + 1) * (n_cur + $PsiBins))::DOUBLE) /
+       |        ((c_cur + 1) * (n_ref + $PsiBins))) * 1000000) AS BIGINT)
+       |    // ((n_ref + $PsiBins) * (n_cur + $PsiBins)) AS BIGINT) AS psi_contrib_micro,
+       |  round(CAST(((c_ref + 1) * (n_cur + $PsiBins) - (c_cur + 1) * (n_ref + $PsiBins))
+       |    * CAST(round(ln((((c_ref + 1) * (n_cur + $PsiBins))::DOUBLE) /
+       |        ((c_cur + 1) * (n_ref + $PsiBins))) * 1000000) AS BIGINT)
+       |    // ((n_ref + $PsiBins) * (n_cur + $PsiBins)) AS BIGINT) / 1000000.0e0, 6) AS psi_contrib
+       |FROM j""".stripMargin
+
   // ------------------------------------------------- n-gram LM perplexity
 
   private val LmSource = "src1"

@@ -111,6 +111,34 @@ class DataSelectionSuite extends SparkSpec {
       s"4x-weighted src0 must out-rate every baseline source: $byRate")
   }
 
+  test("corpus_drift_psi: bins partition both slices, contributions non-negative, matches a driver recount") {
+    import spark.implicits._
+    val out = DataSelection.corpusDriftPsi(spark, Sf0001)
+      .select("bin", "c_ref", "c_cur", "ln_micro", "psi_contrib_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 10L))
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val ref = docs.filter(_._2 == "src1")
+    val cur = docs.filterNot(_._2 == "src1")
+    assert(out.map(_._2).sum == ref.length && out.map(_._3).sum == cur.length)
+    // sign(p-q) == sign(ln) => every contribution >= 0
+    assert(out.forall(_._5 >= 0))
+    // driver recount: decile-value edges at ceil(i*N/10), count(edges <= score)
+    val sortedRef = ref.map(r => (r._3, r._1)).sorted.map(_._1)
+    val edges = (1 to 9).map(i => sortedRef((i * ref.length + 9) / 10 - 1))
+    def bins(xs: Array[Long]): Map[Long, Long] =
+      xs.groupBy(x => edges.count(_ <= x).toLong).view.mapValues(_.length.toLong).toMap
+    val rb = bins(ref.map(_._3)); val cb = bins(cur.map(_._3))
+    out.foreach { case (b, cr, cc, lnM, _) =>
+      assert(cr == rb.getOrElse(b, 0L), s"bin $b ref")
+      assert(cc == cb.getOrElse(b, 0L), s"bin $b cur")
+      val ratio = ((cr + 1.0) * (cur.length + 10)) / ((cc + 1.0) * (ref.length + 10))
+      assert(lnM == math.round(math.log(ratio) * 1e6))
+    }
+  }
+
   test("ngram_repetition: shares bounded and consistent with counts; flag splits") {
     val df = DataSelection.ngramRepetition(spark, Sf0001).cache()
     try {

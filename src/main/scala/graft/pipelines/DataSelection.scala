@@ -568,6 +568,62 @@ object DataSelection {
        |  COALESCE(n_kept, 0) AS n_kept, COALESCE(kept_chars, 0) AS kept_chars
        |FROM r LEFT JOIN k USING (source)""".stripMargin
 
+  // -------------------------------------- largest-remainder apportionment
+
+  private val ApportionBudget = 100000L
+
+  /** Hamilton (largest-remainder) apportionment of a fixed token budget
+    * across sources, proportional to volume — the exact-integer allocation
+    * step a mixture plan needs once rates become concrete sampling QUOTAS:
+    * floats would leave Σ quotaᵢ ≠ B (the classic rounding leak); the
+    * largest-remainder method conserves the budget exactly.
+    *
+    * `q0ᵢ = ⌊B·wᵢ/W⌋`, then the `B − Σ q0ᵢ` leftover seats go to the
+    * largest remainders `(B·wᵢ) mod W`, ties to the lexicographically
+    * smallest source — pure int64 arithmetic, engine-identical. (`B·wᵢ`
+    * fits int64 while B·totalchars < 2⁶³; past that the same expressions
+    * lower to DECIMAL(38,0), like `frequent_pairs`' lift.)
+    *
+    * Scale shape: one column-pruned corpus pass into a |sources|-row
+    * partial agg; everything after runs on that 20-row table (the rank
+    * window sorts |sources| rows, never data). */
+  def tokenApportionment(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).cast("bigint").as("chars"))
+    val tot = per.agg(sum(col("chars")).as("w"))
+    val base = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("chars"),
+        expr(s"($ApportionBudget * chars) div w").as("quota_base"),
+        expr(s"($ApportionBudget * chars) % w").as("rem"))
+    val deficit = base.agg((lit(ApportionBudget) - sum(col("quota_base"))).as("r"))
+    base.crossJoin(broadcast(deficit))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+      .select(col("source"), col("chars"), col("quota_base"), col("rem"),
+        when(col("rk") <= col("r"), lit(1L)).otherwise(lit(0L)).as("extra"))
+      .withColumn("quota", col("quota_base") + col("extra"))
+  }
+
+  def tokenApportionmentSql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(chars) AS BIGINT) AS w FROM per),
+       |base AS (
+       |  SELECT source, chars,
+       |    ($ApportionBudget * chars) // w AS quota_base,
+       |    ($ApportionBudget * chars) % w AS rem
+       |  FROM per, tot),
+       |deficit AS (SELECT $ApportionBudget - CAST(sum(quota_base) AS BIGINT) AS r FROM base)
+       |SELECT source, chars, quota_base, rem,
+       |  CAST(CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC) <= r
+       |       THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       |  quota_base + CAST(CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC) <= r
+       |       THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM base, deficit""".stripMargin
+
   // -------------------------------------------------- Gopher repetition
 
   /** Gopher-style repetition signals (Rae et al. 2022, Table A1, adapted

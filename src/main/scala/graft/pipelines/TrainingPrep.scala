@@ -698,4 +698,39 @@ object TrainingPrep {
       |SELECT '*' AS lang, '*' AS source, sum(n_docs)::BIGINT AS n_docs
       |FROM s1 WHERE n_docs < 10
       |HAVING sum(n_docs) IS NOT NULL""".stripMargin
+
+  private val NumShards = 16
+
+  /** Rendezvous (highest-random-weight) sharding of the corpus onto
+    * [[NumShards]] training workers: each document goes to the shard with
+    * the maximal engine-portable hash `h(doc, shard)` — the placement
+    * scheme whose defining property is MINIMAL DISRUPTION: removing a
+    * shard reassigns ONLY that shard's documents (suite-pinned), where
+    * `doc_id % n` would reshuffle nearly everything. The md5-prefix hash
+    * is the same 60-bit trick as [[qualityClassifier]]'s feature hash, so
+    * the winner is identical in every engine.
+    *
+    * Scale shape: zero shuffle — the 16 weights and their argmax compute
+    * inside one codegen'd projection per row; the per-shard load counts
+    * are a 16-row partial agg. Placement is stateless and re-derivable,
+    * which is what lets a 100 TB corpus route without a stored
+    * assignment table. */
+  def shardRendezvous(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(0, ${NumShards - 1}), s ->
+               |  cast(conv(substring(md5(concat(cast(doc_id as string), ':', cast(s as string))), 1, 15), 16, 10) as bigint))"""
+          .stripMargin).as("ws"))
+      .select(col("doc_id"),
+        (expr("array_position(ws, array_max(ws))") - 1).cast("bigint").as("shard"),
+        expr("array_max(ws)").as("w"))
+
+  def shardRendezvousSql: String =
+    s"""SELECT doc_id,
+       |  CAST(list_position(ws, list_max(ws)) - 1 AS BIGINT) AS shard,
+       |  CAST(list_max(ws) AS BIGINT) AS w
+       |FROM (
+       |  SELECT doc_id, list_transform(range(0, $NumShards), s ->
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT) AS ws
+       |  FROM documents)""".stripMargin
 }

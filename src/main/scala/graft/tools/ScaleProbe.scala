@@ -36,7 +36,8 @@ object ScaleProbe {
     "events_merge_upsert", "events_scd2_revenue", "events_autocorr",
     "events_twap", "phrase_search", "docs_k_anonymous", "doc_sample_weighted",
     "events_ab_test", "events_rolling_wau", "doc_sample_per_lang", "events_attribution",
-    "embed_gram", "events_ewma", "hybrid_search_rrf", "corpus_drift_psi")
+    "embed_gram", "events_ewma", "hybrid_search_rrf", "corpus_drift_psi",
+    "token_apportionment", "doc_shard_rendezvous")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

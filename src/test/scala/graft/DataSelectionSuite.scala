@@ -139,6 +139,22 @@ class DataSelectionSuite extends SparkSpec {
     }
   }
 
+  test("token_apportionment: quotas conserve the budget exactly and stay within 1 of proportional") {
+    import spark.implicits._
+    val out = DataSelection.tokenApportionment(spark, Sf0001)
+      .select("source", "chars", "quota_base", "extra", "quota")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val budget = 100000L
+    assert(out.map(_._5).sum == budget, "largest-remainder must conserve the budget exactly")
+    assert(out.forall(r => r._4 == 0L || r._4 == 1L))
+    assert(out.forall(r => r._5 == r._3 + r._4))
+    val w = out.map(_._2).sum
+    out.foreach { case (s, chars, _, _, quota) =>
+      val exact = budget.toDouble * chars / w
+      assert(math.abs(quota - exact) < 1.0 + 1e-9, s"$s quota $quota vs exact $exact")
+    }
+  }
+
   test("ngram_repetition: shares bounded and consistent with counts; flag splits") {
     val df = DataSelection.ngramRepetition(spark, Sf0001).cache()
     try {

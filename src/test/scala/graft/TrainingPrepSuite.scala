@@ -150,4 +150,31 @@ class TrainingPrepSuite extends SparkSpec {
     val below = scored.filter(org.apache.spark.sql.functions.col("raw_score") < c1).count()
     assert(below * 3 < nDocs, "removing the cut score must drop below the tercile")
   }
+
+  test("shard_rendezvous: minimal disruption — removing a shard moves only that shard's docs") {
+    import spark.implicits._
+    val assign = TrainingPrep.shardRendezvous(spark, Sf0001)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(assign.values.toSet.subsetOf((0L until 16L).toSet))
+    // every shard carries load at this corpus size (uniform hash sanity)
+    assert(assign.values.toSet.size == 16)
+    // driver-side rendezvous with shard `victim` removed: only the
+    // victim's documents may be reassigned — the property that makes HRW
+    // the right placement scheme for elastic worker pools
+    val victim = assign.values.groupBy(identity).maxBy(_._2.size)._1
+    def hrw(docId: Long, shards: Seq[Long]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      shards.maxBy { s =>
+        val h = md.digest(s"$docId:$s".getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString.take(15)
+        (java.lang.Long.parseLong(h, 16), -s)
+      }
+    }
+    val without = (0L until 16L).filterNot(_ == victim)
+    assign.foreach { case (doc, shard) =>
+      val re = hrw(doc, without)
+      if (shard != victim) assert(re == shard, s"doc $doc moved $shard -> $re")
+      else assert(re != victim)
+    }
+  }
 }

@@ -1430,6 +1430,100 @@ object EventQueries {
       |FROM e WHERE dur IS NOT NULL
       |GROUP BY user_id HAVING sum(dur) > 0""".stripMargin
 
+  /** Multi-touch LINEAR attribution — the allocation-fair sibling of
+    * [[sessionAttribution]] (which routes all credit to the session
+    * entry): each purchase's cents split EQUALLY across every preceding
+    * event in its 30-min-gap session, the division remainder credited to
+    * the earliest touch so money conserves to the cent (the property
+    * float shares can't give: Σ credited ≡ Σ purchase cents, exactly).
+    * Touchless purchases land in the 'direct' bucket.
+    *
+    * Scale shape: sessionization is the shared per-user window; the
+    * touch⋈purchase join keys on (user, session) so pair expansion is
+    * bounded by single-session sizes (never a user's full history); the
+    * remainder rank window shares the same keys. Output is
+    * |event types|+1 rows. */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val evts = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"),
+        expr("unix_micros(ts)").as("us"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("new_session",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > SessionGapSec, 1)
+          .when(lag(col("sec"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val purchases = evts.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("session_idx"), col("event_id").as("p_id"),
+        col("us").as("p_us"), col("cents"))
+    val touches = evts.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("session_idx"), col("event_id").as("t_id"),
+        col("us").as("t_us"), col("event_type").as("touch_type"))
+    val pairs = purchases.join(touches, Seq("user_id", "session_idx"))
+      .filter(col("t_us") < col("p_us") ||
+        (col("t_us") === col("p_us") && col("t_id") < col("p_id")))
+    val perPurchase = Window.partitionBy(col("user_id"), col("p_id"))
+    val credited = pairs
+      .withColumn("k", count(lit(1)).over(perPurchase))
+      .withColumn("rn", row_number().over(perPurchase.orderBy(col("t_us"), col("t_id"))))
+      .withColumn("credit",
+        expr("cents div k") +
+          when(col("rn") === 1, col("cents") % col("k")).otherwise(lit(0L)))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit")).as("cents"))
+    val direct = purchases
+      .join(pairs.select(col("user_id"), col("p_id")).distinct(),
+        Seq("user_id", "p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_credits"), sum(col("cents")).as("cents"))
+      .select(lit("direct").as("touch_type"), col("n_credits"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .filter(col("n_credits") > 0)
+    credited.unionByName(direct)
+  }
+
+  def linearAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER w > $SessionGapSec THEN 1
+       |         WHEN lag(epoch(ts)::BIGINT) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM e),
+       |p AS (SELECT user_id, session_idx, event_id AS p_id, us AS p_us, cents
+       |      FROM s WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, session_idx, event_id AS t_id, us AS t_us,
+       |        event_type AS touch_type
+       |      FROM s WHERE event_type <> 'purchase'),
+       |pairs AS (
+       |  SELECT p.user_id, p.p_id, p.cents, t.t_id, t.t_us, t.touch_type
+       |  FROM p JOIN t ON p.user_id = t.user_id AND p.session_idx = t.session_idx
+       |  WHERE t.t_us < p.p_us OR (t.t_us = p.p_us AND t.t_id < p.p_id)),
+       |credited AS (
+       |  SELECT touch_type,
+       |    cents // count(*) OVER pp
+       |      + CASE WHEN row_number() OVER (
+       |          PARTITION BY user_id, p_id ORDER BY t_us, t_id) = 1
+       |        THEN cents % count(*) OVER pp ELSE 0 END AS credit
+       |  FROM pairs
+       |  WINDOW pp AS (PARTITION BY user_id, p_id))
+       |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_credits,
+       |  CAST(sum(credit) AS BIGINT) AS cents
+       |FROM credited GROUP BY touch_type
+       |UNION ALL
+       |SELECT 'direct' AS touch_type, CAST(count(*) AS BIGINT) AS n_credits,
+       |  CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents
+       |FROM p WHERE NOT EXISTS (
+       |  SELECT 1 FROM pairs pr WHERE pr.user_id = p.user_id AND pr.p_id = p.p_id)
+       |HAVING count(*) > 0""".stripMargin
+
   private val EwmaDepth = 16
 
   /** Per-user EWMA (α = ½) of purchase values — the smoothed-spend signal

@@ -304,7 +304,9 @@ class TemporalOpsSuite extends SparkSpec {
     val names = Seq("events_merge_upsert", "events_scd2_revenue", "events_autocorr",
       "events_twap", "events_ab_test", "phrase_search", "docs_k_anonymous",
       "doc_sample_weighted", "doc_sample_per_lang", "copurchase_communities",
-      "events_ewma", "graph_bfs_hops", "hybrid_search_rrf", "mmr_rerank")
+      "events_ewma", "graph_bfs_hops", "hybrid_search_rrf", "mmr_rerank",
+      "events_attribution_linear", "token_apportionment", "doc_shard_rendezvous",
+      "corpus_drift_psi")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>
@@ -337,6 +339,32 @@ class TemporalOpsSuite extends SparkSpec {
     }
     // generalized rows only where the original cell was below k
     assert(out.count { case (l, s, _) => l == "*" && s != "*" } == 0)
+  }
+
+  test("linear attribution: money conserves to the cent across buckets; remainder goes to the earliest touch") {
+    val out = EventQueries.linearAttribution(spark, Sf0001)
+      .select("touch_type", "n_credits", "cents")
+      .as[(String, Long, Long)].collect()
+    val totalCents = Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("bigint"))).collect()(0).getLong(0)
+    assert(out.map(_._3).sum == totalCents,
+      "linear split must conserve purchase cents exactly")
+    // pinned fixture: one session, 3 touches then a 10-cent purchase —
+    // shares 3/3/3 with the remainder cent on the EARLIEST touch (click)
+    val rows = Seq(
+      (1L, "2024-01-01T00:00:00Z", 1L, "click", 0.0, "{}"),
+      (2L, "2024-01-01T00:05:00Z", 1L, "view", 0.0, "{}"),
+      (3L, "2024-01-01T00:10:00Z", 1L, "error", 0.0, "{}"),
+      (4L, "2024-01-01T00:15:00Z", 1L, "purchase", 0.10, "{}"))
+      .map { case (id, t, u, ty, v, p) => (id, ts(t), u, ty, v, p) }
+    val dir = Files.createTempDirectory("graft-linattr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val fx = EventQueries.linearAttribution(spark, dir)
+      .select("touch_type", "n_credits", "cents")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fx == Map("click" -> ((1L, 4L)), "view" -> ((1L, 3L)), "error" -> ((1L, 3L))))
   }
 
   test("graph_bfs_hops: matches a driver-side BFS from the same hub") {

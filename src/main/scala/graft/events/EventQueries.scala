@@ -1524,6 +1524,54 @@ object EventQueries {
        |  SELECT 1 FROM pairs pr WHERE pr.user_id = p.user_id AND pr.p_id = p.p_id)
        |HAVING count(*) > 0""".stripMargin
 
+  private val RollMedDepth = 15
+
+  /** Exact rolling median of the last [[RollMedDepth]] purchase values per
+    * user — the robust-baseline sibling of [[ewmaPerUser]] (median ignores
+    * the one-off spike EWMA chases). Rolling median is HOLISTIC: no
+    * incremental state summarizes it, so the honest formulation is an
+    * order-statistic over the materialized window — here the rows-window
+    * list sorted in-projection, `element_at((n+1) div 2)` (lower median:
+    * exact cents, no averaging) — constant 15-element work per row.
+    *
+    * Scale: ONE per-user keyed window (sort shared with the partitioning
+    * exchange), no joins; the oracle re-derives it as a rank-distance
+    * self-join + `median`-free quantile pick so both engines produce the
+    * identical integer. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-(RollMedDepth - 1), 0)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("ws", collect_list(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"),
+        size(col("ws")).cast("bigint").as("n_window"),
+        expr("element_at(array_sort(ws), cast((size(ws) + 1) div 2 as int))").as("med_cents"))
+      .withColumn("med", col("med_cents") / 100.0)
+  }
+
+  def rollingMedianSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+       |    row_number() OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events WHERE event_type = 'purchase'),
+       |w AS (
+       |  SELECT a.user_id, a.event_id,
+       |    CAST(count(*) AS BIGINT) AS n_window,
+       |    list_sort(list(b.cents)) AS ws
+       |  FROM p a JOIN p b
+       |    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - ${RollMedDepth - 1} AND a.rn
+       |  GROUP BY a.user_id, a.event_id)
+       |SELECT user_id, event_id, n_window,
+       |  CAST(ws[((n_window + 1) // 2)::INT] AS BIGINT) AS med_cents,
+       |  CAST(ws[((n_window + 1) // 2)::INT] AS BIGINT) / 100.0e0 AS med
+       |FROM w""".stripMargin
+
   private val EwmaDepth = 16
 
   /** Per-user EWMA (α = ½) of purchase values — the smoothed-spend signal

@@ -568,6 +568,58 @@ object DataSelection {
        |  COALESCE(n_kept, 0) AS n_kept, COALESCE(kept_chars, 0) AS kept_chars
        |FROM r LEFT JOIN k USING (source)""".stripMargin
 
+  // ------------------------------------------ quantile normalization
+
+  /** Quantile-normalize each source's length distribution onto the
+    * in-domain reference slice ([[PsiRefSource]]) — the batch-effect
+    * correction for heterogeneous per-source score scales: a document at
+    * the p-th percentile OF ITS SOURCE maps to the reference value at the
+    * same percentile, so downstream thresholds derived on the reference
+    * slice apply uniformly to every source.
+    *
+    * Exactness: the map is pure integer rank arithmetic —
+    * `ref_rank = min(M, 1 + ⌊(r−1)·M / N_s⌋)` with r the document's
+    * (value, doc_id)-ordered rank within its source — and a lookup into
+    * the sorted M-element reference array; no interpolation, no floats.
+    *
+    * Scale shape: one per-source rank window (a single keyed exchange —
+    * the count rides the same partition); the reference array is built
+    * from the small in-domain slice and broadcasts; the lookup is an
+    * in-projection `element_at`. */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val refArr = docs.filter(col("source") === PsiRefSource)
+      .agg(sort_array(collect_list(col("n_chars"))).as("ref"))
+    val bySrc = Window.partitionBy(col("source"))
+    docs
+      .withColumn("r", row_number().over(bySrc.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(bySrc))
+      .crossJoin(broadcast(refArr))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("r").cast("bigint").as("src_rank"),
+        expr("least(size(ref), 1 + ((r - 1) * size(ref)) div n_s)")
+          .cast("bigint").as("ref_rank"),
+        expr("element_at(ref, cast(least(size(ref), 1 + ((r - 1) * size(ref)) div n_s) as int))")
+          .as("norm_chars"))
+  }
+
+  def quantileNormalizeSql: String =
+    s"""WITH ref AS (
+       |  SELECT list_sort(list(n_chars)) AS ref
+       |  FROM documents WHERE source = '$PsiRefSource'),
+       |ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY source) AS n_s
+       |  FROM documents)
+       |SELECT doc_id, source, n_chars,
+       |  CAST(r AS BIGINT) AS src_rank,
+       |  CAST(least(len(ref), 1 + ((r - 1) * len(ref)) // n_s) AS BIGINT) AS ref_rank,
+       |  CAST(ref[CAST(least(len(ref), 1 + ((r - 1) * len(ref)) // n_s) AS INT)] AS BIGINT) AS norm_chars
+       |FROM ranked, ref""".stripMargin
+
   // -------------------------------------- largest-remainder apportionment
 
   private val ApportionBudget = 100000L

@@ -155,6 +155,32 @@ class DataSelectionSuite extends SparkSpec {
     }
   }
 
+  test("score_quantile_normalize: monotone within source, values drawn from the reference multiset") {
+    import spark.implicits._
+    val out = DataSelection.quantileNormalize(spark, Sf0001)
+      .select("doc_id", "source", "n_chars", "src_rank", "ref_rank", "norm_chars")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    val refSorted = Tables.documents(spark, Sf0001)
+      .filter(col("source") === "src1")
+      .select("n_chars").as[Long].collect().sorted
+    assert(out.length == Tables.documents(spark, Sf0001).count())
+    out.groupBy(_._2).values.foreach { grp =>
+      val byRank = grp.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to grp.length))
+      // the rank map is monotone: higher src_rank never maps lower
+      assert(byRank.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      // the top document of every source maps to the reference maximum
+      assert(byRank.last._5 == refSorted.length && byRank.last._6 == refSorted.last)
+    }
+    out.foreach { case (_, _, _, _, refRank, norm) =>
+      assert(refRank >= 1 && refRank <= refSorted.length)
+      assert(norm == refSorted(refRank.toInt - 1), "norm value must be the reference order statistic")
+    }
+    // src1 normalizes onto itself: value order is preserved exactly
+    val self = out.filter(_._2 == "src1").sortBy(_._4)
+    assert(self.map(_._6).toSeq == refSorted.toSeq)
+  }
+
   test("ngram_repetition: shares bounded and consistent with counts; flag splits") {
     val df = DataSelection.ngramRepetition(spark, Sf0001).cache()
     try {

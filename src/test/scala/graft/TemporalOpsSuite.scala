@@ -306,7 +306,7 @@ class TemporalOpsSuite extends SparkSpec {
       "doc_sample_weighted", "doc_sample_per_lang", "copurchase_communities",
       "events_ewma", "graph_bfs_hops", "hybrid_search_rrf", "mmr_rerank",
       "events_attribution_linear", "token_apportionment", "doc_shard_rendezvous",
-      "corpus_drift_psi")
+      "corpus_drift_psi", "events_rolling_median", "score_quantile_normalize")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>
@@ -412,6 +412,26 @@ class TemporalOpsSuite extends SparkSpec {
       .select("event_id", "n_window", "ewma_cents")
       .as[(Long, Long, Long)].collect()
       .map { case (e, n, c) => e -> (n, c) }.toMap
+    assert(got == expected)
+  }
+
+  test("events_rolling_median: lower median of the materialized window matches a driver-side sort") {
+    val evts = Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = evts.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3))
+      s.indices.map { i =>
+        val window = s.slice(math.max(0, i - 14), i + 1).map(_._4).sorted
+        s(i)._3 -> (window.length.toLong, window((window.length + 1) / 2 - 1))
+      }
+    }.toMap
+    val got = EventQueries.rollingMedian(spark, Sf0001)
+      .select("event_id", "n_window", "med_cents")
+      .as[(Long, Long, Long)].collect()
+      .map { case (e, n, c) => e -> ((n, c)) }.toMap
     assert(got == expected)
   }
 

@@ -166,6 +166,86 @@ object MultimodalPipeline {
     }
   }
 
+  case class ImageHash(id: Long, ahash: Long, width: Int, height: Int)
+
+  /** Perceptual average-hash (aHash) per image — the image twin of the
+    * text corpus's SimHash: an 8×8 grid over the decoded bitmap, one bit
+    * per cell, set when the cell's BT.601 integer luma mean exceeds the
+    * image mean. The comparison cross-multiplies
+    * (`cellSum·totalPix > totalSum·cellPix`) so the bit is an exact
+    * rational decision — no float means, decode-deterministic. Pixels map
+    * to cells by integer `(8x/w, 8y/h)`, so the hash is resolution-robust
+    * the way aHash is meant to be (the same picture at 64×64 and 512×512
+    * lands on the same bits wherever the downsampled grid agrees).
+    *
+    * Scale: same batched mapPartitions contract as every decode here —
+    * payload never shuffles, only (id, 8-byte hash) rows leave. */
+  def imageAHash(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media)))
+            .map { img =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val cellSum = new Array[Long](64)
+              val cellPix = new Array[Long](64)
+              var total = 0L
+              var y = 0
+              while (y < h) {
+                val cy = (8 * y) / h
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val luma = 299 * ((rgb >> 16) & 0xff) +
+                    587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+                  val c = cy * 8 + (8 * x) / w
+                  cellSum(c) += luma
+                  cellPix(c) += 1
+                  total += luma
+                  x += 1
+                }
+                y += 1
+              }
+              val nPix = w.toLong * h
+              var hash = 0L
+              var c = 0
+              while (c < 64) {
+                if (cellPix(c) > 0 && cellSum(c) * nPix > total * cellPix(c))
+                  hash |= (1L << c)
+                c += 1
+              }
+              ImageHash(r.id, hash, w, h)
+            }
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs from [[imageAHash]] signatures — the
+    * SimHash pigeonhole applied to the perceptual hash: 4 bands of 16
+    * bits; two hashes within Hamming distance ≤ 3 MUST agree on at least
+    * one whole band (4 bands, 3 flipped bits), so banded equi-joins find
+    * every such pair exactly, never comparing all pairs. The verify step
+    * is one `bit_count(xor)` per candidate. */
+  def nearDupImages(hashes: Dataset[ImageHash], maxHamming: Int = 3): DataFrame = {
+    val banded = hashes.toDF()
+      .select(col("id"), col("ahash"), explode(expr(
+        """transform(sequence(0, 3), b ->
+          |  struct(b AS band, shiftright(ahash, b * 16) & 65535 AS key))""".stripMargin)).as("bk"))
+      .select(col("id"), col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(ha ^ hb) as bigint)").as("hamming"))
+  }
+
   /** Sample-level audio statistics: exact integer absolute mass and peak
     * over the decoded 16-bit PCM stream. */
   case class AudioStats(

@@ -164,4 +164,37 @@ class MultimodalSuite extends SparkSpec {
       MultimodalPipeline.mediaFromDocuments(spark, Sf0001)).collect()
     viaMap.foreach(f => assert(viaExpr(f.id) == f.n_bytes))
   }
+
+  test("aHash near-dup: same picture at two resolutions pairs, the inverse does not") {
+    import spark.implicits._
+    // a smooth horizontal gradient rendered at 64x64 and 256x256: the 8x8
+    // cell means agree, so the aHashes coincide; the inverted gradient
+    // flips every bit and must stay unpaired under hamming <= 3
+    def gradient(size: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(size, size,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until size).foreach { x =>
+        val v0 = (255 * x) / (size - 1)
+        val v = if (invert) 255 - v0 else v0
+        val rgb = (v << 16) | (v << 8) | v
+        (0 until size).foreach(y => img.setRGB(x, y, rgb))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val media = Seq(
+      MultimodalPipeline.MediaRow(1L, gradient(64, invert = false), "png"),
+      MultimodalPipeline.MediaRow(2L, gradient(256, invert = false), "png"),
+      MultimodalPipeline.MediaRow(3L, gradient(64, invert = true), "png"),
+      MultimodalPipeline.MediaRow(4L, Array[Byte](0, 1, 2), "junk")).toDS()
+    val hashes = MultimodalPipeline.imageAHash(media, batchSize = 2)
+    val hs = hashes.collect().map(h => h.id -> h.ahash).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L)) // junk dropped
+    assert(hs(1L) == hs(2L), "resolution change must not move the aHash on a smooth gradient")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 3, "the inverse is far")
+    val pairs = MultimodalPipeline.nearDupImages(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
 }

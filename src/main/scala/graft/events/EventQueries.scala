@@ -1445,7 +1445,10 @@ object EventQueries {
     * |event types|+1 rows. */
   def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val evts = Tables.events(spark, dir)
+    // persisted: the sessionized frame feeds purchases AND touches in both
+    // the credited and the 'direct' branch — four consumers; unpersisted,
+    // each re-runs the sessionization window from the raw scan
+    val evts = graft.Caches.persisted(Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         unix_timestamp(col("ts")).as("sec"),
         expr("unix_micros(ts)").as("us"),
@@ -1455,7 +1458,7 @@ object EventQueries {
           .when(lag(col("sec"), 1).over(byUser).isNull, 1)
           .otherwise(0))
       .withColumn("session_idx", sum(col("new_session")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     val purchases = evts.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("session_idx"), col("event_id").as("p_id"),
         col("us").as("p_us"), col("cents"))

@@ -794,6 +794,45 @@ object RelationalQueries {
       |FROM customer
       |WHERE c_acctbal > 9000""".stripMargin
 
+  /** LATERAL correlated TABLE subquery — the SQL-surface member the scalar
+    * subqueries above don't witness: the inner relation is re-evaluated
+    * per outer row (top-2 customers per nation), which Catalyst
+    * decorrelates through its LateralJoin rewrite instead of looping.
+    * Ordering is on exact cents (then name) so the cut is a total order in
+    * both engines. Same transient-view hygiene as [[customerMaxOrder]]. */
+  def nationTopTwoLateral(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val nationV = s"graft_nation_$tag"
+    val customerV = s"graft_customer_$tag"
+    Tables.nation(spark, dir).createOrReplaceTempView(nationV)
+    Tables.customer(spark, dir).createOrReplaceTempView(customerV)
+    try spark.sql(
+      s"""SELECT n.n_name, c.c_name,
+         |  CAST(round(c.c_acctbal * 100) AS BIGINT) AS acct_cents
+         |FROM $nationV n,
+         |LATERAL (
+         |  SELECT c_name, c_acctbal FROM $customerV
+         |  WHERE c_nationkey = n.n_nationkey
+         |  ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_name
+         |  LIMIT 2
+         |) c""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(nationV)
+      spark.catalog.dropTempView(customerV)
+    }
+  }
+
+  def nationTopTwoLateralSql: String =
+    """SELECT n.n_name, c.c_name,
+      |  CAST(round(c.c_acctbal * 100) AS BIGINT) AS acct_cents
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_name
+      |  LIMIT 2
+      |) c""".stripMargin
+
   def unionOrderStatusSql: String =
     """SELECT o_orderstatus, count(*) AS n_orders FROM (
       |  SELECT DISTINCT o_orderkey, o_orderstatus FROM (

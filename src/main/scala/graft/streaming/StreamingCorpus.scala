@@ -168,4 +168,68 @@ object StreamingCorpus {
       .toDF("g", "summary")
       .select(col("summary"))
   }
+
+  /** The 1-row PSI reference statistics for [[driftPsi]], derived from a
+    * static corpus dir's in-domain slice (`source = src1`, the same slice
+    * [[graft.pipelines.DataSelection.corpusDriftPsi]] anchors on): the 9
+    * decile-value edges at integer ranks, the reference's own 10 bin
+    * counts, and its size. Computed once batch-side, broadcast to every
+    * micro-batch. */
+  def psiReference(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ref = graft.Tables.documents(spark, dir)
+      .filter(col("source") === "src1")
+      .select(col("doc_id"), col("n_chars"))
+    val ranked = ref.select(col("n_chars"),
+      row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))).as("rn"))
+    val nRef = ref.agg(count(lit(1)).as("n_ref"))
+    val edgeRanks = nRef
+      .select(explode(sequence(lit(1), lit(9))).as("i"), col("n_ref"))
+      .select(expr("(i * n_ref + 9) div 10").as("rn"))
+    val edges = ranked.join(broadcast(edgeRanks), "rn")
+      .agg(sort_array(collect_list(col("n_chars"))).as("edges"))
+    val refCounts = ref.crossJoin(broadcast(edges))
+      .select(expr("cast(size(filter(edges, e -> n_chars >= e)) as bigint)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .agg(collect_list(struct(col("bin"), col("c"))).as("pairs"))
+      .select(expr(
+        """transform(sequence(0, 9), i ->
+          |  aggregate(filter(pairs, p -> p.bin = i), CAST(0 AS BIGINT), (a, x) -> a + x.c))"""
+          .stripMargin).as("ref_counts"))
+    edges.crossJoin(refCounts).crossJoin(nRef)
+  }
+
+  /** Streaming distribution-drift monitor — the stream-static twin of
+    * [[graft.pipelines.DataSelection.corpusDriftPsi]]: arriving documents
+    * bin against the broadcast reference edges (stateless, in-projection),
+    * ONE watermark-bounded aggregation per ingest window collects the 10
+    * bin counts as an array, and the PSI (same +1/+10 Laplace smoothing,
+    * same micro-nat snapping) computes inline from the broadcast reference
+    * statistics — one exact integer per closed window, the "has the crawl
+    * shifted since the reference was drawn?" alarm.
+    *
+    * State is O(open windows × 10 bins); multi-agg restrictions never
+    * bite because the window total and the 10 bin counts come out of the
+    * SAME aggregation. */
+  def driftPsi(docs: DataFrame, reference: DataFrame,
+      watermark: String = "1 hour", aggWindow: String = "1 hour"): DataFrame =
+    docs.withWatermark("ingest_ts", watermark)
+      .crossJoin(broadcast(reference.select(col("edges"))))
+      .select(col("ingest_ts"),
+        expr("cast(size(filter(edges, e -> n_chars >= e)) as bigint)").as("bin"))
+      .groupBy(window(col("ingest_ts"), aggWindow))
+      .agg(count(lit(1)).as("n_cur"),
+        // 10 conditional sums in the SAME aggregation as the total — fixed
+        // 11-long state per open window, never a per-doc list
+        array((0 until 10).map(i =>
+          sum(when(col("bin") === i, lit(1L)).otherwise(lit(0L)))): _*).as("cur_counts"))
+      .crossJoin(broadcast(reference.select(col("ref_counts"), col("n_ref"))))
+      .select(col("window.start").as("window_start"), col("n_cur"),
+        expr(
+          """aggregate(sequence(0, 9), CAST(0 AS BIGINT), (acc, i) ->
+            |  acc + ((element_at(ref_counts, i + 1) + 1) * (n_cur + 10)
+            |         - (element_at(cur_counts, i + 1) + 1) * (n_ref + 10))
+            |    * cast(round(ln(((element_at(ref_counts, i + 1) + 1) * (n_cur + 10))
+            |        / ((element_at(cur_counts, i + 1) + 1) * (n_ref + 10))) * 1000000) as bigint)
+            |    div ((n_ref + 10) * (n_cur + 10)))""".stripMargin).as("psi_micro"))
 }

@@ -315,6 +315,54 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI drift monitor: per-window integers match a driver-side recount") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"source", $"n_chars").as[(Long, String, Long)].collect()
+    // two ingest windows: even doc_ids land in hour 0, odd in hour 1
+    val rows = docs.map { case (id, _, n) =>
+      StreamingSuite.DocLen(id, n, ts((id % 2) * 60 + (id % 30)))
+    }
+    val reference = graft.streaming.StreamingCorpus.psiReference(spark, Sf0001)
+    val input = MemoryStream[StreamingSuite.DocLen]
+    val q = graft.streaming.StreamingCorpus.driftPsi(input.toDF(), reference)
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("update").start()
+    try {
+      // deliver each window's docs in its own batch: one final row per window
+      rows.groupBy(_.ingest_ts.getTime / 3600000L).toSeq.sortBy(_._1)
+        .foreach { case (_, batch) =>
+          input.addData(batch.toSeq: _*)
+          q.processAllAvailable()
+        }
+      val streamed = spark.table("drift_stream")
+        .select($"window_start", $"n_cur", $"psi_micro")
+        .as[(java.sql.Timestamp, Long, Long)].collect()
+        .map { case (w, n, p) => w.getTime -> ((n, p)) }.toMap
+      // driver-side recount with the same decile edges and smoothing
+      val ref = docs.filter(_._2 == "src1").map(r => (r._3, r._1)).sorted.map(_._1)
+      val edges = (1 to 9).map(i => ref((i * ref.length + 9) / 10 - 1))
+      def bins(xs: Seq[Long]): Seq[Long] =
+        (0 until 10).map(b => xs.count(x => edges.count(_ <= x) == b).toLong)
+      val refBins = bins(docs.filter(_._2 == "src1").map(_._3).toSeq)
+      val expected = rows.groupBy(_.ingest_ts.getTime / 3600000L).map { case (hr, batch) =>
+        val cur = bins(batch.map(_.n_chars).toSeq)
+        val nCur = batch.length.toLong
+        val nRef = ref.length.toLong
+        val psi = (0 until 10).map { i =>
+          val a = (refBins(i) + 1) * (nCur + 10)
+          val b = (cur(i) + 1) * (nRef + 10)
+          (a - b) * math.round(math.log(a.toDouble / b) * 1e6) / ((nRef + 10) * (nCur + 10))
+        }.sum
+        hr * 3600000L -> ((nCur, psi))
+      }
+      assert(streamed == expected, s"$streamed vs $expected")
+      assert(streamed.size == 2)
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates equal the batch band self-join across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -1011,5 +1059,6 @@ class StreamingSuite extends SparkSpec {
 object StreamingSuite {
   /** Top-level so spark.implicits can derive its encoder. */
   case class Doc(doc_id: Long, text: String, ingest_ts: java.sql.Timestamp)
+  case class DocLen(doc_id: Long, n_chars: Long, ingest_ts: java.sql.Timestamp)
   case class Vec(vec_id: Long, e: Seq[Double])
 }

@@ -558,6 +558,52 @@ object EventQueries {
         coalesce(col("views_1h"), lit(0L)).as("views_1h"))
   }
 
+  /** Temporal ANTI range join — views with NO purchase by the same user in
+    * the following hour, per user: the negative of [[rangeJoinViews]] and
+    * the time-bounded NOT EXISTS every conversion-analysis stack needs
+    * ("which impressions never converted?"). A naive per-view NOT EXISTS
+    * subquery re-scans purchases per row; this plans the same 2-bin
+    * pigeonhole as the positive join (window == bin width ⇒ a purchase at
+    * bin b can only convert views in bins {b, b−1}), takes DISTINCT
+    * converted view ids, and anti-joins them back — per-user history never
+    * goes all-pairs, and the anti join carries 8-byte ids only.
+    *
+    * Output is the per-user (n_views, n_unconverted) rollup. */
+  def unconvertedViews(spark: SparkSession, dir: String): DataFrame = {
+    val W = 3600000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ms").as("v_ms"), expr(s"ms div ${W}L").as("bin"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms").as("p_ms"),
+        explode(array(expr(s"ms div ${W}L"), expr(s"ms div ${W}L - 1L"))).as("bin"))
+    val converted = probes.join(views, Seq("user_id", "bin"))
+      .filter(col("p_ms") >= col("v_ms") && col("p_ms") < col("v_ms") + W)
+      .select(col("view_id")).distinct()
+    val perUser = views.groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
+    val unconv = views
+      .join(converted.hint("shuffle_hash"), Seq("view_id"), "left_anti")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_unconverted"))
+    perUser.join(unconv.hint("shuffle_hash"), Seq("user_id"), "left")
+      .select(col("user_id"), col("n_views"),
+        coalesce(col("n_unconverted"), lit(0L)).as("n_unconverted"))
+  }
+
+  def unconvertedViewsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000 AS ms FROM events)
+      |SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_views,
+      |  CAST(sum(CASE WHEN NOT EXISTS (
+      |    SELECT 1 FROM ev p
+      |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+      |      AND p.ms >= v.ms AND p.ms < v.ms + 3600000)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unconverted
+      |FROM ev v WHERE v.event_type = 'view'
+      |GROUP BY v.user_id""".stripMargin
+
   /** Cohort retention: users cohorted by their first active week; each
     * (cohort, week-offset) cell counts how many of that cohort's users were
     * active that many weeks later — the classic retention triangle every

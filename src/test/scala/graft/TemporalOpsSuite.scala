@@ -306,7 +306,8 @@ class TemporalOpsSuite extends SparkSpec {
       "doc_sample_weighted", "doc_sample_per_lang", "copurchase_communities",
       "events_ewma", "graph_bfs_hops", "hybrid_search_rrf", "mmr_rerank",
       "events_attribution_linear", "token_apportionment", "doc_shard_rendezvous",
-      "corpus_drift_psi", "events_rolling_median", "score_quantile_normalize")
+      "corpus_drift_psi", "events_rolling_median", "score_quantile_normalize",
+      "events_unconverted_views", "nation_top2_lateral")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>
@@ -413,6 +414,25 @@ class TemporalOpsSuite extends SparkSpec {
       .as[(Long, Long, Long)].collect()
       .map { case (e, n, c) => e -> (n, c) }.toMap
     assert(got == expected)
+  }
+
+  test("unconverted views: binned anti join equals a brute-force per-view scan") {
+    val evts = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+      .as[(Long, Long, String, Long)].collect()
+    val purchasesByUser = evts.filter(_._3 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._4)).toMap
+    val expected = evts.filter(_._3 == "view").groupBy(_._1).map { case (u, vs) =>
+      val ps = purchasesByUser.getOrElse(u, Array.empty[Long])
+      val unconv = vs.count(v => !ps.exists(p => p >= v._4 && p < v._4 + 3600000L))
+      u -> ((vs.length.toLong, unconv.toLong))
+    }
+    val got = EventQueries.unconvertedViews(spark, Sf0001)
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, n, un) => u -> ((n, un)) }.toMap
+    assert(got == expected)
+    assert(got.values.exists(v => v._2 < v._1), "some views convert at this sf")
   }
 
   test("events_rolling_median: lower median of the materialized window matches a driver-side sort") {

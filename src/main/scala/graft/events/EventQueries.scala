@@ -724,6 +724,79 @@ object EventQueries {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  private val MarkovScale = 1000000000000L // parts-per-trillion
+  private val MarkovRounds = 3
+
+  /** Stationary distribution of the event-type Markov chain — power
+    * iteration on the [[transitions]] matrix: where does a user's activity
+    * settle? (The linear-algebra fixed point on RELATIONAL data — the
+    * matrix is the (from, to, count) table, never a dense structure.)
+    *
+    * Exact fixed-point arithmetic (the [[graft.dedup.DedupQueries]]
+    * doc_pagerank policy): π in integer parts-per-trillion; each round's
+    * term `π_i·c(i,j) div c(i)` floor-divides per (i, j) CELL — a
+    * deterministic function of the pair, so the per-j sum is associative
+    * and partition-order-free where float matrix-vector products are not.
+    * [[MarkovRounds]] fixed rounds from the uniform start, unrolled in the
+    * oracle. (π·c fits int64 while counts < ~9·10⁶ per cell at the 10¹²
+    * scale; past that the same expressions lower to DECIMAL(38,0).)
+    *
+    * Scale shape: the corpus contributes ONE per-user lead window + the
+    * (from, to) partial agg — [[transitions]]'s own shape; every round is
+    * |types|²-row arithmetic on broadcast-sized frames. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Caches.persisted(transitions(spark, dir))
+    val totals = t.groupBy(col("from_type")).agg(sum(col("n_transitions")).as("c_from"))
+    val p = graft.Caches.persisted(
+      t.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n_transitions"), col("c_from")))
+    // the uniform start's 1/n is a broadcast one-row aggregate IN the plan
+    // (a driver .head here would both serialize an extra job and trip the
+    // static no-driver-path gate)
+    val n = totals.agg(count(lit(1)).as("n_types"))
+    var pi = totals.crossJoin(broadcast(n))
+      .select(col("from_type").as("event_type"),
+        expr(s"${MarkovScale}L div n_types").as("pi_ppt"))
+    for (_ <- 1 to MarkovRounds) {
+      pi = p.join(pi.withColumnRenamed("event_type", "from_type"), "from_type")
+        .select(col("to_type").as("event_type"),
+          expr("pi_ppt * n_transitions div c_from").as("term"))
+        .groupBy(col("event_type")).agg(sum(col("term")).as("pi_ppt"))
+    }
+    pi.select(col("event_type"), col("pi_ppt"),
+      round(col("pi_ppt") / 1.0e12, 6).as("pi"))
+  }
+
+  /** Oracle: the same [[MarkovRounds]] rounds unrolled; nTypes is a
+    * computed scalar so the uniform start matches exactly. */
+  def markovStationarySql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT to_type AS event_type,
+         |    CAST(sum(pi_ppt * n_transitions // c_from) AS BIGINT) AS pi_ppt
+         |  FROM p JOIN $prev ON p.from_type = $prev.event_type
+         |  GROUP BY to_type)"""
+    s"""WITH t AS (
+       |  SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+       |  FROM (
+       |    SELECT user_id, event_type,
+       |      lead(event_type) OVER (
+       |        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+       |    FROM events) x
+       |  WHERE to_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS c_from FROM t GROUP BY 1),
+       |p AS (SELECT t.from_type, t.to_type, t.n_transitions, tot.c_from
+       |      FROM t JOIN tot USING (from_type)),
+       |pi0 AS (SELECT from_type AS event_type,
+       |          CAST($MarkovScale // (SELECT count(*) FROM tot) AS BIGINT) AS pi_ppt
+       |        FROM tot),
+       |${round("pi0", "pi1")},
+       |${round("pi1", "pi2")},
+       |${round("pi2", "pi3")}
+       |SELECT event_type, pi_ppt, round(pi_ppt / 1.0e12, 6) AS pi FROM pi3""".stripMargin
+  }
+
   def transitionsSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

@@ -307,7 +307,7 @@ class TemporalOpsSuite extends SparkSpec {
       "events_ewma", "graph_bfs_hops", "hybrid_search_rrf", "mmr_rerank",
       "events_attribution_linear", "token_apportionment", "doc_shard_rendezvous",
       "corpus_drift_psi", "events_rolling_median", "score_quantile_normalize",
-      "events_unconverted_views", "nation_top2_lateral")
+      "events_unconverted_views", "nation_top2_lateral", "events_markov_stationary")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>
@@ -433,6 +433,29 @@ class TemporalOpsSuite extends SparkSpec {
       .map { case (u, n, un) => u -> ((n, un)) }.toMap
     assert(got == expected)
     assert(got.values.exists(v => v._2 < v._1), "some views convert at this sf")
+  }
+
+  test("markov stationary: mass conserves within floor loss and matches a driver-side power iteration") {
+    val out = EventQueries.markovStationary(spark, Sf0001)
+      .select("event_type", "pi_ppt").as[(String, Long)].collect().toMap
+    Caches.drain()
+    assert(out.values.forall(_ >= 0))
+    // each of 3 rounds loses < |cells| ppt to per-cell floor division
+    assert(out.values.sum <= 1000000000000L)
+    assert(out.values.sum >= 1000000000000L - 3 * 25 - 5)
+    // driver-side reference with the identical per-cell floor arithmetic
+    val trans = EventQueries.transitions(spark, Sf0001)
+      .as[(String, String, Long)].collect()
+    Caches.drain()
+    val cFrom = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val types = cFrom.keys.toSeq
+    var pi = types.map(_ -> 1000000000000L / types.size).toMap
+    for (_ <- 1 to 3) {
+      pi = trans.groupBy(_._2).map { case (to, cells) =>
+        to -> cells.map { case (from, _, c) => pi(from) * c / cFrom(from) }.sum
+      }
+    }
+    assert(out == pi)
   }
 
   test("events_rolling_median: lower median of the materialized window matches a driver-side sort") {

@@ -137,6 +137,54 @@ object GraphQueries {
       |      UNION ALL SELECT c FROM tri) r
       |GROUP BY part_id""".stripMargin
 
+  /** Local clustering coefficient per part — triangles normalized by the
+    * wedge count `C(deg, 2)`: how tightly a part's co-purchase
+    * neighborhood interlinks (1 = clique, 0 = star hub). Exact
+    * parts-per-million via integer floor division
+    * `2·T·10⁶ div (d·(d−1))`, so the quotient is engine-identical; parts
+    * with degree < 2 have no wedges and are excluded (the coefficient is
+    * undefined, not zero).
+    *
+    * Scale shape: [[copurchaseTriangles]]' plan plus one |V|-sized degree
+    * agg and a broadcast attach — nothing new touches the edge set.
+    * (`2·T·10⁶` fits int64 while per-node triangle counts stay below
+    * ~4.6·10¹²; beyond that the expression lowers to DECIMAL(38,0).) */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Caches.persisted(copurchaseEdges(spark, dir))
+    val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2)
+    copurchaseTriangles(spark, dir)
+      .join(broadcast(deg.select(col("n").as("part_id"), col("d"))), Seq("part_id"), "right")
+      .select(col("part_id"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_ppm",
+        expr("2 * triangles * 1000000L div (degree * (degree - 1))"))
+  }
+
+  /** Oracle: the triangle enumeration CTE joined to degrees. */
+  def clusteringCoefficientSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |adj AS (SELECT u AS v, v AS n FROM e UNION ALL SELECT v AS v, u AS n FROM e),
+      |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v HAVING count(*) >= 2),
+      |tri AS (
+      |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      |  FROM e ab JOIN e bc ON ab.v = bc.u
+      |  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+      |t AS (
+      |  SELECT part_id, CAST(count(*) AS BIGINT) AS triangles
+      |  FROM (SELECT a AS part_id FROM tri
+      |        UNION ALL SELECT b FROM tri
+      |        UNION ALL SELECT c FROM tri) r
+      |  GROUP BY part_id)
+      |SELECT deg.v AS part_id, deg.d AS degree,
+      |  CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+      |  CAST(2 * coalesce(t.triangles, 0) * 1000000 // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+      |FROM deg LEFT JOIN t ON t.part_id = deg.v""".stripMargin
+
   private val MinSupport = 2L
 
   /** Association rules over the co-purchase baskets — support, confidence

@@ -35,6 +35,26 @@ class GraphErSuite extends SparkSpec {
     assert(diff == 0, s"degree-oriented and naive triangle counts diverge on $diff rows")
   }
 
+  test("copurchase_clustering: coefficient bounded in [0, 1e6], consistent with triangles and wedges") {
+    import spark.implicits._
+    val cc = GraphQueries.clusteringCoefficient(spark, Sf0001)
+      .select("part_id", "degree", "triangles", "cc_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    val tri = GraphQueries.copurchaseTriangles(spark, Sf0001)
+      .as[(Long, Long)].collect().toMap
+    Caches.drain()
+    assert(cc.nonEmpty)
+    cc.foreach { case (id, d, t, ppm) =>
+      assert(d >= 2)
+      assert(t == tri.getOrElse(id, 0L), s"part $id triangle mismatch")
+      assert(t * 2 <= d * (d - 1), s"part $id has more triangles than wedges")
+      assert(ppm >= 0 && ppm <= 1000000, s"part $id cc $ppm out of range")
+      assert(ppm == 2 * t * 1000000L / (d * (d - 1)))
+    }
+    // every degree>=2 part appears exactly once, even triangle-free ones
+    assert(cc.map(_._1).distinct.length == cc.length)
+  }
+
   test("dedup_canonical: one survivor per component, survivor is in its own component") {
     val canon = Caches.persisted(DedupQueries.dedupCanonical(spark, Sf0001))
     val comp = DedupQueries.dedupComponents(spark, Sf0001)

@@ -968,6 +968,82 @@ object DedupQueries {
 
   /** Oracle: the two blocking passes as one OR-join predicate (identical
     * pair set), DuckDB's levenshtein (same unit-cost edit distance). */
+  private val ErLabelRounds = 4
+
+  /** ER golden records — the record-linkage pipeline COMPOSED end to end:
+    * [[erCandidates]] match edges → [[ErLabelRounds]] synchronous
+    * min-label rounds cluster the matched parts → one survivorship agg
+    * per cluster merges fields (name follows the smallest member id,
+    * size takes the max, price takes the max in exact cents). Singletons
+    * never enter (no match edge), so the output is exactly the merged
+    * entities a master-data system would publish.
+    *
+    * Determinism: fixed synchronous rounds (engine-identical labels even
+    * before convergence — the oracle unrolls the same rounds), integer
+    * survivorship tiebreaks, exact cents. Scale: the label rounds run on
+    * the MATCH edge set (output-sized, ≪ catalog); each round persists
+    * since the label set feeds both the self-union and the neighbor join
+    * (the BFS lineage lesson); the final field join is keyed on part id. */
+  def erGoldenRecords(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Caches.persisted(
+      erCandidates(spark, dir).select(col("part_a"), col("part_b")))
+    val adj = graft.Caches.persisted(
+      pairs.select(col("part_a").as("v"), col("part_b").as("n"))
+        .unionByName(pairs.select(col("part_b").as("v"), col("part_a").as("n"))))
+    var lbl = graft.Caches.persisted(
+      adj.select(col("v")).distinct().withColumn("label", col("v")))
+    for (_ <- 1 to ErLabelRounds) {
+      lbl = graft.Caches.persisted(lbl
+        .unionByName(
+          adj.join(lbl.select(col("v").as("n"), col("label")), "n")
+            .select(col("v"), col("label")))
+        .groupBy(col("v")).agg(min(col("label")).as("label")))
+    }
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("bigint").as("price_cents"))
+    lbl.join(parts, col("v") === col("p_partkey"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(col("p_partkey"), col("p_name"))).as("m"),
+        max(col("p_size")).cast("bigint").as("max_size"),
+        max(col("price_cents")).as("max_price_cents"))
+      .select(col("cluster_id"), col("n_members"),
+        col("m.p_partkey").as("canonical_part"),
+        col("m.p_name").as("canonical_name"),
+        col("max_size"), col("max_price_cents"))
+  }
+
+  /** Oracle: the candidate SQL's edges, the same unrolled min-label
+    * rounds, survivorship via `row_number`. */
+  def erGoldenRecordsSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT v, min(label) AS label FROM (
+         |    SELECT v, label FROM $prev
+         |    UNION ALL
+         |    SELECT a.v, p.label FROM adj a JOIN $prev p ON a.n = p.v)
+         |  GROUP BY v)"""
+    s"""WITH cand AS ($erCandidatesSql),
+       |adj AS (SELECT part_a AS v, part_b AS n FROM cand
+       |        UNION ALL SELECT part_b AS v, part_a AS n FROM cand),
+       |l0 AS (SELECT DISTINCT v, v AS label FROM adj),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")},
+       |${round("l3", "l4")},
+       |j AS (SELECT l4.label, p.p_partkey, p.p_name,
+       |        CAST(p.p_size AS BIGINT) AS p_size,
+       |        CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents
+       |      FROM l4 JOIN part p ON l4.v = p.p_partkey)
+       |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  min(p_partkey) AS canonical_part,
+       |  arg_min(p_name, p_partkey) AS canonical_name,
+       |  max(p_size) AS max_size,
+       |  max(price_cents) AS max_price_cents
+       |FROM j GROUP BY label""".stripMargin
+  }
+
   def erCandidatesSql: String =
     s"""WITH p AS (
        |  SELECT p_partkey, p_name, p_brand, p_type,

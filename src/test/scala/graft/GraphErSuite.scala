@@ -97,6 +97,37 @@ class GraphErSuite extends SparkSpec {
     assert(diff == 0, s"multi-pass blocking and direct self-join diverge on $diff rows")
   }
 
+  test("er_golden_records: clusters partition the matched parts; survivorship fields dominate members") {
+    import spark.implicits._
+    val pairs = graft.dedup.DedupQueries.erCandidates(spark, Sf0001)
+      .select("part_a", "part_b").as[(Long, Long)].collect()
+    val out = graft.dedup.DedupQueries.erGoldenRecords(spark, Sf0001)
+      .select("cluster_id", "n_members", "canonical_part", "max_size", "max_price_cents")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    Caches.drain()
+    assert(out.nonEmpty)
+    // driver-side replication of the same 4 synchronous min-label rounds
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      val snap = lbl
+      lbl = adj.map { case (v, ns) => v -> (ns.map(snap) :+ snap(v)).min }
+    }
+    val clusters = lbl.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    assert(out.map(_._1).toSet == clusters.keySet)
+    val parts = Tables.part(spark, Sf0001)
+      .select(col("p_partkey"), col("p_size").cast("long"),
+        round(col("p_retailprice") * 100).cast("bigint"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { case (cid, n, canon, maxSize, maxPrice) =>
+      val members = clusters(cid)
+      assert(n == members.size && n >= 2)
+      assert(canon == members.min)
+      assert(maxSize == members.map(parts(_)._1).max)
+      assert(maxPrice == members.map(parts(_)._2).max)
+    }
+  }
+
   test("bloom_decontaminate ≡ decontaminate (Bloom stage is a pure prefilter)") {
     val plain = TrainingPrep.decontaminate(spark, Sf0001)
     val bloom = TrainingPrep.bloomDecontaminate(spark, Sf0001)

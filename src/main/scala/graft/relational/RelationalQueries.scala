@@ -1756,4 +1756,107 @@ object RelationalQueries {
       Seq("o_orderstatus", "o_orderpriority").map(strBlock)
     blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
+
+  private val EntropyCols = Seq("o_orderstatus", "o_orderpriority")
+
+  /** Per-column Shannon entropy of the categorical order attributes — the
+    * information-theoretic face of [[ordersProfile]] (how many nats a
+    * column actually carries; the input to any feature-relevance or
+    * anonymity-risk readout).
+    *
+    * Exactness: `H = (N·ln N − Σ c·ln c) / N`; each `ln` takes an INTEGER
+    * count, snaps to micro-nats per distinct value, and multiplies by the
+    * integer count BEFORE the sum — associative, engine-identical; the
+    * single division emits both the floored integer micro-nats and the
+    * one-IEEE-division readable double.
+    *
+    * Scale shape: one stacked pass → (column, value) partial-agg counts
+    * (vocabulary-bounded shuffle), a |columns|-row entropy agg, broadcast
+    * 1-row N. */
+  def ordersEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .select(explode(array(EntropyCols.map(c =>
+        struct(lit(c).as("col_name"), col(c).as("v"))): _*)).as("c"))
+      .select(col("c.col_name"), col("c.v"))
+    val n = Tables.orders(spark, dir).agg(count(lit(1)).as("n_rows"))
+    cells.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(expr("c * cast(round(ln(c) * 1000000) as bigint)")).as("sum_clnc_micro"))
+      .crossJoin(broadcast(n))
+      .select(col("col_name"), col("n_distinct"), col("n_rows"),
+        expr("(n_rows * cast(round(ln(n_rows) * 1000000) as bigint) - sum_clnc_micro) div n_rows")
+          .as("entropy_micro"))
+      .withColumn("entropy_nats", round(col("entropy_micro") / 1000000.0, 6))
+  }
+
+  def ordersEntropySql: String = {
+    def block(c: String): String =
+      s"""SELECT '$c' AS col_name, $c AS v FROM orders"""
+    s"""WITH cells AS (${EntropyCols.map(block).mkString("\nUNION ALL\n")}),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+       |vc AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS c
+       |       FROM cells GROUP BY 1, 2)
+       |SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct, n_rows,
+       |  CAST((n_rows * CAST(round(ln(n_rows) * 1000000) AS BIGINT)
+       |        - CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT))
+       |    // n_rows AS BIGINT) AS entropy_micro,
+       |  round(CAST((n_rows * CAST(round(ln(n_rows) * 1000000) AS BIGINT)
+       |        - CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT))
+       |    // n_rows AS BIGINT) / 1000000.0e0, 6) AS entropy_nats
+       |FROM vc, n GROUP BY col_name, n_rows""".stripMargin
+  }
+
+  /** Mutual information between order status and priority — the
+    * pairwise-dependence member of the information profile: how much one
+    * categorical column says about another (feature redundancy /
+    * leakage detection). `I = Σ c_xy · ln(c_xy·N / (c_x·c_y)) / N`, every
+    * `ln` on an exact int64 ratio snapped to micro-nats before the
+    * weighted sum, floor-divided once — engine-identical (positive and
+    * negative cell terms both scale exactly).
+    *
+    * Scale: one pass → the |X|×|Y| joint partial agg; marginals derive
+    * from the joint (never a second scan) and attach by broadcast. */
+  def ordersMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val joint = graft.Caches.persisted(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("c_xy")))
+    val mx = joint.groupBy(col("o_orderstatus")).agg(sum(col("c_xy")).as("c_x"))
+    val my = joint.groupBy(col("o_orderpriority")).agg(sum(col("c_xy")).as("c_y"))
+    val n = joint.agg(sum(col("c_xy")).as("n_rows"))
+    joint
+      .join(broadcast(mx), "o_orderstatus")
+      .join(broadcast(my), "o_orderpriority")
+      .crossJoin(broadcast(n))
+      .select(
+        expr("""sum(c_xy * cast(round(ln((c_xy * n_rows) / (c_x * c_y)) * 1000000) as bigint))"""
+          ).as("num_micro"),
+        first(col("n_rows")).as("n_rows"))
+      // true MI >= 0 but micro-rounding can leave the numerator a few
+      // micro-nats negative on independent columns, where Spark's `div`
+      // truncates toward zero and DuckDB's `//` floors — spell the floor
+      // out so both engines agree on every sign
+      .select(col("n_rows"),
+        expr("""CASE WHEN num_micro >= 0 THEN num_micro div n_rows
+               |     ELSE -((-num_micro + n_rows - 1) div n_rows) END""".stripMargin)
+          .as("mi_micro"))
+      .withColumn("mi_nats", round(col("mi_micro") / 1000000.0, 6))
+  }
+
+  def ordersMutualInfoSql: String =
+    """WITH joint AS (
+      |  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS c_xy
+      |  FROM orders GROUP BY 1, 2),
+      |mx AS (SELECT o_orderstatus, CAST(sum(c_xy) AS BIGINT) AS c_x FROM joint GROUP BY 1),
+      |my AS (SELECT o_orderpriority, CAST(sum(c_xy) AS BIGINT) AS c_y FROM joint GROUP BY 1),
+      |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_rows FROM joint)
+      |SELECT n_rows,
+      |  CAST(CAST(sum(c_xy * CAST(round(ln((c_xy * n_rows) / (c_x * c_y)) * 1000000) AS BIGINT)) AS BIGINT)
+      |    // n_rows AS BIGINT) AS mi_micro,
+      |  round(CAST(CAST(sum(c_xy * CAST(round(ln((c_xy * n_rows) / (c_x * c_y)) * 1000000) AS BIGINT)) AS BIGINT)
+      |    // n_rows AS BIGINT) / 1000000.0e0, 6) AS mi_nats
+      |FROM joint JOIN mx USING (o_orderstatus) JOIN my USING (o_orderpriority), n
+      |GROUP BY n_rows""".stripMargin
 }

@@ -290,4 +290,26 @@ class RelationalExtrasSuite extends SparkSpec {
         s"zbucket ${r.getLong(0)} box too loose: area $area of $globalArea at share $share")
     }
   }
+
+  test("information profile: entropy within [0, ln k]; MI bounded by the smaller entropy; both match a driver recount") {
+    import spark.implicits._
+    val ent = RelationalQueries.ordersEntropy(spark, Sf0001)
+      .select("col_name", "n_distinct", "n_rows", "entropy_micro")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    ent.values.foreach { case (c, k, n, h) =>
+      assert(h >= 0 && h <= math.round(math.log(k.toDouble) * 1e6) + 1, s"$c entropy $h out of [0, ln $k]")
+      // driver recount with identical snapping
+      val counts = Tables.orders(spark, Sf0001).groupBy(col(c)).count()
+        .as[(String, Long)].collect().map(_._2)
+      val num = n * math.round(math.log(n.toDouble) * 1e6) -
+        counts.map(cc => cc * math.round(math.log(cc.toDouble) * 1e6)).sum
+      assert(h == num / n, s"$c entropy mismatch")
+    }
+    val mi = RelationalQueries.ordersMutualInfo(spark, Sf0001)
+      .select("mi_micro").as[Long].collect().head
+    Caches.drain()
+    // MI <= min marginal entropy; >= 0 up to micro-rounding slack
+    assert(mi <= ent.values.map(_._4).min)
+    assert(mi >= -30, s"MI $mi more negative than rounding slack allows")
+  }
 }

@@ -1757,6 +1757,53 @@ object RelationalQueries {
     blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Header↔detail reconciliation audit — does each order's stored total
+    * agree with the sum of its line extended prices? The row-level
+    * integrity join every warehouse runs nightly ([[nationReconciliation]]
+    * reconciles two AGGREGATE books; this audits key-by-key), reported per
+    * status: orphans (no lines at all), under/over-billed counts, the
+    * worst absolute discrepancy and the signed net — all in exact cents,
+    * so a one-cent drift is a hit, not a float rounding ghost.
+    *
+    * Scale shape: the detail side collapses to (orderkey, cents) by ONE
+    * partial agg before the join, so the fact⋈fact join carries 16-byte
+    * rows; shuffle-hash hinted (aggregate-derived side has no stats —
+    * Catalyst would sort-merge); final rollup is |status|-sized. */
+  def ordersReconcileLines(spark: SparkSession, dir: String): DataFrame = {
+    val lineSums = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("line_cents"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("bigint").as("o_cents"))
+      .join(lineSums.hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("diff", col("o_cents") - col("line_cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("line_cents").isNull, 1L).otherwise(0L)).as("n_orphan"),
+        sum(when(col("diff") < 0, 1L).otherwise(0L)).as("n_underbilled"),
+        sum(when(col("diff") > 0, 1L).otherwise(0L)).as("n_overbilled"),
+        max(abs(col("diff"))).as("max_abs_diff_cents"),
+        sum(coalesce(col("diff"), lit(0L))).as("net_diff_cents"))
+  }
+
+  def ordersReconcileLinesSql: String =
+    """WITH s AS (
+      |  SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS line_cents
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderstatus, s.line_cents,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) - s.line_cents AS diff
+      |  FROM orders o LEFT JOIN s ON s.l_orderkey = o.o_orderkey)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+      |  CAST(sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_underbilled,
+      |  CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overbilled,
+      |  CAST(max(abs(diff)) AS BIGINT) AS max_abs_diff_cents,
+      |  CAST(sum(coalesce(diff, 0)) AS BIGINT) AS net_diff_cents
+      |FROM j GROUP BY o_orderstatus""".stripMargin
+
   private val EntropyCols = Seq("o_orderstatus", "o_orderpriority")
 
   /** Per-column Shannon entropy of the categorical order attributes — the

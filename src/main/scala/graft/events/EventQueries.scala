@@ -604,6 +604,74 @@ object EventQueries {
       |FROM ev v WHERE v.event_type = 'view'
       |GROUP BY v.user_id""".stripMargin
 
+  /** Exact conversion-lag quantiles — p50/p90/p99 of the view→purchase
+    * delay for views that convert within the hour: the funnel-latency
+    * readout ("how long until the purchase?") on the DERIVED metric the
+    * binned range join produces. Lags come from the same 2-bin pigeonhole
+    * as [[rangeJoinViews]] (min purchase ms per view); the quantiles are
+    * the [[graft.relational.RelationalQueries.priceQuantiles]] two-phase
+    * selection — a minute-bucket histogram (≤60 rows) locates each rank's
+    * bucket, and only that bucket's rows pay a rank window — never a
+    * global sort of the lag set. Integer ms end to end; ties broken by
+    * view id, so the picked value is a total-order statistic in both
+    * engines. */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val W = 3600000L
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ms").as("v_ms"), expr(s"ms div ${W}L").as("bin"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms").as("p_ms"),
+        explode(array(expr(s"ms div ${W}L"), expr(s"ms div ${W}L - 1L"))).as("bin"))
+    val lags = graft.Caches.persisted(
+      probes.join(views, Seq("user_id", "bin"))
+        .filter(col("p_ms") >= col("v_ms") && col("p_ms") < col("v_ms") + W)
+        .groupBy(col("view_id"), col("v_ms"))
+        .agg((min(col("p_ms")) - col("v_ms")).as("lag_ms"))
+        .withColumn("bkt", expr("lag_ms div 60000")))
+    val hist = lags.groupBy(col("bkt")).agg(count(lit(1)).as("bc"))
+    val wb = Window.orderBy(col("bkt"))
+    val cum = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("bc")).over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("bc")).over(
+        Window.partitionBy(lit(1))))
+    val cand = cum
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("r", greatest(lit(1L), ceil(col("q") * col("n")).cast("bigint")))
+      .filter(col("cum_before") < col("r") && col("cum_before") + col("bc") >= col("r"))
+      .select(col("q"), col("bkt"), col("cum_before"), col("r"), col("n"))
+    val wr = Window.partitionBy(col("q")).orderBy(col("lag_ms"), col("view_id"))
+    lags.join(broadcast(cand), Seq("bkt"))
+      .withColumn("rn", row_number().over(wr) + col("cum_before"))
+      .filter(col("rn") === col("r"))
+      .select(col("q"), col("n").as("n_conversions"), col("lag_ms"))
+  }
+
+  def conversionLagSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000 AS ms FROM events),
+      |lag AS (
+      |  SELECT v.event_id AS view_id,
+      |    min(p.ms) - v.ms AS lag_ms
+      |  FROM ev v JOIN ev p
+      |    ON p.user_id = v.user_id AND p.event_type = 'purchase'
+      |    AND p.ms >= v.ms AND p.ms < v.ms + 3600000
+      |  WHERE v.event_type = 'view'
+      |  GROUP BY v.event_id, v.ms),
+      |r AS (
+      |  SELECT lag_ms, view_id,
+      |    row_number() OVER (ORDER BY lag_ms, view_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM lag)
+      |SELECT q, CAST(n AS BIGINT) AS n_conversions, lag_ms
+      |FROM r JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q) qs
+      |  ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))""".stripMargin
+
   /** Cohort retention: users cohorted by their first active week; each
     * (cohort, week-offset) cell counts how many of that cohort's users were
     * active that many weeks later — the classic retention triangle every

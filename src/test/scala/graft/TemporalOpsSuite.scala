@@ -307,7 +307,9 @@ class TemporalOpsSuite extends SparkSpec {
       "events_ewma", "graph_bfs_hops", "hybrid_search_rrf", "mmr_rerank",
       "events_attribution_linear", "token_apportionment", "doc_shard_rendezvous",
       "corpus_drift_psi", "events_rolling_median", "score_quantile_normalize",
-      "events_unconverted_views", "nation_top2_lateral", "events_markov_stationary")
+      "events_unconverted_views", "nation_top2_lateral", "events_markov_stationary",
+      "events_conversion_lag", "orders_entropy", "orders_mutual_info",
+      "orders_reconcile_lines", "er_golden_records", "copurchase_clustering")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>
@@ -456,6 +458,19 @@ class TemporalOpsSuite extends SparkSpec {
       }
     }
     assert(out == pi)
+  }
+
+  test("conversion lag: quantiles non-decreasing, inside the window, achievable by some converted view") {
+    val out = EventQueries.conversionLag(spark, Sf0001)
+      .select("q", "n_conversions", "lag_ms")
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    Caches.drain()
+    assert(out.map(_._1).toSeq == Seq(0.5, 0.9, 0.99))
+    assert(out.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "lag quantiles must be non-decreasing in q")
+    out.foreach { case (_, n, lag) =>
+      assert(n > 0 && lag >= 0 && lag < 3600000L)
+    }
   }
 
   test("events_rolling_median: lower median of the materialized window matches a driver-side sort") {

@@ -1757,6 +1757,67 @@ object RelationalQueries {
     blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Gini coefficient of customer-revenue concentration per nation — the
+    * inequality readout ("is this market a few whales or a broad base?")
+    * in EXACT parts-per-million: with per-customer revenues x₍ᵢ₎ sorted
+    * ascending (ties by customer id), `G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) /
+    * (n·Σx)` — integer numerator and denominator, one floor division.
+    * Zero-order customers count with x = 0 (excluding them would
+    * understate inequality). Numerator sign: Σ i·x ≥ ((n+1)/2)·Σx by the
+    * rearrangement inequality, so the quotient is non-negative and
+    * truncation ≡ floor in both engines. (Σ i·x fits int64 up to ~10⁵
+    * customers × $10⁸-cents revenues per nation; past that the same
+    * expressions lower to DECIMAL(38,0).)
+    *
+    * Scale shape: revenue is one custkey-keyed partial agg; the rank and
+    * the three sums run in per-nation windows sharing one exchange; the
+    * final division is |nations|-row arithmetic. */
+  def nationRevenueGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+    val perCust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(rev.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_custkey"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+    val byNation = Window.partitionBy(col("c_nationkey"))
+    perCust
+      .withColumn("i", row_number().over(byNation.orderBy(col("x"), col("c_custkey"))).cast("bigint"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).as("total_cents"),
+        sum(col("i") * col("x")).as("sum_ix"))
+      .filter(col("total_cents") > 0)
+      .select(col("c_nationkey").cast("bigint").as("nation_key"),
+        col("n_customers"), col("total_cents"),
+        expr("(2 * sum_ix - (n_customers + 1) * total_cents) * 1000000L div (n_customers * total_cents)")
+          .as("gini_ppm"))
+      .withColumn("gini", round(col("gini_ppm") / 1000000.0, 6))
+  }
+
+  def nationRevenueGiniSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |pc AS (
+      |  SELECT c.c_nationkey, c.c_custkey, CAST(coalesce(rev.cents, 0) AS BIGINT) AS x
+      |  FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey),
+      |rk AS (
+      |  SELECT c_nationkey, x,
+      |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY x, c_custkey) AS BIGINT) AS i
+      |  FROM pc)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(x) AS BIGINT) AS total_cents,
+      |  CAST((2 * CAST(sum(i * x) AS BIGINT) - (count(*) + 1) * CAST(sum(x) AS BIGINT)) * 1000000
+      |    // (count(*) * CAST(sum(x) AS BIGINT)) AS BIGINT) AS gini_ppm,
+      |  round(CAST((2 * CAST(sum(i * x) AS BIGINT) - (count(*) + 1) * CAST(sum(x) AS BIGINT)) * 1000000
+      |    // (count(*) * CAST(sum(x) AS BIGINT)) AS BIGINT) / 1000000.0e0, 6) AS gini
+      |FROM rk GROUP BY c_nationkey
+      |HAVING sum(x) > 0""".stripMargin
+
   /** Header↔detail reconciliation audit — does each order's stored total
     * agree with the sum of its line extended prices? The row-level
     * integrity join every warehouse runs nightly ([[nationReconciliation]]

@@ -291,6 +291,32 @@ class RelationalExtrasSuite extends SparkSpec {
     }
   }
 
+  test("gini: in [0, 1e6), zero for a uniform fixture, matches a driver-side rearrangement sum") {
+    import spark.implicits._
+    val out = RelationalQueries.nationRevenueGini(spark, Sf0001)
+      .select("nation_key", "n_customers", "total_cents", "gini_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (nk, n, tot, g) =>
+      assert(g >= 0 && g < 1000000, s"nation $nk gini $g out of range")
+      assert(n > 0 && tot > 0)
+    }
+    // driver-side recount for the largest nation
+    val (nk, _, _, gExpect) = out.maxBy(_._2)
+    val xs = Tables.customer(spark, Sf0001)
+      .filter(col("c_nationkey") === nk)
+      .join(Tables.orders(spark, Sf0001)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("cents"), lit(0L)))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1)).map(_._2)
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    assert(gExpect == (2 * six - (n + 1) * sx) * 1000000L / (n * sx))
+  }
+
   test("information profile: entropy within [0, ln k]; MI bounded by the smaller entropy; both match a driver recount") {
     import spark.implicits._
     val ent = RelationalQueries.ordersEntropy(spark, Sf0001)

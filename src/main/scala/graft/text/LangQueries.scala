@@ -64,6 +64,36 @@ object LangQueries {
        |        FROM documents) t) s""".stripMargin
   }
 
+  /** Confusion matrix of [[langId]] against the corpus's true labels —
+    * the evaluation harness for the engine's OWN classifier (every model
+    * operator needs its eval twin): per (true, predicted) cell counts plus
+    * the cell's share of its true class in exact ppm (recall on the
+    * diagonal, confusion mass off it).
+    *
+    * Scale shape: [[langId]]'s one narrow scoring pass, then a
+    * |langs|²-bounded partial agg; class totals derive from the cells
+    * (never a second corpus pass) and attach by broadcast. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.Caches.persisted(
+      langId(spark, dir)
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs")))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_true"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("predicted"), col("n_docs"), col("n_true"),
+        expr("n_docs * 1000000L div n_true").as("recall_ppm"))
+  }
+
+  def langIdConfusionSql: String =
+    s"""WITH scored AS ($langIdSql),
+       |cells AS (
+       |  SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM scored GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_true FROM cells GROUP BY 1)
+       |SELECT cells.lang, predicted, n_docs, n_true,
+       |  CAST(n_docs * 1000000 // n_true AS BIGINT) AS recall_ppm
+       |FROM cells JOIN tot USING (lang)""".stripMargin
+
   /** BPE-style pre-tokenization pattern (the GPT-2 shape, simplified to the
     * RE2 subset so any engine can evaluate it). */
   val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"

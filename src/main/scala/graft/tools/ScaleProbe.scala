@@ -37,7 +37,9 @@ object ScaleProbe {
     "events_twap", "phrase_search", "docs_k_anonymous", "doc_sample_weighted",
     "events_ab_test", "events_rolling_wau", "doc_sample_per_lang", "events_attribution",
     "embed_gram", "events_ewma", "hybrid_search_rrf", "corpus_drift_psi",
-    "token_apportionment", "doc_shard_rendezvous")
+    "token_apportionment", "doc_shard_rendezvous", "events_rolling_median",
+    "events_attribution_linear", "events_unconverted_views", "events_conversion_lag",
+    "events_markov_stationary", "lang_id_confusion")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

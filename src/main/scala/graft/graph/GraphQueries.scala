@@ -185,6 +185,66 @@ object GraphQueries {
       |  CAST(2 * coalesce(t.triangles, 0) * 1000000 // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
       |FROM deg LEFT JOIN t ON t.part_id = deg.v""".stripMargin
 
+  /** Degree assortativity of the co-purchase graph — the Pearson
+    * correlation of endpoint degrees over edges (Newman 2002): do popular
+    * parts co-sell with popular parts (r > 0) or with long-tail ones
+    * (r < 0)? The one-number mixing diagnostic for any graph workload.
+    *
+    * Exactness: the [[graft.relational.RelationalQueries]] exact-moments
+    * policy — each DIRECTED edge contributes (deg(src), deg(dst)) once
+    * (symmetrizing, so x and y marginals coincide as the statistic
+    * requires), the five power sums are int64, and r is one IEEE
+    * expression over them. (Σx² ≤ 2|E|·maxdeg² — int64 to ~10⁹ edges ×
+    * 10⁴-degree hubs; past that the sums lower to DECIMAL(38,0).)
+    *
+    * Scale shape: the degree table is |V|-sized and attaches to the edge
+    * list by two broadcast joins; the moments are ONE partial-aggregated
+    * reduction to a single row. */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Caches.persisted(copurchaseEdges(spark, dir))
+    val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    edges
+      .select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("dx"))), "a")
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("dy"))), "b")
+      .agg(count(lit(1)).as("n_dir_edges"),
+        sum(col("dx")).as("sx"),
+        sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .withColumn("assortativity",
+        (col("n_dir_edges") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n_dir_edges") * col("sxx") - col("sx") * col("sx")).cast("double") *
+               (col("n_dir_edges") * col("syy") - col("sy") * col("sy")).cast("double")))
+  }
+
+  def degreeAssortativitySql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |adj AS (SELECT u AS v, v AS n FROM e UNION ALL SELECT v AS v, u AS n FROM e),
+      |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+      |de AS (
+      |  SELECT da.d AS dx, db.d AS dy
+      |  FROM adj JOIN deg da ON da.v = adj.v JOIN deg db ON db.v = adj.n),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+      |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+      |    CAST(sum(dx * dx) AS BIGINT) AS sxx, CAST(sum(dy * dy) AS BIGINT) AS syy,
+      |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+      |  FROM de)
+      |SELECT n_dir_edges, sx, sy, sxx, syy, sxy,
+      |  CAST(n_dir_edges * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n_dir_edges * sxx - sx * sx AS DOUBLE) *
+      |         CAST(n_dir_edges * syy - sy * sy AS DOUBLE)) AS assortativity
+      |FROM m""".stripMargin
+
   private val MinSupport = 2L
 
   /** Association rules over the co-purchase baskets — support, confidence

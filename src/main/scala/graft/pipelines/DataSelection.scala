@@ -258,6 +258,121 @@ object DataSelection {
        |ORDER BY CAST(sum(term_micro) AS BIGINT) DESC, doc_id ASC
        |LIMIT 20""".stripMargin
 
+  // ------------------------------- pseudo-relevance feedback (RM3-lite)
+
+  private val PrfSeedDocs = 10
+  private val PrfExpansionTerms = 5
+  /** Query terms weigh 2, expansion terms 1 — the λ=⅔ RM3 interpolation
+    * as exact integers. */
+  private val PrfQueryWeight = 2L
+
+  /** Pseudo-relevance-feedback retrieval (RM3 shape): run BM25 for the
+    * query, mine the top-[[PrfSeedDocs]] results for the
+    * [[PrfExpansionTerms]] most frequent non-query terms, and re-score
+    * the corpus with the expanded weighted term set — the classic
+    * recall-boosting second pass every serious lexical stack layers on
+    * BM25 (complements [[hybridSearchRrf]]'s fusion and
+    * [[graft.similarity.SimilarityQueries.mmrRerank]]'s diversification).
+    *
+    * Everything is one lazy plan — the seed list and the mined term set
+    * are limit-k DataFrames broadcast back, never driver collections;
+    * scoring reuses the [[bm25Search]] micro-nat discipline with the
+    * interpolation weight applied AFTER the per-term rounding (integer ×
+    * integer — exact).
+    *
+    * Scale shape: two corpus passes (seed scoring and re-scoring), each
+    * filtered to the tiny term set BEFORE its group-by — the second
+    * pass's filter is a broadcast semi-join because the expanded set is
+    * data-derived; term mining touches only the ≤10 seed documents. */
+  def prfSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("bigint").as("dl"))
+    val corpus = docs.agg(
+      count(lit(1)).cast("bigint").as("n_docs"),
+      sum(col("dl")).cast("bigint").as("total_len"))
+    // `withTerms` must yield a (doc_id, dl, tok, w) frame; w rides the
+    // group-by (constant per token) and multiplies AFTER the per-term
+    // rounding — integer × integer, exact
+    def bm25Scores(withTerms: DataFrame => DataFrame): DataFrame = {
+      val tf = withTerms(
+        docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok")))
+        .groupBy(col("doc_id"), col("dl"), col("tok"), col("w"))
+        .agg(count(lit(1)).cast("bigint").as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("bigint").as("df"))
+      tf.join(broadcast(df), "tok")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf_micro",
+          expr("cast(round(ln(1 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * 1000000) as bigint)"))
+        .withColumn("term_micro",
+          expr("""cast(round(idf_micro
+                 |  * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl * n_docs / total_len)))) as bigint)""".stripMargin))
+        .withColumn("wterm", expr("term_micro * w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_terms"),
+          sum(col("wterm")).as("score_micro"))
+    }
+    // stage 1: seed top-10 on the original query terms
+    val seed = bm25Scores(t =>
+      t.filter(col("tok").isin(Bm25Terms: _*)).withColumn("w", lit(1L)))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(PrfSeedDocs)
+      .select(col("doc_id"))
+    // stage 2: expansion = top-5 non-query terms by frequency in the seeds
+    val expansion = docs.join(broadcast(seed), "doc_id")
+      .select(explode(col("toks")).as("tok"))
+      .filter(!col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(PrfExpansionTerms)
+      .select(col("tok"), lit(1L).as("w"))
+    val terms = expansion.unionByName(
+      spark.createDataFrame(Bm25Terms.map(t => (t, PrfQueryWeight)))
+        .toDF("tok", "w"))
+    // stage 3: re-score with the weighted expanded set
+    bm25Scores(t => t.join(broadcast(terms), "tok"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(20)
+      .withColumn("score", round(col("score_micro") / 1000000.0, 6))
+      .select(col("doc_id"), col("n_terms"), col("score_micro"), col("score"))
+  }
+
+  def prfSearchSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dd),
+       |ex AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+       |tf1 AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |        FROM ex WHERE tok IN ($bm25TermsSqlList) GROUP BY 1, 2, 3),
+       |idf1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY 1),
+       |s1 AS (SELECT doc_id,
+       |         CAST(sum(CAST(round(CAST(round(ln(1 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * 1000000) AS BIGINT)
+       |           * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl * n_docs / total_len)))) AS BIGINT)) AS BIGINT) AS score_micro
+       |       FROM tf1 JOIN idf1 USING (tok), c GROUP BY doc_id),
+       |seed AS (SELECT doc_id FROM s1 ORDER BY score_micro DESC, doc_id ASC LIMIT $PrfSeedDocs),
+       |exp AS (SELECT tok, CAST(1 AS BIGINT) AS w
+       |        FROM (SELECT tok, count(*) AS cnt
+       |              FROM ex JOIN seed USING (doc_id)
+       |              WHERE tok NOT IN ($bm25TermsSqlList)
+       |              GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT $PrfExpansionTerms)),
+       |terms AS (SELECT tok, w FROM exp
+       |          UNION ALL
+       |          SELECT unnest([$bm25TermsSqlList]) AS tok, CAST($PrfQueryWeight AS BIGINT) AS w),
+       |tf2 AS (SELECT doc_id, dl, ex.tok, w, CAST(count(*) AS BIGINT) AS tf
+       |        FROM ex JOIN terms ON terms.tok = ex.tok GROUP BY 1, 2, 3, 4),
+       |idf2 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(CAST(round(CAST(round(ln(1 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * 1000000) AS BIGINT)
+       |    * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl * n_docs / total_len)))) AS BIGINT) * w) AS BIGINT) AS score_micro,
+       |  round(CAST(sum(CAST(round(CAST(round(ln(1 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * 1000000) AS BIGINT)
+       |    * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl * n_docs / total_len)))) AS BIGINT) * w) AS BIGINT) / 1000000.0e0, 6) AS score
+       |FROM tf2 JOIN idf2 USING (tok), c
+       |GROUP BY doc_id
+       |ORDER BY score_micro DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
+
   // ------------------------------------------- distribution drift (PSI)
 
   private val PsiRefSource = "src1"

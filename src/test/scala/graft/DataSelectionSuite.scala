@@ -139,6 +139,24 @@ class DataSelectionSuite extends SparkSpec {
     }
   }
 
+  test("prf_search: expansion widens the match surface beyond the plain query") {
+    import spark.implicits._
+    val prf = DataSelection.prfSearch(spark, Sf0001)
+      .select("doc_id", "n_terms", "score_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(prf.length == 20)
+    // 4 query + 5 expansion terms cap the per-doc distinct-term count
+    assert(prf.forall(r => r._2 >= 1 && r._2 <= 9))
+    // feedback must actually engage: some result matches expansion terms
+    assert(prf.exists(_._2 > 4), "no document matched any expansion term")
+    assert(prf.forall(_._3 > 0))
+    // the re-scored ranking is not just BM25's: rankings must differ
+    val plain = DataSelection.bm25Search(spark, Sf0001)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(prf.sortBy(r => (-r._3, r._1)).map(_._1).toSeq != plain,
+      "PRF re-ranking degenerated to the plain BM25 order")
+  }
+
   test("token_apportionment: quotas conserve the budget exactly and stay within 1 of proportional") {
     import spark.implicits._
     val out = DataSelection.tokenApportionment(spark, Sf0001)

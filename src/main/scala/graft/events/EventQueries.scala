@@ -770,6 +770,40 @@ object EventQueries {
       |WHERE CAST(n_days * n_events - s AS HUGEINT) * CAST(n_days * n_events - s AS HUGEINT)
       |    > 4 * CAST(n_days * ss - s * s AS HUGEINT)""".stripMargin
 
+  /** Hour-of-day seasonal index per event type — the seasonality readout
+    * behind load forecasting and anomaly baselining: how far each hour's
+    * volume sits from a flat profile, as the EXACT ppm index
+    * `n_hour · 24 · 10⁶ div n_type` (10⁶ = flat). The hour-of-day is pure
+    * integer arithmetic on the epoch (`unix_micros div 3600·10⁶ mod 24`) —
+    * no calendar/timezone function whose semantics could differ between
+    * engines.
+    *
+    * Scale shape: one narrow scan → a (types × 24)-row partial agg; the
+    * per-type totals derive from that tiny rollup (never a second scan)
+    * and attach by broadcast. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.Caches.persisted(Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events")))
+    val totals = hourly.groupBy(col("event_type")).agg(sum(col("n_events")).as("n_type"))
+    hourly
+      .join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("hour_of_day"), col("n_events"),
+        expr("n_events * 24 * 1000000L div n_type").as("seasonal_index_ppm"))
+  }
+
+  def seasonalitySql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_type
+      |      FROM hourly GROUP BY 1)
+      |SELECT event_type, hour_of_day, n_events,
+      |  n_events * 24 * 1000000 // n_type AS seasonal_index_ppm
+      |FROM hourly JOIN t USING (event_type)""".stripMargin
+
   /** First-order Markov transition counts between consecutive events of the
     * same user — the sequence-mining staple behind next-action prediction
     * and session-flow dashboards. Order within a user is (ts, event_id):

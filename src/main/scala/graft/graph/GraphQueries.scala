@@ -419,6 +419,81 @@ object GraphQueries {
        |SELECT v AS part_id, CAST(h AS BIGINT) AS hops FROM d3""".stripMargin
   }
 
+  private val RaSeeds = 10
+  private val RaTopK = 5
+
+  /** Link prediction by the Resource-Allocation index — "parts likely to
+    * be bought together NEXT": for each seed part, every non-adjacent part
+    * at distance 2 is scored RA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/deg(w) (Zhou,
+    * Lü & Zhang 2009 — RA discounts common neighbors by their degree, so
+    * promiscuous hub parts don't dominate), plus the raw common-neighbor
+    * count; top-[[RaTopK]] candidates per seed. Each 1/deg term is floored
+    * to ppm INDEPENDENTLY (`10⁶ div deg`) before the sum, so the score is
+    * an order-free integer sum — engine-identical under any partitioning.
+    *
+    * Scale shape: this is the QUERY form of link prediction (k seed nodes,
+    * like [[graft.similarity.SimilarityQueries]]'s fixed query vectors) —
+    * the frontier (seeds × degree, tiny) BROADCASTS against the adjacency
+    * for the two hops, so the all-pairs Σ C(deg,2) wedge blowup of
+    * whole-graph prediction never materializes; the already-adjacent
+    * filter is an anti-join against the same broadcast frontier, and the
+    * per-seed top-k is a k-bounded rank over the candidate aggregate.
+    * Whole-graph scoring at 100 TB would instead shard seeds into batches
+    * of this exact plan. */
+  def raLinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = copurchaseEdges(spark, dir)
+    val adj = graft.Caches.persisted(
+      e.select(col("u").as("v"), col("v").as("n"))
+        .unionByName(e.select(col("v").as("v"), col("u").as("n"))))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val seeds = adj.select(col("v")).distinct().orderBy(col("v")).limit(RaSeeds)
+    // seed adjacency: ≤ seeds × max-degree rows — the broadcast frontier
+    val h1 = graft.Caches.persisted(
+      adj.join(broadcast(seeds), "v").select(col("v").as("a"), col("n").as("w")))
+    val wedges = adj.select(col("v").as("w"), col("n").as("b"))
+      .join(broadcast(h1), "w")
+      .filter(col("b") =!= col("a"))
+    val cand = wedges.join(
+      broadcast(h1.select(col("a"), col("w").as("b"))), Seq("a", "b"), "left_anti")
+    cand
+      .join(broadcast(deg.select(col("v").as("w"), col("d").as("dw"))), "w")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000L div dw")).as("ra_ppm"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("a"))
+        .orderBy(col("ra_ppm").desc, col("common_neighbors").desc, col("b").asc))
+        .cast("bigint"))
+      .filter(col("rank") <= RaTopK)
+      .select(col("a").as("part_id"), col("b").as("candidate"),
+        col("common_neighbors"), col("ra_ppm"), col("rank"))
+  }
+
+  def raLinkPredictionSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |adj AS (SELECT u AS v, v AS n FROM e UNION ALL SELECT v AS v, u AS n FROM e),
+       |deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+       |seeds AS (SELECT DISTINCT v FROM adj ORDER BY v LIMIT $RaSeeds),
+       |h1 AS (SELECT a.v AS a, a.n AS w FROM adj a JOIN seeds s ON a.v = s.v),
+       |wedges AS (
+       |  SELECT h1.a, h1.w, b.n AS b FROM h1 JOIN adj b ON b.v = h1.w
+       |  WHERE b.n <> h1.a),
+       |cand AS (
+       |  SELECT w2.* FROM wedges w2 ANTI JOIN h1 x ON x.a = w2.a AND x.w = w2.b),
+       |scored AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+       |    CAST(sum(1000000 // d) AS BIGINT) AS ra_ppm
+       |  FROM cand JOIN deg ON deg.v = cand.w GROUP BY 1, 2)
+       |SELECT a AS part_id, b AS candidate, common_neighbors, ra_ppm,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT scored.*, row_number() OVER (PARTITION BY a
+       |        ORDER BY ra_ppm DESC, common_neighbors DESC, b ASC) AS rank
+       |      FROM scored) r
+       |WHERE rank <= $RaTopK""".stripMargin
+
   /** Oracle: the same three synchronous rounds unrolled as CTEs, modal
     * argmax as `row_number` over (count desc, label asc). */
   def copurchaseCommunitiesSql: String = {

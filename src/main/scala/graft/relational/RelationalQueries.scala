@@ -2083,6 +2083,112 @@ object RelationalQueries {
       .withColumn("mi_nats", round(col("mi_micro") / 1000000.0, 6))
   }
 
+  /** RFM segmentation — the marketing-analytics staple: every customer
+    * scored 1–5 on Recency (days since last order, most recent = 5),
+    * Frequency (order count) and Monetary (lifetime revenue in exact
+    * cents) via `ntile(5)`, reported per (R,F,M) cell. ntile is the SQL
+    * standard's equal-height bucketing (first `n mod 5` buckets take the
+    * extra row), so with a TOTAL order — metric then customer id — both
+    * engines cut identical quintiles; no float quantile semantics enter.
+    * Customers with no orders are out of scope (no RFM without a
+    * transaction), matching the oracle's inner join.
+    *
+    * Scale shape: the fact table collapses to one custkey-keyed partial
+    * agg; the three ntile windows run over that |customers|-sized
+    * aggregate (dimension-scale, not fact-scale — the [[partAbcClass]]
+    * caveat). The global max-date anchor is a broadcast 1-row crossJoin.
+    * Output is ≤125 cells. */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+    val anchor = perCust.agg(max(col("last_order")).as("anchor"))
+    perCust
+      .crossJoin(broadcast(anchor))
+      .withColumn("rec_days", datediff(col("anchor"), col("last_order")).cast("bigint"))
+      // score 5 = best: most recent, most orders, most revenue
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("rec_days").desc, col("o_custkey").asc)).cast("bigint"))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq").asc, col("o_custkey").asc)).cast("bigint"))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("cents").asc, col("o_custkey").asc)).cast("bigint"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("monetary_cents"),
+        max(col("freq")).as("max_orders"))
+  }
+
+  def customerRfmSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_order,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT max(last_order) AS anchor FROM pc),
+      |s AS (
+      |  SELECT
+      |    CAST(ntile(5) OVER (ORDER BY datediff('day', last_order, anchor) DESC, o_custkey ASC) AS BIGINT) AS r_score,
+      |    CAST(ntile(5) OVER (ORDER BY freq ASC, o_custkey ASC) AS BIGINT) AS f_score,
+      |    CAST(ntile(5) OVER (ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS m_score,
+      |    freq, cents
+      |  FROM pc, a)
+      |SELECT r_score, f_score, m_score,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(cents) AS BIGINT) AS monetary_cents,
+      |  CAST(max(freq) AS BIGINT) AS max_orders
+      |FROM s GROUP BY 1, 2, 3""".stripMargin
+
+  /** Benford first-digit audit of order totals — the forensic-accounting
+    * screen: naturally-occurring amounts follow P(d) = log₁₀(1 + 1/d);
+    * fabricated ones usually don't. Observed shares are exact ppm (count ·
+    * 10⁶ div N); the expected shares are the nine PRECOMPUTED constants
+    * ⌊10⁶·log₁₀(1+1/d)⌋ embedded identically in both engines, so no log is
+    * ever evaluated at query time and the deviation column is bit-exact.
+    * The leading digit comes from the cents string — a pure integer-string
+    * operation, immune to float formatting.
+    *
+    * Scale shape: one narrow scan → 9-row partial agg; N attaches as a
+    * broadcast 1-row crossJoin. */
+  def ordersBenford(spark: SparkSession, dir: String): DataFrame = {
+    // ⌊10⁶·log₁₀(1+1/d)⌋ for d = 1..9
+    val expected = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    val counts = Tables.orders(spark, dir)
+      .select(substring(round(col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1)
+        .cast("bigint").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_orders"))
+    val n = counts.agg(sum(col("n_orders")).as("n_total"))
+    counts
+      .crossJoin(broadcast(n))
+      .withColumn("observed_ppm", expr("n_orders * 1000000L div n_total"))
+      .withColumn("expected_ppm",
+        expected.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+          when(col("digit") === (i + 1).toLong, p).otherwise(acc)
+        })
+      .select(col("digit"), col("n_orders"), col("observed_ppm"),
+        col("expected_ppm"),
+        (col("observed_ppm") - col("expected_ppm")).as("deviation_ppm"))
+  }
+
+  def ordersBenfordSql: String =
+    """WITH c AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM c),
+      |e(digit, expected_ppm) AS (VALUES (1, 301029), (2, 176091), (3, 124938),
+      |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+      |SELECT c.digit, n_orders,
+      |  n_orders * 1000000 // n_total AS observed_ppm,
+      |  CAST(expected_ppm AS BIGINT) AS expected_ppm,
+      |  n_orders * 1000000 // n_total - expected_ppm AS deviation_ppm
+      |FROM c JOIN e ON c.digit = e.digit, n""".stripMargin
+
   def ordersMutualInfoSql: String =
     """WITH joint AS (
       |  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS c_xy

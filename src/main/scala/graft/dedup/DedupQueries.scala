@@ -864,6 +864,58 @@ object DedupQueries {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** Dedup-method evaluation — the confusion matrix of [[simhashPairs]]
+    * (SimHash, Hamming ≤ 3) against the exact 3-gram-Jaccard ≥ 0.8 ground
+    * truth ([[dedupJaccard]]): TP / FP / FN plus precision and recall in
+    * exact ppm. This is the harness a pipeline owner runs before swapping
+    * dedup methods on a 100 TB corpus — "how much recall does the cheaper
+    * signature give up?" — as a first-class, oracle-checked operator
+    * rather than a notebook one-off. Both pair sets are emitted in the
+    * same doc_a < doc_b orientation, so the full-outer join on the pair
+    * key is the exact set comparison; all counts and both ppm ratios are
+    * integer arithmetic.
+    *
+    * Scale shape: inherits both operands' linear candidate generation;
+    * the comparison itself is one output-sized full-outer join + a 1-row
+    * aggregate. */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = dedupJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val pred = simhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
+    // full outer can't broadcast; shuffle-hash (not sort-merge) is right
+    // for the output-sized pair sets — no reason to sort either side
+    truth.join(pred.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("p"), lit(0L))).as("n_predicted"),
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("p"), lit(0L))).as("tp"))
+      .select(col("n_truth"), col("n_predicted"), col("tp"),
+        (col("n_predicted") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        expr("tp * 1000000L div n_predicted").as("precision_ppm"),
+        expr("tp * 1000000L div n_truth").as("recall_ppm"))
+  }
+
+  /** Oracle: the two operands' own oracles (brute-force Jaccard truth,
+    * all-pairs SimHash), composed with the same full-outer set compare. */
+  def dedupEvalSql: String =
+    s"""WITH truth AS (
+       |  SELECT doc_a, doc_b, 1 AS t FROM ($dedupNearSql) x),
+       |pred AS (
+       |  SELECT doc_a, doc_b, 1 AS p FROM ($simhashPairsSql) y),
+       |j AS (
+       |  SELECT coalesce(t, 0) AS t, coalesce(p, 0) AS p
+       |  FROM truth FULL OUTER JOIN pred USING (doc_a, doc_b))
+       |SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+       |  CAST(sum(p) AS BIGINT) AS n_predicted,
+       |  CAST(sum(t * p) AS BIGINT) AS tp,
+       |  CAST(sum(p) - sum(t * p) AS BIGINT) AS fp,
+       |  CAST(sum(t) - sum(t * p) AS BIGINT) AS fn,
+       |  CAST(sum(t * p) * 1000000 // sum(p) AS BIGINT) AS precision_ppm,
+       |  CAST(sum(t * p) * 1000000 // sum(t) AS BIGINT) AS recall_ppm
+       |FROM j""".stripMargin
+
   def simhashSql: String = simhashNSql(SimHashBits / 4)
 
   private def simhashNSql(hexDigits: Int): String = {

@@ -597,6 +597,102 @@ object TrainingPrep {
        |GROUP BY phase
        |ORDER BY phase""".stripMargin
 
+  /** Calibration curve (reliability diagram) of the
+    * [[qualityClassifier]] score against the independent heuristic
+    * quality gate ([[graft.text.TextQueries.textQuality]]'s `is_quality`)
+    * — per score decile: how often does the gate agree? The model-eval
+    * step every production classifier ships with, as an oracle-checked
+    * operator. Decile cuts are EXACT: the 9 cut scores are the smallest
+    * scores whose cumulative count reaches k·n/10 (ties share a bin, so
+    * the binning is a pure function of the score multiset — deterministic
+    * under any partitioning, the [[curriculumPhases]] tercile pattern
+    * widened to 10); agreement is an integer ppm.
+    *
+    * Scale shape: scores collapse to a score HISTOGRAM for the cuts (one
+    * partial-agg shuffle, rows = distinct scores ≪ corpus; the cumulative
+    * window runs over that histogram only); the 1-row cut table broadcasts
+    * back; the label attaches by one doc_id-keyed join; output is 10
+    * rows. */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scores = graft.Caches.persisted(
+      qualityClassifier(spark, dir).select(col("doc_id"), col("raw_score")))
+    val hist = scores.groupBy(col("raw_score")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("raw_score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(
+        min(when(col("cum") * 10 >= col("n") * 1, col("raw_score"))).as("c1"),
+        (2 to 9).map(k =>
+          min(when(col("cum") * 10 >= col("n") * k, col("raw_score"))).as(s"c$k")): _*)
+    val labels = graft.text.TextQueries.textQuality(spark, dir)
+      .select(col("doc_id"), when(col("is_quality"), 1L).otherwise(0L).as("lbl"))
+    val binned = scores
+      .crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        when(col("raw_score") <= col("c1"), 1L)
+          .when(col("raw_score") <= col("c2"), 2L)
+          .when(col("raw_score") <= col("c3"), 3L)
+          .when(col("raw_score") <= col("c4"), 4L)
+          .when(col("raw_score") <= col("c5"), 5L)
+          .when(col("raw_score") <= col("c6"), 6L)
+          .when(col("raw_score") <= col("c7"), 7L)
+          .when(col("raw_score") <= col("c8"), 8L)
+          .when(col("raw_score") <= col("c9"), 9L)
+          .otherwise(10L))
+    binned.join(labels, "doc_id")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("lbl")).as("n_quality"),
+        min(col("raw_score")).as("min_score"),
+        max(col("raw_score")).as("max_score"))
+      .withColumn("quality_ppm", expr("n_quality * 1000000L div n_docs"))
+  }
+
+  def qualityCalibrationSql: String = {
+    val caseBin = (1 to 9).map(k =>
+      s"WHEN raw_score <= c$k THEN $k").mkString("CASE ", " ", " ELSE 10 END")
+    val cutCols = (1 to 9).map(k =>
+      s"min(CASE WHEN cum * 10 >= n * $k THEN raw_score END) AS c$k").mkString(",\n    ")
+    s"""WITH scored AS (
+       |  ${qualityClassifierSql.replace("\n", "\n  ")}),
+       |hist AS (SELECT raw_score, count(*) AS c FROM scored GROUP BY raw_score),
+       |cum AS (
+       |  SELECT raw_score,
+       |    sum(c) OVER (ORDER BY raw_score ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(c) OVER () AS n
+       |  FROM hist),
+       |cuts AS (
+       |  SELECT
+       |    $cutCols
+       |  FROM cum),
+       |lbl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${"(n_tokens >= 10 AND n_stop / n_tokens < 0.5 AND n_letters / n_tokens >= 3)"}
+       |      THEN 1 ELSE 0 END AS lbl
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(toks) AS n_tokens,
+       |      len(list_filter(toks, t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'], t))) AS n_stop,
+       |      length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_letters
+       |    FROM (SELECT doc_id, text,
+       |            list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
+       |          FROM documents) s) q),
+       |binned AS (
+       |  SELECT s.doc_id, s.raw_score, $caseBin AS bin
+       |  FROM scored s CROSS JOIN cuts)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(lbl) AS BIGINT) AS n_quality,
+       |  CAST(min(raw_score) AS BIGINT) AS min_score,
+       |  CAST(max(raw_score) AS BIGINT) AS max_score,
+       |  CAST(sum(lbl) * 1000000 // count(*) AS BIGINT) AS quality_ppm
+       |FROM binned JOIN lbl USING (doc_id)
+       |GROUP BY bin""".stripMargin
+  }
+
   def qualityClassifierSql: String =
     s"""WITH w AS (
        |  SELECT CAST(b AS BIGINT) AS bucket,

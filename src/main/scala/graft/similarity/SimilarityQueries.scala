@@ -476,6 +476,49 @@ object SimilarityQueries {
        |  FROM scored) r
        |WHERE rank <= $K""".stripMargin
 
+  /** ANN index evaluation — recall@k of [[topkIvf]] (nprobe=3 against the
+    * trained quantizer) measured per query against the exact brute-force
+    * top-k ([[topkBruteForce]]): the acceptance gate every vector index
+    * ships with before it replaces exact search on a 100 TB embedding
+    * table, as a first-class oracle-checked operator (the ANN member of
+    * the eval family with `dedup_eval` and `quality_calibration`). Both
+    * result sets carry the same (q_id, vec_id) keys, so a full-outer join
+    * on the key is the exact set comparison; recall is integer ppm.
+    *
+    * Scale shape: inherits the operands' plans (broadcast
+    * centroids/queries, bucketed probes); the comparison is a
+    * (queries·k)-row join + a |queries|-row aggregate. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = topkBruteForce(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("t"))
+    val pred = topkIvf(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("p"))
+    // full outer can't broadcast; shuffle-hash (not sort-merge) is right
+    // for the (queries·k)-row result sets — no reason to sort either side
+    truth.join(pred.hint("shuffle_hash"), Seq("q_id", "vec_id"), "full_outer")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("p"), lit(0L))).as("hits"))
+      .select(col("q_id"), col("n_truth"), col("hits"),
+        expr("hits * 1000000L div n_truth").as("recall_ppm"))
+  }
+
+  /** Oracle: the two operands' own oracles composed with the same
+    * full-outer set compare. */
+  def annRecallSql: String =
+    s"""WITH truth AS (
+       |  SELECT q_id, vec_id, 1 AS t FROM ($topkBruteForceSql) x),
+       |pred AS (
+       |  SELECT q_id, vec_id, 1 AS p FROM ($topkIvfSql) y),
+       |j AS (
+       |  SELECT q_id, coalesce(t, 0) AS t, coalesce(p, 0) AS p
+       |  FROM truth FULL OUTER JOIN pred USING (q_id, vec_id))
+       |SELECT q_id, CAST(sum(t) AS BIGINT) AS n_truth,
+       |  CAST(sum(t * p) AS BIGINT) AS hits,
+       |  CAST(sum(t * p) * 1000000 // sum(t) AS BIGINT) AS recall_ppm
+       |FROM j GROUP BY q_id""".stripMargin
+
   // Production SemDeDup dedups at τ≈0.95; the synthetic corpus's cosine
   // ceiling is ~0.49, so the demo threshold sits at 0.3 (nearPairs' floor)
   // to keep the is_dup verdict non-degenerate under the oracle compare.
@@ -856,6 +899,55 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id) AS rank
        |  FROM ad) r
        |WHERE rank <= $K""".stripMargin
+
+  /** PQ reconstruction distortion — the quantization-error readout that
+    * accompanies every PQ deployment (FAISS's `imbalance/quantization
+    * error` report): per subspace, the mean squared L2 between each
+    * subvector and its assigned codeword. Read next to [[annRecall]] it
+    * answers the index-tuning question — "is recall loss coming from
+    * routing or from code coarseness?" — as a first-class operator in the
+    * eval family. Each per-vector error is integer-scaled (×10⁹, the ADC
+    * policy) BEFORE the sum, so the per-subspace totals are associative
+    * and the oracle compares bigints, never summed doubles.
+    *
+    * Scale shape: one narrow corpus pass against the broadcast PqM·PqK
+    * codebook (the encode join [[topkPq]] already pays), a per-(vec, s)
+    * partial-agg argmin, then a [[PqM]]-row rollup. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(spark, dir)
+    val subs = subvectors(spark, dir)
+    subs.join(broadcast(books), Seq("s"))
+      .withColumn("d", l2("sub", "c"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max(struct((-col("d")).as("nd"), (-col("code")).as("nc"))).as("m"))
+      .select(col("s").cast("bigint").as("s"),
+        floor((-col("m.nd")) * expr(PqDistScale) + lit(0.5)).cast("bigint").as("dq"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("dq")).as("total_sqerr_scaled"))
+      .withColumn("mean_sqerr_scaled", expr("total_sqerr_scaled div n_vectors"))
+  }
+
+  /** Oracle: the shared training CTEs, the same nearest-codeword
+    * assignment keeping the (integer-scaled) distance. */
+  def pqDistortionSql: String =
+    s"""WITH $normCte,
+       |$pqCtes,
+       |enc AS (
+       |  SELECT vec_id, s, CAST(floor(d * $PqDistScale + 0.5) AS BIGINT) AS dq FROM (
+       |    SELECT subs.vec_id, subs.s,
+       |      list_reduce(list_transform(range(1, len(subs.sub) + 1),
+       |        i -> (subs.sub[i] - c.c[i]) * (subs.sub[i] - c.c[i])), (a, x) -> a + x) AS d,
+       |      row_number() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+       |        list_reduce(list_transform(range(1, len(subs.sub) + 1),
+       |          i -> (subs.sub[i] - c.c[i]) * (subs.sub[i] - c.c[i])), (a, x) -> a + x) ASC,
+       |        c.code) AS rk
+       |    FROM subs JOIN pcent$PqRounds c ON subs.s = c.s) t
+       |  WHERE rk = 1)
+       |SELECT CAST(s AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(sum(dq) AS BIGINT) AS total_sqerr_scaled,
+       |  CAST(sum(dq) // count(*) AS BIGINT) AS mean_sqerr_scaled
+       |FROM enc GROUP BY s""".stripMargin
 
   /** Eval-set size and cosine threshold for [[semanticDecontaminate]] —
     * calibrated to the driver embeddings (near-orthogonal vectors: the

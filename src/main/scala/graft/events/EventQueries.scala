@@ -804,6 +804,109 @@ object EventQueries {
       |  n_events * 24 * 1000000 // n_type AS seasonal_index_ppm
       |FROM hourly JOIN t USING (event_type)""".stripMargin
 
+  /** Robust outlier counts per event type via Median Absolute Deviation —
+    * the heavy-tail-safe twin of [[anomalyDays]]' z-score flag: median and
+    * MAD don't move when the outliers themselves do, so a burst of bad
+    * values can't hide itself by inflating σ. Flags values with
+    * |v − median| > 5·MAD, everything in exact value-micros. "Median" is
+    * the LOWER median (rank ⌈n/2⌉ ascending) — DuckDB's
+    * `quantile_disc(0.5)` convention, verified — so both engines select
+    * the identical element with no even-count averaging.
+    *
+    * Scale shape: each median is the [[graft.relational.RelationalQueries.medianPrice]]
+    * two-phase distributed selection, run twice (values, then absolute
+    * deviations): a unit-bucket histogram (partial-agg; rows =
+    * types × value-range-units, tiny), a cumulative window over that
+    * histogram to locate the ONE bucket holding the target rank, and a
+    * rank window over only that bucket's sliver — the fact table is never
+    * globally sorted, and per-type parallelism never collapses to
+    * |types|. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    // one selection: the per-type value at ascending rank (n+1) div 2
+    def lowerMedian(in: DataFrame, v: String, out: String): DataFrame = {
+      val b = in.withColumn("bkt", expr(s"$v div 1000000"))
+      val hist = b.groupBy(col("event_type"), col("bkt")).agg(count(lit(1)).as("bc"))
+      val wb = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+      val cand = hist
+        .withColumn("cum_before",
+          coalesce(sum(col("bc")).over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("bc")).over(Window.partitionBy(col("event_type"))))
+        .filter(expr("cum_before < (n + 1) div 2 AND cum_before + bc >= (n + 1) div 2"))
+        .select(col("event_type"), col("bkt"), col("cum_before"), col("n"))
+      val wr = Window.partitionBy(col("event_type")).orderBy(col(v))
+      b.join(broadcast(cand), Seq("event_type", "bkt"))
+        .withColumn("rn", row_number().over(wr) + col("cum_before"))
+        .filter(expr("rn = (n + 1) div 2"))
+        .select(col("event_type"), col(v).as(out))
+    }
+    val v = graft.Caches.persisted(Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 1000000).cast("bigint").as("vmic")))
+    val med = lowerMedian(v, "vmic", "median_micro")
+    val dev = graft.Caches.persisted(v.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("vmic") - col("median_micro"))))
+    val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev", "mad_micro")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("median_micro")).as("median_micro"),
+        max(col("mad_micro")).as("mad_micro"),
+        sum(when(col("dev") > col("mad_micro") * 5, 1L).otherwise(0L)).as("n_anomalies"))
+  }
+
+  def anomalyMadSql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+      |m AS (SELECT event_type, quantile_disc(vmic, 0.5) AS med FROM v GROUP BY 1),
+      |d AS (SELECT v.event_type, vmic, med, abs(vmic - med) AS dev
+      |      FROM v JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(max(med) AS BIGINT) AS median_micro,
+      |  CAST(max(mad) AS BIGINT) AS mad_micro,
+      |  CAST(sum(CASE WHEN dev > mad * 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY event_type""".stripMargin
+
+  /** Sequence-pattern matching over per-user event journeys — the CEP /
+    * MATCH_RECOGNIZE shape ("how many times did this user view, click any
+    * number of times, then purchase — with nothing else in between?") via
+    * regular expressions over the journey string. Each user's history is
+    * folded to a string of event-type initials (c/e/p/s/v — all distinct
+    * here) in (ts, event_id) order, and two patterns are counted:
+    * `vc*p` (view → clicks → purchase, the clean conversion path) and
+    * `ve` (view immediately followed by an error, the rage-quit signal).
+    * Both patterns are unambiguous (no alternation, the starred class
+    * can't overlap the terminator), so leftmost non-overlapping match
+    * counts agree between regex engines (Java here, RE2 in the oracle).
+    *
+    * Scale shape: ONE user_id-keyed shuffle; each user's journey is one
+    * task-local sorted fold (per-user history bounded — the same contract
+    * as sessionization), and the regex runs once per user inside the
+    * projection. No joins, no re-scans. */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("i")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        size(col("es")).cast("bigint").as("n_events"),
+        expr("array_join(transform(es, x -> x.i), '')").as("journey"))
+      .select(col("user_id"), col("n_events"),
+        expr("regexp_count(journey, 'vc*p')").cast("bigint").as("n_conversion_paths"),
+        expr("regexp_count(journey, 've')").cast("bigint").as("n_view_errors"))
+
+  def patternMatchSql: String =
+    """WITH j AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  CAST(len(regexp_extract_all(journey, 'vc*p')) AS BIGINT) AS n_conversion_paths,
+      |  CAST(len(regexp_extract_all(journey, 've')) AS BIGINT) AS n_view_errors
+      |FROM j""".stripMargin
+
   /** First-order Markov transition counts between consecutive events of the
     * same user — the sequence-mining staple behind next-action prediction
     * and session-flow dashboards. Order within a user is (ts, event_id):

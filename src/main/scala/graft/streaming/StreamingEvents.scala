@@ -378,6 +378,69 @@ object StreamingEvents {
     out.result().iterator
   }
 
+  case class PatternRow(
+      user_id: Long, n_events: Long, n_conversion_paths: Long, n_view_errors: Long)
+
+  /** CEP state per user: in-flight automaton flags for each pattern plus
+    * the running counts. `sawV1` = inside a live `vc*p` attempt (a later
+    * `v` restarts the attempt, matching leftmost regex semantics);
+    * `sawV2` = the last event was `v` for the 2-char `ve` pattern. */
+  case class PatternState(
+      sawV1: Boolean, sawV2: Boolean,
+      nEvents: Long, nConv: Long, nViewErr: Long, lastMs: Long)
+
+  /** Streaming twin of [[graft.events.EventQueries.patternMatch]]: the
+    * per-user CEP automaton maintained as `flatMapGroupsWithState` state —
+    * two booleans and three counters per user, O(1) regardless of history
+    * length, where the batch operator folds the whole journey string. The
+    * automata exactly implement the leftmost non-overlapping regex
+    * semantics of `vc*p` and `ve` (a non-[cp] event kills a live attempt,
+    * a fresh `v` restarts it — the same prefix reasoning the batch
+    * Scaladoc gives), so after any event-time-ordered micro-batch split
+    * the running counts equal the batch regex counts. Users idle past the
+    * horizon are evicted — the replayable-ingest discipline shared with
+    * [[transitionPairs]]. */
+  def patternMatchPerUser(
+      events: Dataset[Event],
+      idleHorizonMs: Long = 86400000L): Dataset[PatternRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingEvents.updatePattern(idleHorizonMs))
+  }
+
+  private def updatePattern(idleHorizonMs: Long)(
+      userId: Long,
+      evts: Iterator[Event],
+      state: GroupState[PatternState]): Iterator[PatternRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var s = state.getOption.getOrElse(PatternState(
+      sawV1 = false, sawV2 = false, nEvents = 0L, nConv = 0L, nViewErr = 0L, lastMs = 0L))
+    sorted.foreach { e =>
+      val i = e.event_type.charAt(0)
+      // vc*p automaton: v (re)starts an attempt, c keeps it alive,
+      // p completes it, anything else kills it
+      val (v1, conv) = i match {
+        case 'v' => (true, 0L)
+        case 'c' => (s.sawV1, 0L)
+        case 'p' => (false, if (s.sawV1) 1L else 0L)
+        case _ => (false, 0L)
+      }
+      // ve automaton: strictly adjacent, so only the previous event matters
+      val ve = if (s.sawV2 && i == 'e') 1L else 0L
+      s = PatternState(v1, i == 'v', s.nEvents + 1, s.nConv + conv,
+        s.nViewErr + ve, e.ts.getTime)
+    }
+    state.update(s)
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs() + 1, s.lastMs + idleHorizonMs))
+    Iterator.single(PatternRow(userId, s.nEvents, s.nConv, s.nViewErr))
+  }
+
   case class TwapRow(user_id: Long, span_ms: Long, twap_num: Long, twap: Double)
 
   /** Streaming twin of the batch TWAP ([[graft.events.EventQueries]]

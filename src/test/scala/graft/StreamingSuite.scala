@@ -893,6 +893,45 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CEP pattern counts equal the batch regex counts on driver data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    // horizon wider than the data span: no user's automaton may be
+    // evicted mid-stream (same discipline as the transition parity test)
+    val q = StreamingEvents.patternMatchPerUser(input.toDS(), 40L * 86400000L)
+      .writeStream.format("memory").queryName("pattern_stream")
+      .outputMode("update").start()
+    try {
+      // three event-time-ordered micro-batches: automaton state must carry
+      // across batch boundaries (a v...p span that straddles a boundary)
+      val sortedTs = evts.map(_.ts.getTime).sorted
+      val (b1, b2) = (sortedTs(evts.length / 3), sortedTs(2 * evts.length / 3))
+      input.addData(evts.filter(_.ts.getTime < b1): _*)
+      q.processAllAvailable()
+      input.addData(evts.filter(e => e.ts.getTime >= b1 && e.ts.getTime < b2): _*)
+      q.processAllAvailable()
+      input.addData(evts.filter(_.ts.getTime >= b2): _*)
+      q.processAllAvailable()
+      // Update mode: the LAST row per user is the final running count
+      val streamed = spark.table("pattern_stream")
+        .groupBy($"user_id")
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct($"n_events", $"n_conversion_paths", $"n_view_errors")).as("m"))
+        .select($"user_id", $"m.n_events", $"m.n_conversion_paths", $"m.n_view_errors")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.events.EventQueries.patternMatch(spark, Sf0001)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(streamed == batch)
+      assert(batch.values.map(_._2).sum > 0, "conversion paths exist in the fixture")
+      assert(batch.values.map(_._3).sum > 0, "view-error pairs exist in the fixture")
+    } finally q.stop()
+  }
+
   test("streaming transition pairs equal the batch Markov transition counts on driver data") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

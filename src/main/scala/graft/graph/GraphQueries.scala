@@ -312,6 +312,65 @@ object GraphQueries {
       |      FROM pairs JOIN item iu ON iu.part = u
       |      JOIN item iv ON iv.part = v), n""".stripMargin
 
+  /** Frequent triples via the Apriori prune (Agrawal & Srikant 1994) — the
+    * size-3 member of the market-basket family: itemsets bought together in
+    * ≥ [[MinSupport]] orders. The scale story IS the prune: candidate
+    * triples are assembled only from per-order pairs that survived the
+    * frequent-PAIR filter, and the third item must itself close two more
+    * frequent pairs — anti-monotonicity (every subset of a frequent set is
+    * frequent) guarantees this prunes NOTHING from the answer while cutting
+    * the candidate stream from Σ C(k,3) per basket to the frequent
+    * residue. The frequent-pair set broadcasts (small by construction —
+    * that's the Apriori premise); the brute-force 3-way-join oracle is the
+    * exact same answer by the same theorem.
+    *
+    * Scale shape: one grouped pair expansion (bounded per order), one
+    * orderkey-keyed join to extend with the third item, three broadcast
+    * prune joins, one (a,b,c)-keyed partial-agg count. Nothing quadratic
+    * in the catalog, nothing cubic in the basket past the prune.
+    *
+    * Witness note: TPC-H's uniform part draw thins with SF — at sf0.001
+    * 94 triples repeat, at sf0.01 12, at sf0.1 NONE (max support 1,
+    * verified brute-force), so the empty sf0.1 result is the true
+    * answer, not a degenerate gate; the oracle compare and the
+    * partition-invariance pin run where the witness is non-trivial. */
+  def frequentTriples(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairsPerOrder = graft.Caches.persisted(
+      li.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("l_orderkey"), explode(expr(
+          """flatten(transform(ps, (u, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
+            .stripMargin)).as("p"))
+        .select(col("l_orderkey"), col("p.u").as("u"), col("p.v").as("v")))
+    val f2 = graft.Caches.persisted(
+      pairsPerOrder.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("s")).filter(col("s") >= MinSupport)
+        .select(col("u"), col("v")))
+    pairsPerOrder
+      .join(broadcast(f2), Seq("u", "v")) // (a,b) frequent
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("w")), "l_orderkey")
+      .filter(col("w") > col("v"))
+      .join(broadcast(f2.select(col("u").as("v"), col("v").as("w"))), Seq("v", "w")) // (b,c)
+      .join(broadcast(f2.select(col("u"), col("v").as("w"))), Seq("u", "w")) // (a,c)
+      .groupBy(col("u").as("part_a"), col("v").as("part_b"), col("w").as("part_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+  }
+
+  /** Oracle: the brute-force 3-way join — identical output by Apriori
+    * anti-monotonicity (the prune removes only non-answers). */
+  def frequentTriplesSql: String =
+    s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+       |  CAST(count(*) AS BIGINT) AS support
+       |FROM d a
+       |JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |JOIN d c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+       |GROUP BY 1, 2, 3 HAVING count(*) >= $MinSupport""".stripMargin
+
   private val LpaRounds = 3
 
   /** Community detection by SYNCHRONOUS label propagation over the

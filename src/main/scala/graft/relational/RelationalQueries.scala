@@ -2189,6 +2189,62 @@ object RelationalQueries {
       |  n_orders * 1000000 // n_total - expected_ppm AS deviation_ppm
       |FROM c JOIN e ON c.digit = e.digit, n""".stripMargin
 
+  /** Whole-schema foreign-key orphan audit — the referential-integrity
+    * sweep a warehouse runs after every load: for each of the seven FK
+    * edges in the schema, how many child rows point at a missing parent?
+    * ([[ordersReconcileLines]] audits one edge's VALUES; this audits every
+    * edge's KEYS.) Zero orphans is the healthy answer — the audit's value
+    * is that it PROVES zero, with the child-row and distinct-key counts
+    * as non-degenerate witnesses that each join actually ran.
+    *
+    * Scale shape: each edge is one narrow (fk)-column pass — a partial
+    * agg for the counts and a keys-only anti join for the orphans
+    * (dimension parents broadcast; the orders parent stays a keyed
+    * shuffle of 8-byte keys). Seven one-row results union. */
+  def fkOrphanAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(edge: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val keys = parent.select(col(pk))
+      val par = if (bcast) broadcast(keys) else keys
+      val stats = child.select(col(fk)).agg(
+        count(lit(1)).as("n_child_rows"),
+        countDistinct(col(fk)).as("n_distinct_fk"))
+      val orphans = child.select(col(fk))
+        .join(par, col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      stats.crossJoin(orphans).select(lit(edge).as("fk_edge"),
+        col("n_child_rows"), col("n_distinct_fk"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      audit("lineitem->orders", li, "l_orderkey", Tables.orders(spark, dir), "o_orderkey", bcast = false),
+      audit("lineitem->part", li, "l_partkey", Tables.part(spark, dir), "p_partkey", bcast = true),
+      audit("lineitem->supplier", li, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey", bcast = true),
+      audit("orders->customer", Tables.orders(spark, dir), "o_custkey", Tables.customer(spark, dir), "c_custkey", bcast = true),
+      audit("customer->nation", Tables.customer(spark, dir), "c_nationkey", Tables.nation(spark, dir), "n_nationkey", bcast = true),
+      audit("supplier->nation", Tables.supplier(spark, dir), "s_nationkey", Tables.nation(spark, dir), "n_nationkey", bcast = true),
+      audit("nation->region", Tables.nation(spark, dir), "n_regionkey", Tables.region(spark, dir), "r_regionkey", bcast = true)
+    ).reduce(_ unionByName _)
+  }
+
+  def fkOrphanAuditSql: String = {
+    def one(edge: String, child: String, fk: String, parent: String, pk: String): String =
+      s"""SELECT '$edge' AS fk_edge,
+         |  CAST(count(*) AS BIGINT) AS n_child_rows,
+         |  CAST(count(DISTINCT $fk) AS BIGINT) AS n_distinct_fk,
+         |  CAST(sum(CASE WHEN $pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |FROM $child LEFT JOIN $parent ON $fk = $pk""".stripMargin
+    Seq(
+      one("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      one("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      one("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      one("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      one("nation->region", "nation", "n_regionkey", "region", "r_regionkey")
+    ).mkString("", "\nUNION ALL\n", "")
+  }
+
   def ordersMutualInfoSql: String =
     """WITH joint AS (
       |  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS c_xy

@@ -275,6 +275,69 @@ object TextQueries {
     * counts (broadcast at this sf — vocabularies, not corpora), two
     * one-row scalar totals broadcast, and TakeOrderedAndProject for the
     * top-100 — no global sort. */
+  /** Zipf-law fit of the corpus rank–frequency curve — the corpus-health
+    * one-liner (natural language slopes ≈ −1; a corpus of boilerplate or
+    * template spam doesn't): OLS slope of ln(freq) on ln(rank) over the
+    * top-100 words. Both logs are snapped to exact micro-nats BEFORE the
+    * moment sums (the [[graft.relational.RelationalQueries.ordersEntropy]]
+    * policy), the slope is one floor division of two decimal(38,0)
+    * products, and the floor is spelled out for the negative numerator so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree.
+    *
+    * Scale shape: word counts are wc's partial-agg shuffle; the top-100 is
+    * a TakeOrdered; every moment runs on 100 rows. */
+  def wordZipf(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(100)
+    val dec = "decimal(38,0)"
+    top
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word").asc)).cast("bigint"))
+      .select(
+        expr("cast(round(ln(rk) * 1000000) as bigint)").as("x"),
+        expr("cast(round(ln(cnt) * 1000000) as bigint)").as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_terms"),
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast(dec) * lit(1000000L).cast(dec)).as("num"),
+        (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast(dec).as("den"))
+      .select(col("n_terms"),
+        expr("""cast(CASE WHEN num >= 0 THEN num div den
+               |     ELSE -((-num + den - 1) div den) END as bigint)""".stripMargin)
+          .as("slope_micro"))
+      .withColumn("slope", round(col("slope_micro") / 1000000.0, 6))
+  }
+
+  def wordZipfSql: String =
+    """WITH wc AS (
+      |  SELECT word, count(*) AS cnt
+      |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS word
+      |        FROM documents) t
+      |  GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 100),
+      |xy AS (
+      |  SELECT CAST(round(ln(row_number() OVER (ORDER BY cnt DESC, word ASC)) * 1000000) AS BIGINT) AS x,
+      |    CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y
+      |  FROM wc),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM xy),
+      |s AS (
+      |  SELECT n_terms,
+      |    CAST(n_terms * sxy - sx * sy AS HUGEINT) * 1000000 AS num,
+      |    CAST(n_terms * sxx - sx * sx AS HUGEINT) AS den
+      |  FROM m)
+      |SELECT n_terms,
+      |  CAST(CASE WHEN num >= 0 THEN num // den
+      |       ELSE -((-num + den - 1) // den) END AS BIGINT) AS slope_micro,
+      |  round(CAST(CASE WHEN num >= 0 THEN num // den
+      |       ELSE -((-num + den - 1) // den) END AS BIGINT) / 1000000.0e0, 6) AS slope
+      |FROM s""".stripMargin
+
   def wordPmi(spark: SparkSession, dir: String): DataFrame = {
     val toksDf = Tables.documents(spark, dir).select(tokens(col("text")).as("toks"))
     val uni = toksDf.select(explode(col("toks")).as("w"))

@@ -354,6 +354,75 @@ object MultimodalPipeline {
     }
   }
 
+  /** One REAL decoded frame sampled from an animated image. */
+  case class GifFrame(
+      id: Long, frame_idx: Int, n_frames: Int,
+      width: Int, height: Int, luma_mass: Long)
+
+  /** REAL frame sampling over animated GIFs — the video-pipeline shape
+    * (seek → decode every k-th frame → per-frame features) run through an
+    * actual multi-frame codec, `javax.imageio`'s GIF reader (the only
+    * multi-frame format the JDK decodes; a production video pipeline swaps
+    * the reader for an ffmpeg/JNI call and NOTHING else changes — same
+    * batched mapPartitions, same 1→N row expansion, same payload-never-
+    * shuffles contract as [[sampleFrames]]' byte-slicing stub, which stays
+    * as the codec-free fallback). Each sampled frame yields its REAL
+    * decoded dimensions and the exact int64 BT.601 luma mass
+    * ([[imagePixelStats]]' policy). Non-GIF or undecodable payloads drop
+    * (flatMap), matching every decoder's junk policy here.
+    *
+    * Frames are read with `getNumImages(allowSearch = true)` — one pass
+    * over the payload to index frames, then only every k-th frame pays
+    * decode. GIF frames can be partial rasters (frame disposal); the
+    * stats describe the frame's own raster, the honest per-frame value. */
+  def sampleGifFrames(
+      media: Dataset[MediaRow], everyK: Int = 2, batchSize: Int = 64): Dataset[GifFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          val out =
+            if (!readers.hasNext) Vector.empty[GifFrame]
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                if (!reader.getFormatName.equalsIgnoreCase("gif")) Vector.empty[GifFrame]
+                else {
+                  val n = reader.getNumImages(true)
+                  (0 until n by math.max(1, everyK)).iterator.map { i =>
+                    val img = reader.read(i)
+                    val (w, h) = (img.getWidth, img.getHeight)
+                    var sum = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val rgb = img.getRGB(x, y)
+                        sum += 299 * ((rgb >> 16) & 0xff) +
+                          587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    GifFrame(r.id, i, n, w, h, sum)
+                  }.toVector
+                }
+              } catch {
+                case _: java.io.IOException => Vector.empty[GifFrame]
+              } finally reader.dispose()
+            }
+          iis.close()
+          out.iterator
+        }
+      }
+    }
+  }
+
   /** Documents reinterpreted as a media table (text payload as bytes) — the
     * binary-column plumbing demo over driver testdata. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {

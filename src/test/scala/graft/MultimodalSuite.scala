@@ -63,6 +63,47 @@ class MultimodalSuite extends SparkSpec {
     }
   }
 
+  test("real GIF frame sampling: every k-th decoded frame with exact luma, non-GIF dropped") {
+    import spark.implicits._
+    // a real 5-frame animated GIF through the JDK's own sequence writer:
+    // grayscale solid frames (GIF palettizes, grays survive exactly)
+    val grays = Seq(0, 64, 128, 192, 255)
+    def gifBytes(w: Int, h: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until w).foreach(x => (0 until h).foreach(y =>
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)))
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      baos.toByteArray
+    }
+    val png = {
+      val img = new java.awt.image.BufferedImage(3, 3,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos)); bos.toByteArray
+    }
+    val media = Seq(
+      MultimodalPipeline.MediaRow(1L, gifBytes(6, 4), "gif"),
+      MultimodalPipeline.MediaRow(2L, png, "png"), // single-frame non-GIF: dropped
+      MultimodalPipeline.MediaRow(3L, Array[Byte](1, 2), "junk")).toDS()
+    val out = MultimodalPipeline.sampleGifFrames(media, everyK = 2, batchSize = 2)
+      .collect().sortBy(_.frame_idx)
+    // frames 0, 2, 4 of 5; real decoded dims; gray g has luma 1000·g exactly
+    assert(out.map(f => (f.id, f.frame_idx, f.n_frames, f.width, f.height)).toSeq ==
+      Seq((1L, 0, 5, 6, 4), (1L, 2, 5, 6, 4), (1L, 4, 5, 6, 4)))
+    assert(out.map(_.luma_mass).toSeq ==
+      Seq(0, 2, 4).map(i => 6L * 4L * 1000L * grays(i)))
+  }
+
   test("real image decode: PNG and JPEG fixtures yield width/height/format, junk is dropped") {
     import spark.implicits._
     // real fixture images, generated deterministically in-test: a 13x7 PNG

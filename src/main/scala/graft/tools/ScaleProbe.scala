@@ -39,7 +39,9 @@ object ScaleProbe {
     "embed_gram", "events_ewma", "hybrid_search_rrf", "corpus_drift_psi",
     "token_apportionment", "doc_shard_rendezvous", "events_rolling_median",
     "events_attribution_linear", "events_unconverted_views", "events_conversion_lag",
-    "events_markov_stationary", "lang_id_confusion")
+    "events_markov_stationary", "lang_id_confusion",
+    "events_seasonality", "dedup_eval", "quality_calibration", "ann_recall",
+    "events_pattern_match", "events_anomaly_mad")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

@@ -311,7 +311,11 @@ class TemporalOpsSuite extends SparkSpec {
       "events_conversion_lag", "orders_entropy", "orders_mutual_info",
       "orders_reconcile_lines", "er_golden_records", "copurchase_clustering",
       "prf_search", "nation_revenue_share", "part_abc_class", "region_supplier_hhi",
-      "nation_revenue_gini", "copurchase_assortativity")
+      "nation_revenue_gini", "copurchase_assortativity",
+      "customer_rfm", "orders_benford", "events_seasonality",
+      "copurchase_ra_links", "dedup_eval", "quality_calibration", "ann_recall",
+      "events_pattern_match", "events_anomaly_mad",
+      "frequent_triples", "fk_orphan_audit", "word_zipf", "pq_distortion")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

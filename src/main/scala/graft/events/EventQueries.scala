@@ -804,6 +804,46 @@ object EventQueries {
       |  n_events * 24 * 1000000 // n_type AS seasonal_index_ppm
       |FROM hourly JOIN t USING (event_type)""".stripMargin
 
+  /** Right-to-be-forgotten erasure audit — the GDPR/CCPA compliance sweep
+    * over an event store: given a deletion manifest (here derived
+    * deterministically — every user who ever hit an `error` event,
+    * standing in for the request table), report per event type how many
+    * rows the erasure removes, how many survive, and how many distinct
+    * users are affected. Kept + erased = total by construction, so the
+    * audit doubles as the conservation proof a compliance reviewer asks
+    * for.
+    *
+    * Scale shape: the manifest is a users-with-errors distinct (partial
+    * agg, |affected users| rows, broadcast here; past broadcast scale the
+    * same plan shuffle-hashes on user_id — the key is already the
+    * manifest's key); ONE flag join + one |types|-row rollup. The actual
+    * delete is this plan's `erase IS NULL` filter feeding a rewrite —
+    * the audit and the delete share the scan. */
+  def erasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"))
+    val manifest = ev.filter(col("event_type") === "error")
+      .select(col("user_id")).distinct().withColumn("erase", lit(1L))
+    ev.join(broadcast(manifest), Seq("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("erase").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("erase") === 1L, 1L).otherwise(0L)).as("n_erased"),
+        countDistinct(when(col("erase") === 1L, col("user_id"))).as("n_users_erased"))
+  }
+
+  def erasureAuditSql: String =
+    """WITH m AS (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+      |f AS (
+      |  SELECT e.event_type, e.user_id,
+      |    CASE WHEN m.user_id IS NULL THEN 0 ELSE 1 END AS erase
+      |  FROM events e LEFT JOIN m ON e.user_id = m.user_id)
+      |SELECT event_type,
+      |  CAST(sum(CASE WHEN erase = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(erase) AS BIGINT) AS n_erased,
+      |  CAST(count(DISTINCT CASE WHEN erase = 1 THEN user_id END) AS BIGINT) AS n_users_erased
+      |FROM f GROUP BY event_type""".stripMargin
+
   /** Robust outlier counts per event type via Median Absolute Deviation —
     * the heavy-tail-safe twin of [[anomalyDays]]' z-score flag: median and
     * MAD don't move when the outliers themselves do, so a burst of bad

@@ -443,11 +443,14 @@ object GraphQueries {
     // unlike the LPA loop (labels consumed ONCE per round), each relaxation
     // consumes dist TWICE (self-union + neighbor join) — left lazy, the
     // lineage re-evaluates level r−1 twice, i.e. the hub selection 2³ times
-    // (measured 7.5 s vs 2.6 s at sf0.1); persisting each |V|-bounded level
-    // makes every round evaluate exactly once
-    var dist = graft.Caches.persisted(src.withColumn("h", lit(0L)))
+    // (measured 7.5 s vs 2.6 s at sf0.1). TRUNCATE each level (not a lazy
+    // persist): with persist the logical plan still doubles per round and
+    // the optimizer pays for 2³ subtrees — checkpoint truncation keeps
+    // every round's plan O(1) (the er_golden_records/doc_pagerank lesson,
+    // measured ~5.1 s → ~3.6 s steady-state at sf0.1)
+    var dist = graft.dedup.DedupQueries.truncate(src.withColumn("h", lit(0L)))
     for (_ <- 1 to BfsRounds) {
-      dist = graft.Caches.persisted(dist
+      dist = graft.dedup.DedupQueries.truncate(dist
         .unionByName(
           adj.join(dist.select(col("v").as("n"), col("h")), "n")
             .select(col("v"), (col("h") + 1).as("h")))

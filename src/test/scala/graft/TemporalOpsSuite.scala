@@ -315,7 +315,8 @@ class TemporalOpsSuite extends SparkSpec {
       "customer_rfm", "orders_benford", "events_seasonality",
       "copurchase_ra_links", "dedup_eval", "quality_calibration", "ann_recall",
       "events_pattern_match", "events_anomaly_mad",
-      "frequent_triples", "fk_orphan_audit", "word_zipf", "pq_distortion")
+      "frequent_triples", "fk_orphan_audit", "word_zipf", "pq_distortion",
+      "events_erasure_audit")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

@@ -804,6 +804,108 @@ object EventQueries {
       |  n_events * 24 * 1000000 // n_type AS seasonal_index_ppm
       |FROM hourly JOIN t USING (event_type)""".stripMargin
 
+  /** Theil–Sen robust trend per event type — the median of all pairwise
+    * slopes of the daily-volume series: the robust-regression twin of
+    * `events_trend`'s OLS line (one wild outlier day moves OLS, it cannot
+    * move the pairwise median). Every pairwise slope is floored to an
+    * integer micro-slope FIRST — with the negative-numerator floor
+    * spelled out so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree — and the median is the lower median (rank ⌈n/2⌉), the
+    * engine-portable selection used everywhere here.
+    *
+    * Scale shape: the corpus collapses to the (types × days) rollup in
+    * one partial-agg shuffle; the pair expansion and the rank window run
+    * on that TIME-DIMENSION table — C(days, 2) rows per type, bounded by
+    * the calendar, not the data (a year is ~66 k pairs; the fact table
+    * never feeds the window). */
+  def trendRobust(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Caches.persisted(Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")))
+    val slopes = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        expr("""CASE WHEN (b.c - a.c) >= 0
+               |  THEN ((b.c - a.c) * 1000000L) div (b.day - a.day)
+               |  ELSE -((-(b.c - a.c) * 1000000L + (b.day - a.day) - 1) div (b.day - a.day))
+               |END""".stripMargin).as("slope_micro"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope_micro"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(expr("rn = (n + 1) div 2"))
+      .select(col("event_type"), col("n").as("n_pairs"),
+        col("slope_micro").as("theilsen_slope_micro"))
+      .withColumn("slope_per_day", round(col("theilsen_slope_micro") / 1000000.0, 6))
+  }
+
+  def trendRobustSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT a.event_type,
+      |    CASE WHEN (b.c - a.c) >= 0
+      |      THEN ((b.c - a.c) * 1000000) // (b.day - a.day)
+      |      ELSE -((-(b.c - a.c) * 1000000 + (b.day - a.day) - 1) // (b.day - a.day))
+      |    END AS slope_micro
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(quantile_disc(slope_micro, 0.5) AS BIGINT) AS theilsen_slope_micro,
+      |  round(CAST(quantile_disc(slope_micro, 0.5) AS BIGINT) / 1000000.0e0, 6) AS slope_per_day
+      |FROM s GROUP BY event_type""".stripMargin
+
+  /** Cohort LTV curve — revenue by (signup-week cohort × weeks-since-
+    * signup): the money twin of `events_retention` (that one counts
+    * returning users; this routes the purchase cents), the curve every
+    * growth team plots. Exact cents; the per-cohort cumulative LTV is a
+    * running sum over the AGE axis (calendar-bounded, ≤ weeks² cells).
+    * Users without a signup event are out of scope (no cohort).
+    *
+    * Scale shape: one pass for per-user signup weeks (user-keyed partial
+    * agg), one pass for per-(user, week) purchase cents, one user-keyed
+    * join, a (cohort × age) partial agg, and the cumulative window over
+    * that calendar-bounded rollup. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(ts) div 604800000000")).as("cohort_week"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).as("cents"))
+    val cells = rev.join(cohorts, "user_id")
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"), sum(col("cents")).as("revenue_cents"))
+    cells
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(
+        Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def cohortLtvSql: String =
+    """WITH c AS (
+      |  SELECT user_id, min(epoch_us(ts) // 604800000000) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |r AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT cohort_week, week - cohort_week AS age_weeks,
+      |    CAST(count(DISTINCT r.user_id) AS BIGINT) AS n_buyers,
+      |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |  FROM r JOIN c USING (user_id)
+      |  WHERE week >= cohort_week
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, age_weeks, n_buyers, revenue_cents,
+      |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+      |FROM cells""".stripMargin
+
   /** Right-to-be-forgotten erasure audit — the GDPR/CCPA compliance sweep
     * over an event store: given a deletion manifest (here derived
     * deterministically — every user who ever hit an `error` event,

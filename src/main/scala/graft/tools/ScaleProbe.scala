@@ -41,7 +41,8 @@ object ScaleProbe {
     "events_attribution_linear", "events_unconverted_views", "events_conversion_lag",
     "events_markov_stationary", "lang_id_confusion",
     "events_seasonality", "dedup_eval", "quality_calibration", "ann_recall",
-    "events_pattern_match", "events_anomaly_mad", "events_erasure_audit")
+    "events_pattern_match", "events_anomaly_mad", "events_erasure_audit",
+    "events_trend_robust", "events_cohort_ltv")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

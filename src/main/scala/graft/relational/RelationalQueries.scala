@@ -1895,9 +1895,10 @@ object RelationalQueries {
     * Zero-order customers count with x = 0 (excluding them would
     * understate inequality). Numerator sign: Σ i·x ≥ ((n+1)/2)·Σx by the
     * rearrangement inequality, so the quotient is non-negative and
-    * truncation ≡ floor in both engines. (Σ i·x fits int64 up to ~10⁵
-    * customers × $10⁸-cents revenues per nation; past that the same
-    * expressions lower to DECIMAL(38,0).)
+    * truncation ≡ floor in both engines. The final ppm arithmetic runs in
+    * DECIMAL(38,0) (HUGEINT in the oracle): `2·Σi·x·10⁶` exceeds int64
+    * already at sf0.1's per-nation revenue mass — caught by the sf0.1
+    * cross-check, ANSI mode turned the silent wrap into an error.
     *
     * Scale shape: revenue is one custkey-keyed partial agg; the rank and
     * the three sums run in per-nation windows sharing one exchange; the
@@ -1922,8 +1923,10 @@ object RelationalQueries {
       .filter(col("total_cents") > 0)
       .select(col("c_nationkey").cast("bigint").as("nation_key"),
         col("n_customers"), col("total_cents"),
-        expr("(2 * sum_ix - (n_customers + 1) * total_cents) * 1000000L div (n_customers * total_cents)")
-          .as("gini_ppm"))
+        expr("""cast((2 * cast(sum_ix as decimal(38,0))
+               |      - (n_customers + 1) * cast(total_cents as decimal(38,0))) * 1000000
+               |     div (n_customers * cast(total_cents as decimal(38,0))) as bigint)"""
+          .stripMargin).as("gini_ppm"))
       .withColumn("gini", round(col("gini_ppm") / 1000000.0, 6))
   }
 
@@ -1941,10 +1944,10 @@ object RelationalQueries {
       |SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
       |  CAST(count(*) AS BIGINT) AS n_customers,
       |  CAST(sum(x) AS BIGINT) AS total_cents,
-      |  CAST((2 * CAST(sum(i * x) AS BIGINT) - (count(*) + 1) * CAST(sum(x) AS BIGINT)) * 1000000
-      |    // (count(*) * CAST(sum(x) AS BIGINT)) AS BIGINT) AS gini_ppm,
-      |  round(CAST((2 * CAST(sum(i * x) AS BIGINT) - (count(*) + 1) * CAST(sum(x) AS BIGINT)) * 1000000
-      |    // (count(*) * CAST(sum(x) AS BIGINT)) AS BIGINT) / 1000000.0e0, 6) AS gini
+      |  CAST((2 * CAST(sum(i * x) AS HUGEINT) - (count(*) + 1) * CAST(sum(x) AS HUGEINT)) * 1000000
+      |    // (count(*) * CAST(sum(x) AS HUGEINT)) AS BIGINT) AS gini_ppm,
+      |  round(CAST((2 * CAST(sum(i * x) AS HUGEINT) - (count(*) + 1) * CAST(sum(x) AS HUGEINT)) * 1000000
+      |    // (count(*) * CAST(sum(x) AS HUGEINT)) AS BIGINT) / 1000000.0e0, 6) AS gini
       |FROM rk GROUP BY c_nationkey
       |HAVING sum(x) > 0""".stripMargin
 

@@ -176,4 +176,38 @@ object BpeTrainer {
        |WHERE d.word <> ''
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Tokenizer FERTILITY per language — tokens-per-word under the learned
+    * merges, the standard multilingual-tokenizer health metric (a language
+    * the vocabulary serves badly fragments into many subword tokens per
+    * word, inflating its effective sequence length and training cost).
+    * Exact ppm: `Σ subword-tokens · 10⁶ div Σ words` per language.
+    *
+    * Scale shape: the trained vocabulary (word → symbol count) broadcasts
+    * exactly as [[bpeEncode]]'s does; the corpus pays one narrow tokenize
+    * pass into a |langs|-row partial agg. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = train(spark, dir)._2
+      .select(col("word"), size(col("syms")).as("n_syms"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(vocab), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+      .withColumn("fertility_ppm", expr("n_bpe_tokens * 1000000L div n_words"))
+  }
+
+  def tokenFertilitySql: String =
+    s"""$lloydStyleCtes
+       |SELECT d.lang,
+       |       count(*)::BIGINT AS n_words,
+       |       sum(len(v.syms))::BIGINT AS n_bpe_tokens,
+       |       (sum(len(v.syms)) * 1000000 // count(*))::BIGINT AS fertility_ppm
+       |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |      FROM documents) d
+       |JOIN syms$Merges v ON d.word = v.word
+       |WHERE d.word <> ''
+       |GROUP BY d.lang""".stripMargin
 }

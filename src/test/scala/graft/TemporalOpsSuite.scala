@@ -316,7 +316,8 @@ class TemporalOpsSuite extends SparkSpec {
       "copurchase_ra_links", "dedup_eval", "quality_calibration", "ann_recall",
       "events_pattern_match", "events_anomaly_mad",
       "frequent_triples", "fk_orphan_audit", "word_zipf", "pq_distortion",
-      "events_erasure_audit", "events_trend_robust", "events_cohort_ltv")
+      "events_erasure_audit", "events_trend_robust", "events_cohort_ltv",
+      "token_fertility")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

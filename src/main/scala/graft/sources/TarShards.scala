@@ -80,6 +80,67 @@ object TarShards {
       .mapPartitions(_.flatMap { case (path, bytes) => members(path, bytes) })
   }
 
+  /** One written shard's manifest row. */
+  case class ShardManifest(shard: String, n_members: Long, bytes: Long)
+
+  /** The EXPORT half: pack a (doc_id, text) corpus into `nShards` tar
+    * shards — the packaging step that turns a curated corpus into the
+    * WebDataset layout trainers stream. Placement is `doc_id mod nShards`
+    * (deterministic, rebalance-free); ONE shuffle routes each document to
+    * its shard's task, members are written in doc_id order, so every
+    * shard's BYTES are a pure function of the corpus — re-exports are
+    * bit-stable, which is what makes shard-level caching and resumable
+    * uploads safe. Returns the manifest (one row per shard) the next
+    * pipeline stage checks against.
+    *
+    * Scale shape: the only data movement is the routing shuffle the
+    * format requires; each task streams its members through one tar
+    * encoder — no shard is ever held in memory whole. */
+  def writeShards(
+      docs: Dataset[(Long, String)], outDir: String, nShards: Int): Dataset[ShardManifest] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    new java.io.File(outDir).mkdirs()
+    docs
+      .map { case (id, text) => (id % nShards, id, text) }
+      .repartition(nShards, col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .mapPartitions { rows =>
+        // a hash partition can carry several shard ids; one encoder each,
+        // opened on first member, closed when its run ends (ids are sorted)
+        val out = ArrayBuffer.empty[ShardManifest]
+        var cur = -1L
+        var tar: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream = null
+        var file: java.io.File = null
+        var n = 0L
+        def close(): Unit = if (tar != null) {
+          tar.close()
+          out += ShardManifest(file.getName, n, file.length())
+          tar = null
+        }
+        rows.foreach { case (shard, id, text) =>
+          if (shard != cur) {
+            close()
+            cur = shard
+            n = 0L
+            file = new java.io.File(outDir, f"shard-$shard%05d.tar")
+            tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+              new java.io.BufferedOutputStream(new java.io.FileOutputStream(file)))
+          }
+          val bytes = text.getBytes("UTF-8")
+          val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(f"$id%012d.txt")
+          e.setSize(bytes.length.toLong)
+          e.setModTime(0L) // pinned mtime: shard bytes are corpus-determined
+          tar.putArchiveEntry(e)
+          tar.write(bytes)
+          tar.closeArchiveEntry()
+          n += 1
+        }
+        close()
+        out.iterator
+      }
+  }
+
   /** Assembled samples: adjacent same-key members folded task-locally —
     * zero shuffle (suite-pinned: the physical plan has no Exchange). */
   def readSamples(spark: SparkSession, glob: String): Dataset[TarSample] = {

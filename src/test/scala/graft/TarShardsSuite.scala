@@ -94,6 +94,29 @@ class TarShardsSuite extends SparkSpec {
     assert(ms.map(_.key).toSeq == Seq("a"))
   }
 
+  test("export roundtrip: documents pack into shards, read back bit-identical, manifest balances") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").as[(Long, String)]
+    val outDir = Files.createTempDirectory("graft-tar-export").toString
+    val manifest = TarShards.writeShards(docs, outDir, nShards = 4).collect()
+    assert(manifest.length == 4)
+    assert(manifest.map(_.n_members).sum == docs.count())
+    // roundtrip: every document comes back byte-identical under its key
+    val back = TarShards.readSamples(spark, s"$outDir/*.tar").collect()
+      .map(s => s.key.toLong -> new String(s.members("txt"), "UTF-8")).toMap
+    val truth = docs.collect().toMap
+    assert(back == truth)
+    // bit-stability: a second export yields byte-identical shard files
+    val outDir2 = Files.createTempDirectory("graft-tar-export2").toString
+    TarShards.writeShards(docs, outDir2, nShards = 4).collect()
+    manifest.foreach { m =>
+      val a = Files.readAllBytes(java.nio.file.Paths.get(s"$outDir/${m.shard}"))
+      val b = Files.readAllBytes(java.nio.file.Paths.get(s"$outDir2/${m.shard}"))
+      assert(java.util.Arrays.equals(a, b), s"${m.shard} not bit-stable")
+    }
+  }
+
   test("integration: a GIF inside a tar shard decodes through the multimodal pipeline") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tar-gif").toString

@@ -42,7 +42,7 @@ object ScaleProbe {
     "events_markov_stationary", "lang_id_confusion",
     "events_seasonality", "dedup_eval", "quality_calibration", "ann_recall",
     "events_pattern_match", "events_anomaly_mad", "events_erasure_audit",
-    "events_trend_robust", "events_cohort_ltv")
+    "events_trend_robust", "events_cohort_ltv", "token_fertility")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

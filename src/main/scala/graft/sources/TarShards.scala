@@ -80,6 +80,41 @@ object TarShards {
       .mapPartitions(_.flatMap { case (path, bytes) => members(path, bytes) })
   }
 
+  /** CONTINUOUS ingestion: the same adjacency-assembled samples over a
+    * stream of ARRIVING shards (Structured Streaming's file source watches
+    * the glob; each discovered shard is decoded exactly once by one task —
+    * the delivery-by-delivery shape of a corpus that lands as uploads).
+    * Zero shuffle for the same reason as the batch path; exactly-once
+    * per shard comes from the file source's checkpointed file log. */
+  def streamSamples(spark: SparkSession, glob: String): Dataset[TarSample] = {
+    import spark.implicits._
+    // the binaryFile format's fixed schema — streaming file sources
+    // require it stated (no inference pass over a possibly-empty glob)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile").schema(binarySchema).load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val out = ArrayBuffer.empty[TarSample]
+        var curKey: String = null
+        var cur = Map.empty[String, Array[Byte]]
+        members(path, bytes).foreach { m =>
+          if (m.key != curKey) {
+            if (curKey != null) out += TarSample(path, curKey, cur)
+            curKey = m.key
+            cur = Map.empty
+          }
+          cur += (m.ext -> m.payload)
+        }
+        if (curKey != null) out += TarSample(path, curKey, cur)
+        out.iterator
+      })
+  }
+
   /** One written shard's manifest row. */
   case class ShardManifest(shard: String, n_members: Long, bytes: Long)
 

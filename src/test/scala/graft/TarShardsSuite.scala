@@ -117,6 +117,28 @@ class TarShardsSuite extends SparkSpec {
     }
   }
 
+  test("streaming ingestion: arriving shards surface as samples exactly once per shard") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tar-stream").toString
+    writeShard(dir, "d1.tar", Seq(
+      "a.txt" -> "one".getBytes("UTF-8"), "b.txt" -> "two".getBytes("UTF-8")))
+    val q = graft.sources.TarShards.streamSamples(spark, s"$dir/*.tar")
+      .map(s => (s.key, new String(s.members("txt"), "UTF-8")))
+      .writeStream.format("memory").queryName("tar_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("tar_stream").as[(String, String)].collect().toSet
+      assert(first == Set(("a", "one"), ("b", "two")))
+      // a second delivery: only the NEW shard's samples append
+      writeShard(dir, "d2.tar", Seq("c.txt" -> "three".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val all = spark.table("tar_stream").as[(String, String)].collect()
+      assert(all.length == 3, all.mkString(","))
+      assert(all.toSet == Set(("a", "one"), ("b", "two"), ("c", "three")))
+    } finally q.stop()
+  }
+
   test("integration: a GIF inside a tar shard decodes through the multimodal pipeline") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tar-gif").toString

@@ -139,6 +139,44 @@ class TarShardsSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curated export: quality-gated dedup survivors pack into shards end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the full corpus-prep story composed from verified operators: exact-
+    // dedup keepers ∩ the heuristic quality gate → bit-stable tar shards.
+    // The driver corpus at this SF has no exact dups and no junk, so spike
+    // one of each to make both gates demonstrably bite.
+    val dir = Files.createTempDirectory("graft-curated-src").toString
+    val spiked = Tables.documents(spark, Sf0001).unionByName(
+      Tables.documents(spark, Sf0001).filter(col("doc_id") === 0)
+        .withColumn("doc_id", lit(100000L)) // exact dup of doc 0
+    ).unionByName(
+      Seq((100001L, "x y", "en", "spiked", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")) // junk: fails the gate
+    spiked.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val total = spiked.count()
+    val keepers = graft.dedup.DedupQueries.dedupExact(spark, dir)
+      .filter(!col("is_dup")).select("doc_id")
+    val quality = graft.text.TextQueries.textQuality(spark, dir)
+      .filter(col("is_quality")).select("doc_id")
+    val curated = Tables.documents(spark, dir)
+      .join(keepers, "doc_id").join(quality, "doc_id")
+      .select("doc_id", "text").as[(Long, String)]
+    val nCurated = curated.count()
+    assert(nCurated > 0)
+    assert(nCurated == total - 2, s"$nCurated / $total") // both gates bit
+    assert(!curated.collect().map(_._1).contains(100000L) ||
+      !curated.collect().map(_._1).contains(0L)) // one of the dup pair survives
+    val outDir = Files.createTempDirectory("graft-curated").toString
+    val manifest = TarShards.writeShards(curated, outDir, nShards = 3).collect()
+    assert(manifest.map(_.n_members).sum == nCurated)
+    // every exported member is a curated doc, byte-identical
+    val back = TarShards.readSamples(spark, s"$outDir/*.tar").collect()
+      .map(s => s.key.toLong -> new String(s.members("txt"), "UTF-8")).toMap
+    assert(back == curated.collect().toMap)
+    Caches.drain()
+  }
+
   test("integration: a GIF inside a tar shard decodes through the multimodal pipeline") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tar-gif").toString

@@ -2232,6 +2232,58 @@ object RelationalQueries {
     ).reduce(_ unionByName _)
   }
 
+  /** Join-key skew report over the fact table — the diagnostic a data
+    * engineer runs BEFORE choosing a salting/AQE strategy: for each join
+    * key column, the key count, the heaviest key's row count, and the
+    * skew ratio (max over mean, exact ppm — mean = rows div keys, both
+    * int64). A ratio near 10⁶ means uniform keys (broadcast/plain shuffle
+    * is fine); orders of magnitude above it names the key that needs
+    * salting. The heaviest key itself is reported (ties to the smallest
+    * key) so the fix can target it.
+    *
+    * Scale shape: ONE stacked narrow pass (the [[ordersEntropy]] explode
+    * shape) → a (column, key) partial agg → a |columns|-row argmax rollup
+    * via struct-max. Nothing holistic, nothing per-key downstream. */
+  def lineitemSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.lineitem(spark, dir)
+      .select(explode(array(
+        struct(lit("l_orderkey").as("col_name"), col("l_orderkey").as("k")),
+        struct(lit("l_partkey").as("col_name"), col("l_partkey").as("k")),
+        struct(lit("l_suppkey").as("col_name"), col("l_suppkey").as("k")))).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.k").as("k"))
+      .groupBy(col("col_name"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    perKey.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(struct(col("c").as("c"), (-col("k")).as("nk"))).as("m"))
+      .select(col("col_name"), col("n_keys"), col("n_rows"),
+        col("m.c").as("max_rows_per_key"),
+        (-col("m.nk")).as("heaviest_key"),
+        expr("m.c * 1000000L div (n_rows div n_keys)").as("skew_ratio_ppm"))
+  }
+
+  def lineitemSkewReportSql: String =
+    """WITH stacked AS (
+      |  SELECT 'l_orderkey' AS col_name, l_orderkey AS k FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+      |pk AS (SELECT col_name, k, count(*) AS c FROM stacked GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(c) AS BIGINT) AS n_rows
+      |  FROM pk GROUP BY 1),
+      |hv AS (
+      |  SELECT col_name, c AS max_rows_per_key, k AS heaviest_key
+      |  FROM (SELECT pk.*, row_number() OVER (
+      |          PARTITION BY col_name ORDER BY c DESC, k ASC) AS rn FROM pk) t
+      |  WHERE rn = 1)
+      |SELECT col_name, n_keys, n_rows,
+      |  CAST(max_rows_per_key AS BIGINT) AS max_rows_per_key,
+      |  CAST(heaviest_key AS BIGINT) AS heaviest_key,
+      |  CAST(max_rows_per_key * 1000000 // (n_rows // n_keys) AS BIGINT) AS skew_ratio_ppm
+      |FROM agg JOIN hv USING (col_name)""".stripMargin
+
   def fkOrphanAuditSql: String = {
     def one(edge: String, child: String, fk: String, parent: String, pk: String): String =
       s"""SELECT '$edge' AS fk_edge,

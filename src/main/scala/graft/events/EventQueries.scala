@@ -857,6 +857,142 @@ object EventQueries {
       |  round(CAST(quantile_disc(slope_micro, 0.5) AS BIGINT) / 1000000.0e0, 6) AS slope_per_day
       |FROM s GROUP BY event_type""".stripMargin
 
+  /** Churn hazard table — the survival-analysis (Kaplan–Meier) INPUT over
+    * user lifetimes: per day-of-age t, how many users were still at risk,
+    * how many churned exactly then, how many are censored (still active at
+    * the observation end — treating them as churned is the classic
+    * retention-inflation bug). All counts and the discrete hazard
+    * (`churned · 10⁶ div at_risk`) are exact integers; the survival curve
+    * itself is Π(1 − hazard) — a float product the consumer folds over
+    * this table in age order, deliberately NOT emitted so the registered
+    * output stays engine-exact.
+    *
+    * Age end = last-activity day − signup day; churned iff the last
+    * activity predates the corpus's final observed day. (Day, not week:
+    * the driver corpus spans ~30 days, and the unit must be finer than
+    * the horizon or every lifetime ends censored and the hazard column
+    * is identically zero — a witness that exercises nothing.)
+    *
+    * Scale shape: one user-keyed partial agg builds (age_end, churned)
+    * per signup user; the per-age rollup is calendar-bounded, and
+    * n_at_risk is a reverse cumulative sum over THAT — the fact table
+    * never feeds a window. The observation-end day is a broadcast 1-row
+    * crossJoin. */
+  def churnHazard(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.persisted(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day")))
+    val obsEnd = ev.agg(max(col("day")).as("d_end"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("day"))).as("signup_day"),
+        max(col("day")).as("last_day"))
+      .filter(col("signup_day").isNotNull)
+      .crossJoin(broadcast(obsEnd))
+      .select((col("last_day") - col("signup_day")).as("age_end"),
+        when(col("last_day") < col("d_end"), 1L).otherwise(0L).as("churned"))
+    val perAge = perUser.groupBy(col("age_end"))
+      .agg(count(lit(1)).as("n_ending"), sum(col("churned")).as("n_churned"))
+    val wRisk = Window.orderBy(col("age_end").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perAge
+      .withColumn("n_at_risk", sum(col("n_ending")).over(wRisk))
+      .select(col("age_end").as("age_days"), col("n_at_risk"), col("n_churned"),
+        (col("n_ending") - col("n_churned")).as("n_censored"),
+        expr("n_churned * 1000000L div n_at_risk").as("hazard_ppm"))
+  }
+
+  def churnHazardSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+      |oe AS (SELECT max(day) AS d_end FROM ev),
+      |pu AS (
+      |  SELECT last_day - signup_day AS age_end,
+      |    CASE WHEN last_day < d_end THEN 1 ELSE 0 END AS churned
+      |  FROM (SELECT user_id,
+      |          min(CASE WHEN event_type = 'signup' THEN day END) AS signup_day,
+      |          max(day) AS last_day
+      |        FROM ev GROUP BY 1) u, oe
+      |  WHERE signup_day IS NOT NULL),
+      |pa AS (
+      |  SELECT age_end, CAST(count(*) AS BIGINT) AS n_ending,
+      |    CAST(sum(churned) AS BIGINT) AS n_churned
+      |  FROM pu GROUP BY 1)
+      |SELECT age_end AS age_days,
+      |  CAST(sum(n_ending) OVER (ORDER BY age_end DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk,
+      |  n_churned,
+      |  CAST(n_ending - n_churned AS BIGINT) AS n_censored,
+      |  CAST(n_churned * 1000000 // sum(n_ending) OVER (ORDER BY age_end DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hazard_ppm
+      |FROM pa""".stripMargin
+
+  /** CUSUM changepoint detection — per event type, the day where the
+    * cumulative sum of deviations from the type's mean daily volume peaks
+    * in magnitude (Page 1954): the standard "did the rate shift, and
+    * when?" scan over a metric series, complementing `events_anomaly_mad`
+    * (point outliers) and `events_trend` (monotone drift).
+    *
+    * Exactness: the mean is never divided out. With n calendar days and
+    * grand total T, the deviation of day d is `n·c_d − T` (pure int64),
+    * whose prefix sum is n·CUSUM_d — same argmax, zero rounding. Gap days
+    * count as zero volume (a type that stops emitting IS a changepoint),
+    * so the per-type series is densified over the global calendar first.
+    * Ties on |cusum| break to the earliest day.
+    *
+    * Scale shape: the facts collapse to a (type × day) grid in one
+    * partial-aggregated pass — ~types·days rows regardless of corpus
+    * size — and every window below runs on that grid, never the facts.
+    * The calendar bounds are a broadcast 1-row aggregate. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.persisted(Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day")))
+    val cal = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(cal))
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val wT = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_days", count(lit(1)).over(wT))
+      .withColumn("total", sum(col("c")).over(wT))
+      .withColumn("cusum", sum(col("c") * col("n_days") - col("total")).over(wCum))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("cusum")).desc, col("day").asc)))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        abs(col("cusum")).as("cusum_abs"), col("n_days"),
+        col("total").as("n_events"))
+  }
+
+  def cusumChangepointSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+      |cal AS (SELECT unnest(range(min(day), max(day) + 1)) AS day FROM ev),
+      |cnt AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.event_type, g.day, coalesce(c.c, 0) AS c
+      |  FROM (SELECT t.event_type, ca.day
+      |        FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN cal ca) g
+      |  LEFT JOIN cnt c ON c.event_type = g.event_type AND c.day = g.day),
+      |s AS (
+      |  SELECT event_type, day, c,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+      |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM grid),
+      |cu AS (
+      |  SELECT event_type, day, n_days, total,
+      |    sum(c * n_days - total) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS cusum
+      |  FROM s)
+      |SELECT event_type, day AS cp_day, CAST(abs(cusum) AS BIGINT) AS cusum_abs,
+      |  n_days, total AS n_events
+      |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |        ORDER BY abs(cusum) DESC, day ASC) AS rk FROM cu)
+      |WHERE rk = 1""".stripMargin
+
   /** Cohort LTV curve — revenue by (signup-week cohort × weeks-since-
     * signup): the money twin of `events_retention` (that one counts
     * returning users; this routes the purchase cents), the curve every

@@ -579,4 +579,144 @@ object GraphQueries {
        |${round("l2", "l3")}
        |SELECT v AS part_id, label FROM l3""".stripMargin
   }
+
+  private val SsspRounds = 3
+
+  /** Weighted single-source shortest paths (synchronous Bellman–Ford,
+    * [[SsspRounds]] relaxation rounds) from the co-purchase hub — the
+    * weighted twin of [[bfsHops]]: edge cost is `10⁶ div co_count`
+    * (micro-units; frequently co-purchased pairs are "close"), so the
+    * output ranks parts by how cheaply the best-seller reaches them
+    * through strong baskets, not just how few hops away they are.
+    *
+    * Exactness: integer weights, integer min-plus relaxation — no floats
+    * anywhere, so the unrolled-CTE oracle matches bit-for-bit. Within the
+    * fixed round budget the relaxation is exact for paths of ≤ 3 edges
+    * (Bellman–Ford's standard partial-result semantics).
+    *
+    * Scale: identical loop shape to [[bfsHops]] — per round one
+    * adjacency⋈distances join keyed on the neighbor id + one node-keyed
+    * min partial agg, edge-set-sized, each level checkpoint-truncated
+    * because it is consumed twice (self-union + neighbor join). The
+    * weighted adjacency adds one (u,v)-keyed count agg over the same
+    * grouped pair expansion [[copurchaseEdges]] uses. */
+  def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (u, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("u"), col("v"), expr("1000000L div cnt").as("w"))
+    val adj = graft.Caches.persisted(
+      pairs.select(col("u").as("v"), col("v").as("n"), col("w"))
+        .unionByName(pairs.select(col("v").as("v"), col("u").as("n"), col("w"))))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val src = deg.orderBy(col("d").desc, col("v").asc).limit(1).select(col("v"))
+    var dist = graft.dedup.DedupQueries.truncate(src.withColumn("h", lit(0L)))
+    for (_ <- 1 to SsspRounds) {
+      dist = graft.dedup.DedupQueries.truncate(dist
+        .unionByName(
+          adj.join(dist.select(col("v").as("n"), col("h")), "n")
+            .select(col("v"), (col("h") + col("w")).as("h")))
+        .groupBy(col("v")).agg(min(col("h")).as("h")))
+    }
+    dist.select(col("v").as("part_id"), col("h").cast("bigint").as("dist_micro"))
+  }
+
+  /** Oracle: the same [[SsspRounds]] synchronous min-plus relaxations
+    * unrolled. */
+  def ssspWeightedSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT v, min(h) AS h FROM (
+         |    SELECT v, h FROM $prev
+         |    UNION ALL
+         |    SELECT a.v, p.h + a.w AS h FROM adj a JOIN $prev p ON a.n = p.v)
+         |  GROUP BY v)"""
+    s"""WITH pe AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+       |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2),
+       |we AS (SELECT u, v, CAST(1000000 // cnt AS BIGINT) AS w FROM pe),
+       |adj AS (SELECT u AS v, v AS n, w FROM we UNION ALL SELECT v AS v, u AS n, w FROM we),
+       |deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+       |d0 AS (SELECT v, CAST(0 AS BIGINT) AS h
+       |       FROM (SELECT v FROM deg ORDER BY d DESC, v ASC LIMIT 1)),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")}
+       |SELECT v AS part_id, CAST(h AS BIGINT) AS dist_micro FROM d3""".stripMargin
+  }
+
+  private val HitsRounds = 2
+  private val HitsTopK = 20
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    * customer→part purchase graph, [[HitsRounds]] power-iteration rounds:
+    * authority(part) = Σ hub(customer) over its buyers, hub(customer) =
+    * Σ authority(part) over their basket — "parts bought by broad buyers,
+    * buyers of important parts", the mutually-recursive centrality
+    * PageRank (a random-walk centrality, [[graft.dedup.DedupQueries
+    * .docPagerank]]) does not express. Emits the top-[[HitsTopK]]
+    * authority parts.
+    *
+    * Exactness: HITS normally L2-normalizes each half-step — a float
+    * contract. This uses the equivalent max-normalization in ppm fixed
+    * point: `score · 10⁶ div max(score)` (argmax/ordering identical to
+    * any positive rescaling), keeping every score an int64 so the
+    * unrolled oracle hash-matches. Sums stay far under int64: scores are
+    * ≤ 10⁶ and bipartite degrees bound each Σ at degree · 10⁶.
+    *
+    * Scale: per half-step one edge⋈scores join keyed on the score side +
+    * one partial agg — edge-set-sized, the PageRank loop shape; the max
+    * is a broadcast 1-row aggregate crossJoined back (never a driver
+    * round-trip), and each round is checkpoint-truncated because its
+    * output feeds both the max and the rescale. */
+  def copurchaseHits(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Caches.persisted(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct())
+    var auth = e.select(col("p")).distinct().withColumn("a", lit(1000000L))
+    for (_ <- 1 to HitsRounds) {
+      val hRaw = e.join(auth, "p").groupBy(col("c")).agg(sum(col("a")).as("hr"))
+      val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("hr")).as("hm"))))
+        .select(col("c"), expr("hr * 1000000L div hm").as("h"))
+      val aRaw = e.join(hub, "c").groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      auth = graft.dedup.DedupQueries.truncate(
+        aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
+          .select(col("p"), expr("ar * 1000000L div am").as("a")))
+    }
+    auth.orderBy(col("a").desc, col("p").asc).limit(HitsTopK)
+      .select(col("p").as("part_id"), col("a").as("auth_ppm"))
+  }
+
+  /** Oracle: the same [[HitsRounds]] max-normalized half-steps unrolled;
+    * DuckDB's BIGINT sum widens to HUGEINT, so every score is cast back
+    * to BIGINT at the rescale where Spark's arithmetic stays int64. */
+  def copurchaseHitsSql: String = {
+    def round(aPrev: String, i: Int): String =
+      s"""h${i}r AS (SELECT c, sum(a) AS hr FROM e JOIN $aPrev USING (p) GROUP BY c),
+         |h$i AS (SELECT c, CAST(hr * 1000000 // (SELECT max(hr) FROM h${i}r) AS BIGINT) AS h
+         |        FROM h${i}r),
+         |a${i}r AS (SELECT p, sum(h) AS ar FROM e JOIN h$i USING (c) GROUP BY p),
+         |a$i AS (SELECT p, CAST(ar * 1000000 // (SELECT max(ar) FROM a${i}r) AS BIGINT) AS a
+         |        FROM a${i}r)"""
+    s"""WITH e AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |a0 AS (SELECT DISTINCT p, CAST(1000000 AS BIGINT) AS a FROM e),
+       |${round("a0", 1)},
+       |${round("a1", 2)}
+       |SELECT p AS part_id, a AS auth_ppm FROM a2
+       |ORDER BY a DESC, p ASC LIMIT $HitsTopK""".stripMargin
+  }
 }

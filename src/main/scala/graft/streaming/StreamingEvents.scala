@@ -511,6 +511,74 @@ object StreamingEvents {
     out.iterator
   }
 
+  case class CusumRow(event_type: String, day: Long, n_events: Long, cusum_ppm: Long)
+
+  /** State for [[cusumMonitor]]: the one OPEN day per type plus the
+    * running cusum over all closed days. */
+  case class CusumState(day: Long, count: Long, cusum: Long)
+
+  /** Streaming CUSUM rate monitor — the online twin of the batch
+    * changepoint scan ([[graft.events.EventQueries]] `events_cusum`,
+    * which finds WHERE the rate shifted post-hoc; this raises the alarm
+    * WHILE it shifts): per event type, the running cumulative deviation
+    * of closed-day volumes from a reference daily rate (classic Page
+    * CUSUM against a fixed reference — the reference comes from a batch
+    * aggregate over the historical corpus, the [[StreamingCorpus
+    * .driftPsi]] stream-vs-batch-reference shape).
+    *
+    * `refPpm(type)` is the reference rate in events·10⁻⁶/day; a closed
+    * day with c events moves the cusum by `c·10⁶ − ref`. A day closes
+    * when a later event arrives for that type; intervening EMPTY days
+    * emit too, each shifting the cusum by −ref (a type that stops
+    * emitting drifts negative — exactly the signal a changepoint monitor
+    * must not lose). One row per closed day in event-time order.
+    *
+    * State is O(1) per type — (open day, its count, running cusum) —
+    * evicted by the idle-horizon timeout; the final open day dies
+    * unemitted with it (a day is only known complete when a later one
+    * starts). Late events for already-closed days are dropped, the
+    * watermark contract every Append-mode aggregation here shares. */
+  def cusumMonitor(
+      events: Dataset[Event],
+      refPpm: Map[String, Long],
+      idleHorizonMs: Long = 7L * 86400000L): Dataset[CusumRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingEvents.updateCusum(refPpm, idleHorizonMs))
+  }
+
+  private def updateCusum(refPpm: Map[String, Long], idleHorizonMs: Long)(
+      eventType: String,
+      evts: Iterator[Event],
+      state: GroupState[CusumState]): Iterator[CusumRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    val ref = refPpm.getOrElse(eventType, 0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[CusumRow]
+    var st = state.getOption.orNull
+    sorted.foreach { e =>
+      val d = Math.floorDiv(e.ts.getTime, 86400000L)
+      if (st == null) st = CusumState(d, 1L, 0L)
+      else if (d == st.day) st = st.copy(count = st.count + 1)
+      else if (d > st.day) {
+        var cus = st.cusum + (st.count * 1000000L - ref)
+        out += CusumRow(eventType, st.day, st.count, cus)
+        var g = st.day + 1
+        while (g < d) { cus -= ref; out += CusumRow(eventType, g, 0L, cus); g += 1 }
+        st = CusumState(d, 1L, cus)
+      } // d < st.day: late beyond the open day — dropped (watermark contract)
+    }
+    state.update(st)
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs() + 1,
+        sorted.last.ts.getTime + idleHorizonMs))
+    out.iterator
+  }
+
   case class RollMedRow(user_id: Long, event_id: Long, n_window: Long, med_cents: Long)
 
   /** Streaming twin of the batch rolling median

@@ -148,4 +148,40 @@ class GraphErSuite extends SparkSpec {
     // 2k items in 128k bits ⇒ fpp well under 1%; 18k non-members probe it
     assert(falsePos < 180, s"$falsePos false positives out of 18000 — filter mis-sized")
   }
+
+  test("graph_sssp: reaches exactly the BFS frontier, seed at 0, dist bounded by 1e6·hops") {
+    // Same seed rule, same round budget, weights in (0, 1e6] ⇒ the SSSP
+    // reachable set equals BFS's, the hub's distance is 0, and every
+    // distance is positive and at most hops·10⁶ (each edge costs ≤ 10⁶).
+    import spark.implicits._
+    val hops = GraphQueries.bfsHops(spark, Sf0001)
+      .as[(Long, Long)].collect().toMap
+    Caches.drain()
+    val dist = GraphQueries.ssspWeighted(spark, Sf0001)
+      .as[(Long, Long)].collect().toMap
+    Caches.drain()
+    assert(dist.keySet == hops.keySet, "weighted relaxation changed the reachable set")
+    val seed = hops.collectFirst { case (v, 0L) => v }.get
+    assert(dist(seed) == 0L)
+    dist.foreach { case (v, d) =>
+      assert(d <= hops(v) * 1000000L, s"part $v: dist $d exceeds ${hops(v)} hops × 1e6")
+      if (v != seed) assert(d > 0L, s"part $v: non-seed at distance 0")
+    }
+  }
+
+  test("copurchase_hits: top-k authorities are ppm-normalized, led by the max, drawn from the part set") {
+    import spark.implicits._
+    val top = GraphQueries.copurchaseHits(spark, Sf0001)
+      .as[(Long, Long)].collect()
+    Caches.drain()
+    assert(top.length == 20)
+    // max-normalization contract: the leader scores exactly 10⁶, everyone
+    // is in (0, 10⁶], and the list is sorted (score desc, id asc)
+    assert(top.head._2 == 1000000L)
+    assert(top.forall { case (_, a) => a > 0L && a <= 1000000L })
+    assert(top.sameElements(top.sortBy { case (p, a) => (-a, p) }))
+    val parts = Tables.lineitem(spark, Sf0001)
+      .select(col("l_partkey")).distinct().as[Long].collect().toSet
+    assert(top.forall { case (p, _) => parts.contains(p) })
+  }
 }

@@ -863,6 +863,61 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM monitor equals the batch densified cumulative deviation on driver data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    // reference rate per type: mean daily volume over the corpus in ppm,
+    // computed batch-side (the driftPsi batch-reference shape)
+    val refPpm = Tables.events(spark, Sf0001)
+      .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy($"event_type")
+      .agg(expr("count(*) * 1000000L div (max(day) - min(day) + 1)").as("ref"))
+      .as[(String, Long)].collect().toMap
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.cusumMonitor(input.toDS(), refPpm, 40L * 86400000L)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    try {
+      val ordered = evts.sortBy(e => (e.ts.getTime, e.event_id))
+      ordered.grouped((ordered.length + 2) / 3).foreach { batch =>
+        input.addData(scala.util.Random.shuffle(batch.toSeq): _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cusum_stream")
+        .select($"event_type", $"day", $"n_events", $"cusum_ppm")
+        .as[(String, Long, Long, Long)].collect().toSet
+      // independent batch path: per type densify [first, last] days with a
+      // window cumsum of (c·10⁶ − ref), then drop each type's LAST day —
+      // the streaming monitor's open day, complete only once a later
+      // event closes it
+      val wT = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+      val wCum = wT.orderBy($"day").rowsBetween(Long.MinValue, 0)
+      val refDf = refPpm.toSeq.toDF("event_type", "ref")
+      val expected = Tables.events(spark, Sf0001)
+        .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy($"event_type").agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"event_type", explode(sequence($"d0", $"d1")).as("day"))
+        .join(
+          Tables.events(spark, Sf0001)
+            .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+            .groupBy($"event_type", $"day").agg(count(lit(1)).as("c")),
+          Seq("event_type", "day"), "left")
+        .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+        .join(broadcast(refDf), "event_type")
+        .withColumn("cusum_ppm", sum($"c" * 1000000L - $"ref").over(wCum))
+        .withColumn("last_day", max($"day").over(wT))
+        .filter($"day" < $"last_day")
+        .select($"event_type", $"day", $"c".as("n_events"), $"cusum_ppm")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming rolling median equals the batch rows-window order statistic on driver data") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -317,7 +317,8 @@ class TemporalOpsSuite extends SparkSpec {
       "events_pattern_match", "events_anomaly_mad",
       "frequent_triples", "fk_orphan_audit", "word_zipf", "pq_distortion",
       "events_erasure_audit", "events_trend_robust", "events_cohort_ltv",
-      "token_fertility", "lineitem_skew_report")
+      "token_fertility", "lineitem_skew_report", "events_churn_hazard",
+      "events_cusum", "graph_sssp", "copurchase_hits")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

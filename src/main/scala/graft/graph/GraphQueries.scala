@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -718,5 +719,136 @@ object GraphQueries {
        |${round("a1", 2)}
        |SELECT p AS part_id, a AS auth_ppm FROM a2
        |ORDER BY a DESC, p ASC LIMIT $HitsTopK""".stripMargin
+  }
+
+  private val CfTopK = 5
+
+  /** Item-item collaborative filtering (Sarwar et al. 2001 / the Amazon
+    * "customers who bought this also bought" shape): for every part, the
+    * top-[[CfTopK]] most similar parts by buyer-set cosine — similarity
+    * computed over WHO buys, not what's in one basket, so it complements
+    * [[frequentPairs]] (same-order lift) with cross-order taste structure.
+    *
+    * Exactness: cosine²(u,v) = co² / (deg_u·deg_v) in exact integer ppm —
+    * squaring clears the sqrt, and squaring is monotone on [0,1] so the
+    * ranking (and the ppm values themselves) are engine-identical with no
+    * transcendentals. `co²·10⁶` stays inside int64 up to co ≈ 3·10⁶
+    * co-buyers per pair; past that promote the numerator to decimal(38,0)
+    * BEFORE multiplying — noted because silent overflow would flip signs,
+    * not error (the [[graft.text.TextQueries]] word_pmi policy).
+    *
+    * Scale shape: the co-buyer counts come from ONE grouped pass over the
+    * per-customer sorted part array (the [[copurchaseEdges]] expansion —
+    * C(k,2) pairs per customer generated inside a codegen'd projection,
+    * never a fact-table self-join); real deployments cap per-user history
+    * (DIMSUM-style) to bound k — at TPC-H shape k ≈ 30 so the cap is
+    * omitted rather than dead-coded. Degrees are a |parts|-sized table
+    * attached by equi-join (item-keyed, AQE-broadcastable at dimension
+    * scale), and the per-item top-k plans a WindowGroupLimit below the
+    * exchange — per-partition top-k before any shuffle. */
+  def itemCfRecs(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Caches.persisted(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct())
+    val deg = e.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val co = e.groupBy(col("c"))
+      .agg(array_sort(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (u, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
+          .stripMargin)).as("pr"))
+      .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
+      .agg(count(lit(1)).as("co"))
+    val sym = co.select(col("u").as("item"), col("v").as("other"), col("co"))
+      .unionByName(co.select(col("v").as("item"), col("u").as("other"), col("co")))
+    val scored = sym
+      .join(deg.select(col("p").as("item"), col("deg").as("di")), "item")
+      .join(deg.select(col("p").as("other"), col("deg").as("dn")), "other")
+      .select(col("item"), col("other"), col("co"),
+        expr("co * co * 1000000L div (di * dn)").as("cos2_ppm"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cos2_ppm").desc, col("other").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CfTopK)
+      .select(col("item").as("item_id"), col("other").as("rec_id"),
+        col("co").as("co_buyers"), col("cos2_ppm"))
+  }
+
+  /** Oracle: brute-force buyer-set self-join — fine at oracle scale, and
+    * value-identical to the engine's grouped pair expansion. */
+  def itemCfRecsSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |co AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS co
+       |       FROM e a JOIN e b ON a.c = b.c AND a.p < b.p GROUP BY 1, 2),
+       |sym AS (SELECT u AS item, v AS other, co FROM co
+       |        UNION ALL SELECT v AS item, u AS other, co FROM co),
+       |sc AS (SELECT s.item, s.other, s.co,
+       |         CAST(s.co * s.co * 1000000 // (di.deg * dn.deg) AS BIGINT) AS cos2_ppm
+       |       FROM sym s JOIN deg di ON di.p = s.item JOIN deg dn ON dn.p = s.other)
+       |SELECT item AS item_id, other AS rec_id, co AS co_buyers, cos2_ppm FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY item
+       |    ORDER BY cos2_ppm DESC, other ASC) AS rk FROM sc)
+       |WHERE rk <= $CfTopK""".stripMargin
+
+  private val KcoreK = 3
+  private val KcorePeels = 4
+
+  /** k-core decomposition ([[KcoreK]]-core, [[KcorePeels]] synchronous
+    * peeling rounds) of the co-purchase graph — the standard dense-substrate
+    * extraction: repeatedly delete every vertex with degree < k; what
+    * survives is the maximal subgraph where everyone keeps ≥ k neighbors.
+    * The peel is what separates genuinely dense co-purchase cores from
+    * hub-and-spoke stars that raw degree can't tell apart. Within the fixed
+    * round budget the result is the standard partial semantics (every
+    * emitted vertex has degree ≥ k among ROUND-survivors — exact once the
+    * peel reaches its fixpoint, which the suite checks at test scale).
+    *
+    * Scale shape: each round is one vertex-keyed partial-agg degree count +
+    * two semi-joins of the edge list against the surviving vertex set —
+    * edge-set-sized, monotonically shrinking, checkpoint-truncated because
+    * each round's edges feed both the degree count and the next filter.
+    * No driver round-trips. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val und = copurchaseEdges(spark, dir)
+    var edges = graft.dedup.DedupQueries.truncate(
+      und.select(col("u").as("v"), col("v").as("n"))
+        .unionByName(und.select(col("v").as("v"), col("u").as("n"))))
+    for (_ <- 1 to KcorePeels) {
+      val keep = edges.groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcoreK).select(col("v"))
+      edges = graft.dedup.DedupQueries.truncate(
+        edges.join(keep, Seq("v"), "left_semi")
+          .join(keep.select(col("v").as("n")), Seq("n"), "left_semi"))
+    }
+    edges.groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+      .select(col("v").as("part_id"), col("core_deg"))
+  }
+
+  /** Oracle: the same [[KcorePeels]] synchronous peels unrolled. */
+  def kcoreSql: String = {
+    def peel(prev: String, cur: String): String =
+      s"""${cur}k AS (SELECT v FROM (SELECT v, count(*) AS d FROM $prev GROUP BY v)
+         |          WHERE d >= $KcoreK),
+         |$cur AS (SELECT e.v, e.n FROM $prev e
+         |         WHERE e.v IN (SELECT v FROM ${cur}k)
+         |           AND e.n IN (SELECT v FROM ${cur}k))"""
+    s"""WITH pe AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+       |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e0 AS (SELECT u AS v, v AS n FROM pe UNION ALL SELECT v AS v, u AS n FROM pe),
+       |${peel("e0", "e1")},
+       |${peel("e1", "e2")},
+       |${peel("e2", "e3")},
+       |${peel("e3", "e4")}
+       |SELECT v AS part_id, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e4 GROUP BY v""".stripMargin
   }
 }

@@ -448,4 +448,85 @@ object TextQueries {
       |                      x -> x <> '') AS wl
       |        FROM documents) t) m
       |WHERE n_matches > 0""".stripMargin
+
+  private val TrScale  = 1000000000000L // 1e12 fixed point, the doc_pagerank policy
+  private val TrRounds = 3
+  private val TrTopK   = 20
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — vertices are corpus words, edges
+    * connect ADJACENT words (window 2, undirected, deduplicated) — and the
+    * top-[[TrTopK]] ranked words are the corpus keywords. Unlike
+    * [[tfidfTopTerms]] (frequency × rarity per document), TextRank scores
+    * a word by the importance of the company it keeps, the standard
+    * unsupervised keyphrase baseline.
+    *
+    * Exactness: the [[graft.dedup.DedupQueries]] doc_pagerank arithmetic
+    * policy — int64 fixed point at [[TrScale]], damping as the rational
+    * 17/20, floor divisions identical in both engines — so the unrolled
+    * oracle replays the exact trajectory. No dangling-mass term: every
+    * vertex comes FROM the symmetrized edge set, so out-degree ≥ 1 by
+    * construction.
+    *
+    * Scale shape: the corpus contributes ONE adjacent-pair pass (a
+    * codegen'd in-projection transform over each token array — no
+    * self-join, no posexplode shuffle of all positions); everything after
+    * runs on the vocabulary-sized graph. Each of the [[TrRounds]] rounds
+    * is one edge⋈rank join + partial-agg sum, checkpoint-truncated; the
+    * final top-k is TakeOrderedAndProject. */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .select(explode(expr(
+        """filter(transform(slice(t, 1, size(t) - 1),
+          |  (w, i) -> struct(w AS a, element_at(t, i + 2) AS b)), p -> p.a <> p.b)"""
+          .stripMargin)).as("p"))
+      .select(least(col("p.a"), col("p.b")).as("u"),
+        greatest(col("p.a"), col("p.b")).as("v"))
+      .distinct()
+    val edges = graft.Caches.persisted(
+      pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"))))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    var rank = graft.dedup.DedupQueries.truncate(
+      deg.select(col("src").as("word"), col("deg"), lit(TrScale / n).as("rank")))
+    for (_ <- 1 to TrRounds) {
+      val sums = edges.join(rank, edges("src") === rank("word"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      rank = graft.dedup.DedupQueries.truncate(
+        rank.as("r").join(sums, col("r.word") === sums("dst"), "left")
+          .select(col("r.word").as("word"), col("r.deg").as("deg"),
+            (lit(3L * TrScale / (20L * n)) +
+              expr("(17 * coalesce(s, 0L)) div 20")).as("rank")))
+    }
+    rank.orderBy(col("rank").desc, col("word").asc).limit(TrTopK)
+      .select(col("word"), col("rank"))
+  }
+
+  /** Oracle: the identical fixed-point trajectory, unrolled [[TrRounds]]
+    * times (the docPagerankSql shape, minus the dangling term). */
+  def textrankKeywordsSql: String = {
+    def round(prev: String, i: Int): String =
+      s"""s$i AS (SELECT e.dst, sum(r.rank // r.deg) AS s
+         |        FROM edges e JOIN $prev r ON e.src = r.word GROUP BY 1),
+         |r${i + 1} AS (SELECT p.word, p.deg,
+         |    (3 * $TrScale) // (20 * n) + (17 * COALESCE(s, 0)) // 20 AS rank
+         |  FROM $prev p LEFT JOIN s$i ON p.word = s$i.dst, nn)""".stripMargin
+    s"""WITH pr AS (
+       |  SELECT DISTINCT least(wl[i], wl[i + 1]) AS u, greatest(wl[i], wl[i + 1]) AS v
+       |  FROM (SELECT list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+       |                           x -> x <> '') AS wl FROM documents) t,
+       |       UNNEST(range(1, len(wl))) AS r(i)
+       |  WHERE wl[i] <> wl[i + 1]),
+       |edges AS (SELECT u AS src, v AS dst FROM pr UNION ALL SELECT v, u FROM pr),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS word, deg, $TrScale // n AS rank FROM deg, nn),
+       |${(0 until TrRounds).map(i => round(s"r$i", i)).mkString(",\n")}
+       |SELECT word, CAST(rank AS BIGINT) AS rank FROM r$TrRounds
+       |ORDER BY rank DESC, word ASC
+       |LIMIT $TrTopK""".stripMargin
+  }
 }

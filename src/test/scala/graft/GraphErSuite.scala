@@ -184,4 +184,77 @@ class GraphErSuite extends SparkSpec {
       .select(col("l_partkey")).distinct().as[Long].collect().toSet
     assert(top.forall { case (p, _) => parts.contains(p) })
   }
+
+  test("graph_kcore: distributed peel ≡ driver-side reference peel (same rounds)") {
+    import spark.implicits._
+    val got = GraphQueries.kcore(spark, Sf0001)
+      .as[(Long, Long)].collect().toMap
+    Caches.drain()
+    // independent straightforward peel: adjacency sets in driver memory
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).as[(Long, Long)].collect()
+    val pairs = li.distinct.groupBy(_._1).valuesIterator.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    var adj: Map[Long, Set[Long]] =
+      (pairs.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+        .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    for (_ <- 1 to 4) {
+      val keep = adj.collect { case (v, ns) if ns.size >= 3 => v }.toSet
+      adj = adj.collect { case (v, ns) if keep(v) =>
+        v -> ns.filter(keep) }.filter(_._2.nonEmpty)
+    }
+    val expected = adj.map { case (v, ns) => v -> ns.size.toLong }
+    assert(got == expected)
+    assert(got.nonEmpty, "3-core empty at sf0.001 — witness exercises nothing")
+    assert(got.valuesIterator.forall(_ >= 3),
+      "a surviving vertex has degree < k after the final peel")
+  }
+
+  test("item_cf_recs: distributed CF ≡ driver-side brute-force buyer-set cosine") {
+    import spark.implicits._
+    val got = GraphQueries.itemCfRecs(spark, Sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    Caches.drain()
+    val ordCust = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_custkey")).as[(Long, Long)].collect().toMap
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).as[(Long, Long)].collect()
+    val cp = li.flatMap { case (ok, pk) => ordCust.get(ok).map(c => (c, pk)) }.distinct
+    val buyers: Map[Long, Set[Long]] =
+      cp.groupBy(_._2).map { case (p, cs) => p -> cs.map(_._1).toSet }
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    cp.groupBy(_._1).valuesIterator.foreach { ps =>
+      val s = ps.map(_._2).distinct.sorted
+      for (i <- s.indices; j <- i + 1 until s.length)
+        co((s(i), s(j))) = co.getOrElse((s(i), s(j)), 0L) + 1L
+    }
+    val expected = co.toSeq.flatMap { case ((u, v), c) => Seq((u, v, c), (v, u, c)) }
+      .map { case (item, other, c) =>
+        (item, other, c, c * c * 1000000L / (buyers(item).size * buyers(other).size)) }
+      .groupBy(_._1).valuesIterator.flatMap { rows =>
+        rows.sortBy { case (_, other, _, s) => (-s, other) }.take(5)
+      }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("textrank_keywords: top-20 sorted, positive fixed-point ranks, words from the corpus vocabulary") {
+    import spark.implicits._
+    val kw = graft.text.TextQueries.textrankKeywords(spark, Sf0001)
+      .as[(String, Long)].collect()
+    Caches.drain()
+    assert(kw.length == 20)
+    assert(kw.forall(_._2 > 0L))
+    assert(kw.sameElements(kw.sortBy { case (w, r) => (-r, w) }))
+    val vocab = Tables.documents(spark, Sf0001)
+      .select(explode(graft.text.TextQueries.tokens(col("text"))).as("w"))
+      .distinct().as[String].collect().toSet
+    assert(kw.forall { case (w, _) => vocab.contains(w) })
+    // a keyword must keep high-ranked company: the graph is vocabulary-wide,
+    // so a uniform rank (no propagation happened) would leave every score at
+    // init 10¹²/n — require genuine spread between the top and the median
+    assert(kw.head._2 > kw.last._2, "no rank spread — propagation did not run")
+  }
 }

@@ -711,6 +711,72 @@ object TrainingPrep {
        |FROM pb JOIN w USING (bucket)
        |GROUP BY doc_id""".stripMargin
 
+  /** Exact ROC AUC of the [[qualityClassifier]] score against the
+    * English-language label — the Mann-Whitney U statistic with midrank
+    * tie handling, the threshold-free companion to [[qualityCalibration]]'s
+    * reliability diagram. The label choice is the standard LANGUAGE-BIAS
+    * probe: corpus quality classifiers are notorious for silently encoding
+    * "English-like" (Dodge et al. 2021 on C4's filters); AUC against the
+    * language tag quantifies exactly that leakage — 0.5 = score carries no
+    * language signal, anything else = the keep gate shifts the mixture.
+    * (The heuristic `is_quality` gate is NOT usable as the label here: it
+    * passes every driver-generated document, and a one-class AUC is 0/0.)
+    *
+    * Exactness: AUC = (#concordant + ½·#tied) / (n_pos·n_neg) over all
+    * pos×neg pairs. Doubling clears the half: `2U = Σ_scores
+    * c_pos·(2·neg_below + c_neg_same)`, all int64, so
+    * `auc_ppm = 10⁶·2U div (2·n_pos·n_neg)` is engine-exact with zero
+    * float ranks. 2U ≤ 2·n_pos·n_neg, so int64 holds to n ≈ 2·10⁹ docs;
+    * past that promote the pair products to decimal(38,0) BEFORE
+    * multiplying (the [[graft.graph.GraphQueries]] item_cf_recs note —
+    * overflow here would wrap, not error, outside ANSI mode).
+    *
+    * Scale shape: the corpus collapses to a SCORE HISTOGRAM carrying
+    * per-score (c_pos, c_neg) — one doc_id-keyed label join + one
+    * partial-agg shuffle; rows = distinct scores ≪ corpus. The cumulative
+    * window and the final 1-row reduction run over that histogram only,
+    * so the single-partition window is |distinct scores|-sized by
+    * construction (the [[curriculumPhases]] pattern). */
+  def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    val scores = qualityClassifier(spark, dir).select(col("doc_id"), col("raw_score"))
+    val labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("lbl"))
+    val hist = scores.join(labels, "doc_id")
+      .groupBy(col("raw_score"))
+      .agg(sum(col("lbl")).as("c_pos"),
+        sum(lit(1L) - col("lbl")).as("c_neg"))
+    val wBelow = Window.orderBy(col("raw_score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("neg_below", coalesce(sum(col("c_neg")).over(wBelow), lit(0L)))
+      .agg(
+        sum(col("c_pos")).as("n_pos"),
+        sum(col("c_neg")).as("n_neg"),
+        sum(col("c_pos") * (lit(2L) * col("neg_below") + col("c_neg"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("u2 * 1000000L div (2L * n_pos * n_neg)").as("auc_ppm"))
+  }
+
+  def qualityAucSql: String =
+    s"""WITH scored AS (
+       |  ${qualityClassifierSql.replace("\n", "\n  ")}),
+       |lbl AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl
+       |  FROM documents),
+       |hist AS (
+       |  SELECT raw_score, sum(lbl) AS c_pos, sum(1 - lbl) AS c_neg
+       |  FROM scored JOIN lbl USING (doc_id) GROUP BY raw_score),
+       |cum AS (
+       |  SELECT c_pos, c_neg,
+       |    COALESCE(sum(c_neg) OVER (ORDER BY raw_score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+       |  FROM hist)
+       |SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(c_neg) AS BIGINT) AS n_neg,
+       |  CAST(sum(c_pos * (2 * neg_below + c_neg)) * 1000000
+       |    // (2 * sum(c_pos) * sum(c_neg)) AS BIGINT) AS auc_ppm
+       |FROM cum""".stripMargin
+
   private val PerStratumK = 20
 
   /** Exactly-k-PER-STRATUM deterministic sample — the grouped member of

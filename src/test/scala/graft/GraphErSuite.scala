@@ -230,7 +230,8 @@ class GraphErSuite extends SparkSpec {
       for (i <- s.indices; j <- i + 1 until s.length)
         co((s(i), s(j))) = co.getOrElse((s(i), s(j)), 0L) + 1L
     }
-    val expected = co.toSeq.flatMap { case ((u, v), c) => Seq((u, v, c), (v, u, c)) }
+    val expected = co.toSeq.filter(_._2 >= 2)
+      .flatMap { case ((u, v), c) => Seq((u, v, c), (v, u, c)) }
       .map { case (item, other, c) =>
         (item, other, c, c * c * 1000000L / (buyers(item).size * buyers(other).size)) }
       .groupBy(_._1).valuesIterator.flatMap { rows =>

@@ -841,4 +841,76 @@ object DataSelection {
       |  dup_tri_cnt / n_trigrams AS dup_share,
       |  (top_bigram_cnt / n_bigrams > 0.06e0 OR dup_tri_cnt / n_trigrams > 0.04e0) AS is_repetitive
       |FROM s2 JOIN s3 USING (doc_id)""".stripMargin
+
+  private val CovK = 5
+
+  /** Greedy coverage-maximization selection (submodular data selection,
+    * Kirchhoff & Bilmes 2014; the facility-location/set-cover member of
+    * the curation family): pick [[CovK]] documents one at a time, each
+    * round taking the document whose 5-gram set covers the most shingles
+    * NOT yet covered by earlier picks. Marginal-gain greedy carries the
+    * Nemhauser–Wolsey–Fisher (1 − 1/e) guarantee for monotone submodular
+    * coverage — the principled "maximally diverse seed set" draw, vs the
+    * frequency/rarity scores everywhere else in this family.
+    *
+    * Determinism: gains are exact set-difference COUNTS (int64) and the
+    * per-round argmax tie-breaks on doc_id, so the greedy trajectory is a
+    * pure function of the corpus — the oracle replays it unrolled.
+    *
+    * Scale shape: the corpus collapses ONCE to the persisted (doc, gram)
+    * pair set; each of the [[CovK]] rounds is two anti-joins against
+    * limit-1-frame accumulations (selected docs: ≤ k rows broadcast;
+    * covered grams: ≤ k·|doc grams| rows, gram-keyed) + one partial-agg
+    * count and a 1-row TakeOrdered — never a driver collection, plans
+    * checkpoint-truncated per round ([[graft.dedup.DedupQueries]] policy).
+    * Rounds are inherently sequential (that IS the algorithm); production
+    * variants batch picks per round (stochastic greedy) to shrink the
+    * round count, not the per-round shape. */
+  def coverageSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.Caches.persisted(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(TrainingPrep.ngrams(col("text"), TrainingPrep.NGram)).as("gram")))
+    var selected = graft.dedup.DedupQueries.truncate(
+      Seq.empty[(Long, Long, Long)].toDF("round", "doc_id", "gain"))
+    for (r <- 1 to CovK) {
+      val covered = base
+        .join(selected.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("gram")).distinct()
+      val winner = base
+        .join(selected.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(covered, Seq("gram"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
+        .select(lit(r.toLong).as("round"), col("doc_id"), col("gain"))
+      selected = graft.dedup.DedupQueries.truncate(selected.unionByName(winner))
+    }
+    selected
+  }
+
+  /** Oracle: the identical greedy trajectory unrolled [[CovK]] times. */
+  def coverageSelectSql: String = {
+    def round(r: Int): String = {
+      val notSel =
+        if (r == 1) ""
+        else "WHERE " + (1 until r).map(i => s"doc_id NOT IN (SELECT doc_id FROM w$i)").mkString(" AND ")
+      val notCov = if (r == 1) "" else
+        s"${if (notSel.isEmpty) "WHERE" else " AND"} gram NOT IN (SELECT gram FROM c${r - 1})"
+      val cov =
+        if (r == 1) s"c1 AS (SELECT DISTINCT gram FROM g JOIN w1 USING (doc_id))"
+        else s"c$r AS (SELECT gram FROM c${r - 1} UNION SELECT gram FROM g JOIN w$r USING (doc_id))"
+      s"""w$r AS (SELECT CAST($r AS BIGINT) AS round, doc_id, count(*) AS gain
+         |        FROM g $notSel$notCov
+         |        GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+         |$cov""".stripMargin
+    }
+    val n = TrainingPrep.NGram
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS gram
+       |      FROM tok, UNNEST(range(1, len(t) - ${n - 2})) AS u(i)),
+       |${(1 to CovK).map(round).mkString(",\n")}
+       |SELECT round, doc_id, CAST(gain AS BIGINT) AS gain
+       |FROM (${(1 to CovK).map(r => s"SELECT * FROM w$r").mkString(" UNION ALL ")})""".stripMargin
+  }
 }

@@ -449,6 +449,55 @@ object TextQueries {
       |        FROM documents) t) m
       |WHERE n_matches > 0""".stripMargin
 
+  private[graft] val TgPattern = "merge batch"
+
+  /** Trigram-indexed substring search (the pg_trgm / `LIKE '%…%'`
+    * acceleration): find every document containing the literal
+    * [[TgPattern]], by intersecting character-trigram POSTING LISTS
+    * instead of scanning every byte of every document. A doc can contain
+    * the pattern only if it contains ALL of the pattern's trigrams, so
+    * candidates = docs whose posting count over the pattern's gram set
+    * equals |gram set|; a `contains` check on just the candidates removes
+    * trigram false positives (grams present but never adjacent), making
+    * the result EXACTLY the naive full-scan answer — same rows, provably,
+    * which is what the oracle checks.
+    *
+    * Scale shape: this is the one text query whose production form is an
+    * INDEX — build (doc, gram) postings once, bucket-partition by gram,
+    * and a probe reads only the pattern's posting lists, never the corpus.
+    * Fused in-query here, the build stays honest: the gram filter runs
+    * INSIDE the per-document projection (codegen'd `filter(transform(…))`
+    * over the char positions), so only pattern-gram hits are ever
+    * exploded into the shuffle — corpus bytes never leave the scan stage,
+    * and the exchange carries O(candidate docs × 9 grams) rows. The
+    * verify re-fetch is a semi-join of the tiny candidate set back onto
+    * the pruned scan. */
+  def trigramSearch(spark: SparkSession, dir: String): DataFrame = {
+    val grams = TgPattern.sliding(3).toSeq.distinct
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(filter(
+        expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"),
+        g => g.isin(grams: _*)))).as("gram"))
+    val candidates = postings.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") === grams.size)
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(candidates, Seq("doc_id"), "left_semi")
+      .filter(col("text").contains(TgPattern))
+      .select(col("doc_id"),
+        expr(s"CAST((length(text) - length(replace(text, '$TgPattern', ''))) div ${TgPattern.length} AS BIGINT)")
+          .as("n_occurrences"))
+  }
+
+  /** Oracle: the naive full-scan LIKE — the exact semantics the index
+    * accelerates. */
+  def trigramSearchSql: String =
+    s"""SELECT doc_id,
+       |  CAST((length(text) - length(replace(text, '$TgPattern', ''))) // ${TgPattern.length} AS BIGINT)
+       |    AS n_occurrences
+       |FROM documents WHERE contains(text, '$TgPattern')""".stripMargin
+
   private val TrScale  = 1000000000000L // 1e12 fixed point, the doc_pagerank policy
   private val TrRounds = 3
   private val TrTopK   = 20

@@ -199,6 +199,53 @@ class DataSelectionSuite extends SparkSpec {
     assert(self.map(_._6).toSeq == refSorted.toSeq)
   }
 
+  test("coverage_select: distributed greedy ≡ driver-side greedy replay; gains non-increasing") {
+    import spark.implicits._
+    val got = graft.pipelines.DataSelection.coverageSelect(spark, Sf0001)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    Caches.drain()
+    val grams: Map[Long, Set[String]] = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.split(" ").sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+      }.toMap
+    var covered = Set.empty[String]
+    var remaining = grams
+    val expected = (1L to 5L).map { r =>
+      val (doc, gain) = remaining.view
+        .map { case (id, g) => (id, (g -- covered).size.toLong) }
+        .minBy { case (id, g) => (-g, id) }
+      covered ++= grams(doc); remaining -= doc
+      (r, doc, gain)
+    }
+    assert(got.toSeq == expected)
+    assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "greedy marginal gains must be non-increasing (submodularity)")
+  }
+
+  test("trigram_search: index-intersection result ≡ naive full-scan contains") {
+    import spark.implicits._
+    val got = graft.text.TextQueries.trigramSearch(spark, Sf0001)
+      .as[(Long, Long)].collect().toMap
+    val pat = graft.text.TextQueries.TgPattern
+    val naive = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .filter(_._2.contains(pat))
+      .map { case (id, t) =>
+        id -> t.sliding(pat.length).count(_ == pat).toLong }.toMap
+    assert(got == naive)
+    assert(got.nonEmpty, "pattern matches nothing at sf0.001 — witness exercises nothing")
+    // the verify step must be load-bearing: SOME doc carries all the
+    // pattern's trigrams without the adjacent occurrence (else the
+    // false-positive filter is untested dead code at this scale)
+    val grams = pat.sliding(3).toSeq.distinct
+    val falsePos = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .count { case (_, t) =>
+        grams.forall(t.contains) && !t.contains(pat) }
+    assert(falsePos > 0, "no trigram false positives at sf0.001 — pick a different pattern")
+  }
+
   test("ngram_repetition: shares bounded and consistent with counts; flag splits") {
     val df = DataSelection.ngramRepetition(spark, Sf0001).cache()
     try {

@@ -319,7 +319,8 @@ class TemporalOpsSuite extends SparkSpec {
       "events_erasure_audit", "events_trend_robust", "events_cohort_ltv",
       "token_fertility", "lineitem_skew_report", "events_churn_hazard",
       "events_cusum", "graph_sssp", "copurchase_hits",
-      "item_cf_recs", "graph_kcore", "textrank_keywords")
+      "item_cf_recs", "graph_kcore", "textrank_keywords",
+      "quality_auc", "trigram_search", "coverage_select")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

@@ -151,6 +151,26 @@ class TrainingPrepSuite extends SparkSpec {
     assert(below * 3 < nDocs, "removing the cut score must drop below the tercile")
   }
 
+  test("quality_auc: exact Mann-Whitney ≡ driver-side all-pairs count; bounded; classes total the corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val Seq((nPos, nNeg, aucPpm)) =
+      TrainingPrep.qualityAuc(spark, Sf0001).as[(Long, Long, Long)].collect().toSeq
+    val nDocs = Tables.documents(spark, Sf0001).count()
+    assert(nPos > 0 && nNeg > 0 && nPos + nNeg == nDocs)
+    assert(aucPpm >= 0L && aucPpm <= 1000000L)
+    // brute-force pair count at test scale: concordant + half of ties
+    val rows = TrainingPrep.qualityClassifier(spark, Sf0001)
+      .join(Tables.documents(spark, Sf0001).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("raw_score"), (col("lang") === "en").as("pos"))
+      .as[(Long, Boolean)].collect()
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(aucPpm == u2 * 1000000L / (2L * pos.length * neg.length))
+  }
+
   test("shard_rendezvous: minimal disruption — removing a shard moves only that shard's docs") {
     import spark.implicits._
     val assign = TrainingPrep.shardRendezvous(spark, Sf0001)

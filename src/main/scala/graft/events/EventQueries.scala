@@ -2231,4 +2231,105 @@ object EventQueries {
        |FROM p a JOIN p b
        |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - ${EwmaDepth - 1} AND a.rn
        |GROUP BY a.user_id, a.event_id""".stripMargin
+
+  /** HLL sketch RE-AGGREGATION — the property that makes sketches a data
+    * type, not just an aggregate: per-(type, day) Datasketches-HLL user
+    * sketches (`hll_sketch_agg`) are stored once, and the per-type total
+    * is answered by `hll_union_agg` over the 30-odd daily sketches — the
+    * pre-aggregated-cube pattern every metrics warehouse runs on, where
+    * re-scanning raw events per question is exactly what doesn't scale.
+    * ([[userHll]] covers the one-shot estimate contract; this operator
+    * covers the MERGE contract that one-shot use never exercises.)
+    *
+    * Contract flags (the comparable output — raw estimates are
+    * engine-specific, the [[userHll]] policy):
+    *   - `union_associative`: unioning the daily sketches directly equals
+    *     unioning them via a monthly intermediate rollup — the register
+    *     merge is a per-slot MAX (coupon-set union in sparse mode), so
+    *     re-aggregation at ANY granularity must give the identical
+    *     sketch. This is the property that makes stored sketch cubes
+    *     re-rollable; note it is deliberately NOT "union ≡ direct
+    *     sketch": Datasketches promotes a union to dense HLL mode while
+    *     a small direct sketch stays in exact coupon mode, so those two
+    *     estimates legitimately differ (observed at sf0.1, 1500 users).
+    *   - `hll_within_10pct`: the merged estimate lands within 10% of the
+    *     exact distinct count (5σ at lgK=12's ~1.6% rsd — a FALSE means
+    *     broken, not unlucky).
+    *
+    * Scale shape: daily sketches are one partial-agg shuffle of fixed-size
+    * register blocks (vs the per-distinct-key rows countDistinct ships);
+    * both union passes run on |types|×|days| sketch rows only. The exact
+    * count is audit-only — a deployment stores just the sketches. */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = graft.Caches.persisted(ev
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk")))
+    val flat = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("flat_est"))
+    val monthly = daily
+      .groupBy(col("event_type"), substring(col("day"), 1, 7).as("month"))
+      .agg(hll_union_agg(col("sk"), lit(false)).as("msk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("msk"), lit(false))).as("rollup_est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact_users"))
+    flat.join(monthly, "event_type").join(exact, "event_type")
+      .select(
+        col("event_type"), col("n_exact_users"),
+        (col("flat_est") === col("rollup_est")).as("union_associative"),
+        (abs(col("flat_est") - col("n_exact_users")).cast("double")
+          / col("n_exact_users").cast("double") < 0.10).as("hll_within_10pct"))
+  }
+
+  def hllRollupSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_exact_users,
+      |  TRUE AS union_associative,
+      |  TRUE AS hll_within_10pct
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Pairwise audience overlap between event types — for every unordered
+    * type pair, how many users did BOTH (plus the exact Jaccard in ppm):
+    * the segment-overlap matrix behind "do purchasers also view?"
+    * audience analytics and behavioral-cohort design.
+    *
+    * Scale shape: the naive form is a self-join of the (user, type)
+    * incidence on user — at 10⁹ users that shuffles the incidence twice
+    * and explodes skewed users. Instead: ONE user-keyed collect_set pass
+    * (types per user is ≤ |types|, here ≤ 8, so the per-user array is
+    * tiny and skew-proof), the C(k,2) pair expansion inside a codegen'd
+    * projection (the [[graft.graph.GraphQueries]] item_cf_recs shape),
+    * and a |types|²-bounded partial agg. Per-type audience sizes attach
+    * by a broadcast join of the |types|-row aggregate. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("ts"))
+    val sizes = ut.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    ut.select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+          |  transform(slice(ts, i + 2, size(ts)), b -> struct(a AS a, b AS b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("t").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("t").as("type_b"), col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        expr("n_both * 1000000L div (n_a + n_b - n_both)").as("jaccard_ppm"))
+  }
+
+  def audienceOverlapSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+      |co AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |         CAST(count(*) AS BIGINT) AS n_both
+      |       FROM ut x JOIN ut y
+      |         ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |       GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both,
+      |  CAST(n_both * 1000000 // (a.n + b.n - n_both) AS BIGINT) AS jaccard_ppm
+      |FROM co JOIN sz a ON a.event_type = co.type_a
+      |        JOIN sz b ON b.event_type = co.type_b""".stripMargin
 }

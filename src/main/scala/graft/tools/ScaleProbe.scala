@@ -41,6 +41,7 @@ object ScaleProbe {
     "events_attribution_linear", "events_unconverted_views", "events_conversion_lag",
     "events_markov_stationary", "lang_id_confusion",
     "events_seasonality", "dedup_eval", "quality_calibration", "ann_recall",
+    "textrank_keywords", "trigram_search", "coverage_select", "quality_auc",
     "events_pattern_match", "events_anomaly_mad", "events_erasure_audit",
     "events_trend_robust", "events_cohort_ltv", "token_fertility")
 

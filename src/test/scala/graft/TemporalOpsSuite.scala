@@ -320,7 +320,8 @@ class TemporalOpsSuite extends SparkSpec {
       "token_fertility", "lineitem_skew_report", "events_churn_hazard",
       "events_cusum", "graph_sssp", "copurchase_hits",
       "item_cf_recs", "graph_kcore", "textrank_keywords",
-      "quality_auc", "trigram_search", "coverage_select")
+      "quality_auc", "trigram_search", "coverage_select",
+      "events_hll_rollup", "events_audience_overlap")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

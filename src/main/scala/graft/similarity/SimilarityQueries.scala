@@ -245,6 +245,50 @@ object SimilarityQueries {
        |WHERE cosine >= 0.3""".stripMargin
   }
 
+  /** Mutual nearest neighbors over the LSH candidate graph — pairs where
+    * each vector is the OTHER's best candidate: the margin-free core of
+    * bitext/parallel-pair mining (Artetxe & Schwenk 2019 mine with
+    * mutual-NN + margin; the mutuality filter is what kills the hubness
+    * false positives a one-directional top-1 keeps).
+    *
+    * Semantics: "nearest" is taken over [[nearPairs]]'s candidate set
+    * (64-plane banded LSH, ≤1-bit band probe, cosine ≥ 0.3) — the honest
+    * scale path, since exact global top-1 for EVERY vector is the n²
+    * product the LSH exists to avoid. The candidate set is a
+    * deterministic function of the data (inlined-sign signatures), so the
+    * oracle replays it exactly; ties break on neighbor id.
+    *
+    * Scale shape: candidates are LSH-bucket-bounded; the per-vector top-1
+    * is a WindowGroupLimit on the candidate-sized symmetrized edge list;
+    * mutuality is one (v, n)-keyed equi self-join of the |vectors|-sized
+    * best-edge table. Nothing touches the n² pair space. */
+  def mutualNn(spark: SparkSession, dir: String): DataFrame = {
+    val np = graft.Caches.persisted(nearPairs(spark, dir))
+    val sym = np.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cosine"))
+      .unionByName(np.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cosine")))
+    val best = sym
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("v")).orderBy(col("cosine").desc, col("n").asc)))
+      .filter(col("rk") === 1)
+      .select(col("v"), col("n"), col("cosine"))
+    best.as("x")
+      .join(best.as("y"),
+        col("x.v") === col("y.n") && col("x.n") === col("y.v") && col("x.v") < col("x.n"))
+      .select(col("x.v").as("vec_a"), col("x.n").as("vec_b"), col("x.cosine").as("cosine"))
+  }
+
+  def mutualNnSql: String =
+    s"""WITH np AS (
+       |  ${nearPairsSql.replace("\n", "\n  ")}),
+       |sym AS (SELECT vec_a AS v, vec_b AS n, cosine FROM np
+       |        UNION ALL SELECT vec_b, vec_a, cosine FROM np),
+       |best AS (SELECT v, n, cosine FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY v ORDER BY cosine DESC, n) AS rk
+       |    FROM sym) r
+       |  WHERE rk = 1)
+       |SELECT x.v AS vec_a, x.n AS vec_b, x.cosine AS cosine
+       |FROM best x JOIN best y ON x.v = y.n AND x.n = y.v AND x.v < x.n""".stripMargin
+
   private val CentScale = "10000000.0" // 1e7: exact integer-scaled component sums
 
   /** Element-wise centroid of each label's embeddings — the IVF coarse

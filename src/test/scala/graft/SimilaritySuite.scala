@@ -246,4 +246,25 @@ class SimilaritySuite extends SparkSpec {
     // selected set is diverse: no two picks more similar than pick-to-query relevance bound
     assert(got.map(_._2).distinct.length == 5)
   }
+
+  test("mutual NN: pairs are mutual best candidates; a vector joins at most one pair") {
+    val np = SimilarityQueries.nearPairs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mnn = SimilarityQueries.mutualNn(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Caches.drain()
+    assert(mnn.nonEmpty, "no mutual pairs at sf0.001 — witness exercises nothing")
+    // top-1 is unique per vector, so mutuality allows at most one pair each
+    val members = mnn.flatMap { case (a, b, _) => Seq(a, b) }
+    assert(members.distinct.length == members.length)
+    // replay: each side of an emitted pair is the other's best candidate
+    val best = (np.map { case (a, b, c) => (a, (b, c)) } ++
+        np.map { case (a, b, c) => (b, (a, c)) })
+      .groupBy(_._1).map { case (v, es) =>
+        v -> es.map(_._2).minBy { case (n, c) => (-c, n) }._1 }
+    mnn.foreach { case (a, b, _) =>
+      assert(best(a) == b && best(b) == a, s"($a, $b) not mutual best")
+    }
+    assert(mnn.forall(_._3 >= 0.3))
+  }
 }

@@ -321,7 +321,7 @@ class TemporalOpsSuite extends SparkSpec {
       "events_cusum", "graph_sssp", "copurchase_hits",
       "item_cf_recs", "graph_kcore", "textrank_keywords",
       "quality_auc", "trigram_search", "coverage_select",
-      "events_hll_rollup", "events_audience_overlap")
+      "events_hll_rollup", "events_audience_overlap", "embed_mutual_nn")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

@@ -245,6 +245,55 @@ object SimilarityQueries {
        |WHERE cosine >= 0.3""".stripMargin
   }
 
+  private val HardNegK = 5
+
+  /** Hard-negative mining — for each query vector, the [[HardNegK]] most
+    * cosine-similar vectors with a DIFFERENT label: the examples a
+    * contrastive/retrieval trainer wants in the batch precisely because
+    * they are near misses (easy negatives teach nothing; in-batch randoms
+    * are easy at scale). The labeled sibling of [[topkBruteForce]]:
+    * same broadcast-queries shape, with the label inequality applied
+    * BEFORE scoring so excluded rows never pay the dot product.
+    *
+    * Scale shape: queries broadcast (one narrow corpus pass, no corpus
+    * shuffle); per-query top-k is rank-bounded so the WindowGroupLimit
+    * forwards ≤ k rows per query per partition. At mining-everything
+    * scale (every vector a query) the candidate side swaps to the IVF
+    * path ([[topkIvf]]) unchanged — the label filter composes with any
+    * candidate generator. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val q = base
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("e").as("qe"))
+    base.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cosine", expr("cosine_sim(qe, e)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= HardNegK)
+      .select(col("q_id"), col("vec_id"), col("label"),
+        col("rank").cast("bigint").as("rank"), col("cosine"))
+  }
+
+  def hardNegativesSql: String =
+    s"""WITH $normCte,
+       |l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |q AS (SELECT n.vec_id AS q_id, l.label AS q_label, e AS qe, nrm AS qn
+       |      FROM n JOIN l USING (vec_id) WHERE n.vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q_id, b.vec_id AS vec_id, lb.label AS label,
+       |    list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * b.e[i]), (a, x) -> a + x)
+       |      / (sqrt(qn) * sqrt(b.nrm)) AS cosine
+       |  FROM q, n b JOIN l lb ON lb.vec_id = b.vec_id
+       |  WHERE lb.label <> q_label)
+       |SELECT q_id, vec_id, label, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $HardNegK""".stripMargin
+
   /** Mutual nearest neighbors over the LSH candidate graph — pairs where
     * each vector is the OTHER's best candidate: the margin-free core of
     * bitext/parallel-pair mining (Artetxe & Schwenk 2019 mine with

@@ -247,6 +247,25 @@ class SimilaritySuite extends SparkSpec {
     assert(got.map(_._2).distinct.length == 5)
   }
 
+  test("hard negatives: cross-label only, and exactly the best different-label scores per query") {
+    val labels = Tables.embeddings(spark, Sf0001)
+      .selectExpr("vec_id", "CAST(label AS BIGINT)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hn = SimilarityQueries.hardNegatives(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(hn.length == 25)
+    hn.foreach { case (q, v, l, _, _) =>
+      assert(labels(v) == l && l != labels(q), s"negative $v shares label with query $q")
+    }
+    // vs unfiltered brute force: a hard negative's cosine can never exceed
+    // the same rank's unfiltered neighbor (the filter only removes rows)
+    val bf = SimilarityQueries.topkBruteForce(spark, Sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    hn.filter(_._4 <= 5).foreach { case (q, _, _, rk, c) =>
+      assert(c <= bf((q, rk)) + 1e-12)
+    }
+  }
+
   test("mutual NN: pairs are mutual best candidates; a vector joins at most one pair") {
     val np = SimilarityQueries.nearPairs(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -321,7 +321,8 @@ class TemporalOpsSuite extends SparkSpec {
       "events_cusum", "graph_sssp", "copurchase_hits",
       "item_cf_recs", "graph_kcore", "textrank_keywords",
       "quality_auc", "trigram_search", "coverage_select",
-      "events_hll_rollup", "events_audience_overlap", "embed_mutual_nn")
+      "events_hll_rollup", "events_audience_overlap", "embed_mutual_nn",
+      "embed_hard_negatives")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

@@ -697,4 +697,55 @@ object StreamingEvents {
     }
     out.reverseIterator
   }
+
+  case class TrendRow(hour_start_sec: Long, rank: Long, event_type: String, n: Long)
+
+  /** Streaming per-window trending top-k — each hour window emits its k
+    * most frequent event types, ranked, when the watermark closes the
+    * window: the "trending now" feed. Spark's streaming aggregation can
+    * window-count but cannot RANK within a closing window (rank is not an
+    * incremental aggregate), so this is custom event-time state: key =
+    * hour index, state = the window's per-type count map, emit-on-timeout.
+    *
+    * State bound: |types| counters per live window — exact because the
+    * type domain here is small and closed. For an unbounded key domain
+    * (URLs, search terms) swap the exact map for the Misra-Gries buffer
+    * ([[graft.streaming.StreamingCorpus.heavyHitters]] holds the
+    * streaming-MG machinery) — same emit-on-timeout shape, fixed-size
+    * state, membership-contract top-k. Emission order inside a window is
+    * deterministic (count desc, type asc), so the parity test can compare
+    * sets against the batch window rank. */
+  def trendingTopK(
+      events: Dataset[Event],
+      k: Int = 3,
+      closeSlackMs: Long = 3600000L): Dataset[TrendRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, 3600000L))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingEvents.updateTrending(k, closeSlackMs))
+  }
+
+  private def updateTrending(k: Int, closeSlackMs: Long)(
+      hourIdx: Long,
+      evts: Iterator[Event],
+      state: GroupState[Map[String, Long]]): Iterator[TrendRow] = {
+    if (state.hasTimedOut) {
+      val counts = state.get
+      state.remove()
+      return counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+        .zipWithIndex.iterator
+        .map { case ((t, n), i) => TrendRow(hourIdx * 3600L, i + 1L, t, n) }
+    }
+    val counts = evts.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+      (m, e) => m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+    }
+    state.update(counts)
+    // the window closes once the watermark passes its end plus the slack
+    // (watermark-relative floor keeps the timeout legal mid-replay)
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs() + 1, (hourIdx + 1) * 3600000L + closeSlackMs))
+    Iterator.empty
+  }
 }

@@ -609,6 +609,46 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trending top-k: per-hour ranked types equal the batch window rank") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.trendingTopK(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("trending_stream")
+      .outputMode("append").start()
+    try {
+      val boundary = evts.map(_.ts.getTime).sorted.apply(evts.length / 2)
+      input.addData(evts.filter(_.ts.getTime < boundary): _*)
+      q.processAllAvailable()
+      input.addData(evts.filter(_.ts.getTime >= boundary): _*)
+      q.processAllAvailable()
+      val far = evts.map(_.ts.getTime).max
+      Seq(10, 20).foreach { days =>
+        input.addData(Event(9100 + days, new Timestamp(far + days * 86400000L), 999999, "error", 0))
+        q.processAllAvailable()
+      }
+      val sentinelHours = Seq(10, 20)
+        .map(d => Math.floorDiv(far + d * 86400000L, 3600000L) * 3600L).toSet
+      val got = spark.table("trending_stream")
+        .as[StreamingEvents.TrendRow].collect()
+        .filterNot(r => sentinelHours.contains(r.hour_start_sec))
+        .map(r => (r.hour_start_sec, r.rank, r.event_type, r.n)).toSet
+
+      val expected = evts.groupBy(e => Math.floorDiv(e.ts.getTime, 3600000L))
+        .flatMap { case (h, es) =>
+          es.groupBy(_.event_type).view.mapValues(_.length.toLong).toSeq
+            .sortBy { case (t, n) => (-n, t) }.take(3).zipWithIndex
+            .map { case ((t, n), i) => (h * 3600L, i + 1L, t, n) }
+        }.toSet
+      assert(got == expected)
+      assert(got.nonEmpty && got.exists(_._2 == 3L))
+    } finally q.stop()
+  }
+
   test("streaming funnel stages equal the batch funnel counters on driver data") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -338,6 +338,69 @@ object SimilarityQueries {
        |SELECT x.v AS vec_a, x.n AS vec_b, x.cosine AS cosine
        |FROM best x JOIN best y ON x.v = y.n AND x.n = y.v AND x.v < x.n""".stripMargin
 
+  private val KnnEvalK = 3
+
+  /** kNN label-consistency evaluation — the embedding-space sanity check
+    * before labels drive anything downstream (IVF seeding, [[topkIvf]];
+    * stratified eval slices): each vector's label is predicted by majority
+    * vote of its [[KnnEvalK]] nearest LSH candidates, and the output is
+    * the label confusion matrix. High diagonal mass = the embedding
+    * geometry respects the labels; a scrambled matrix = neighbors are
+    * noise and every label-seeded structure downstream inherits it.
+    *
+    * "Nearest" is over [[nearPairs]]'s deterministic candidate graph (the
+    * [[mutualNn]] policy — exact global kNN for every vector is the n²
+    * the LSH exists to avoid); vectors with no candidate are excluded
+    * (reported nowhere — their neighborhood is empty at this radius).
+    * Vote ties break toward the smaller label; all counts int64.
+    *
+    * Scale shape: candidate edges are LSH-bounded; top-k and the vote are
+    * WindowGroupLimit + partial aggs on the edge list; labels attach by
+    * two vec_id-keyed joins; output is |labels|²-bounded. */
+  def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val np = graft.Caches.persisted(nearPairs(spark, dir))
+    val sym = np.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cosine"))
+      .unionByName(np.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cosine")))
+    val top = sym
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("v")).orderBy(col("cosine").desc, col("n").asc)))
+      .filter(col("rk") <= KnnEvalK)
+    val votes = top
+      .join(labels.select(col("vec_id").as("n"), col("label").as("n_label")), "n")
+      .groupBy(col("v"), col("n_label")).agg(count(lit(1)).as("votes"))
+    val pred = votes
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("v")).orderBy(col("votes").desc, col("n_label").asc)))
+      .filter(col("vr") === 1)
+      .select(col("v").as("vec_id"), col("n_label").as("pred_label"))
+    pred.join(labels, "vec_id")
+      .groupBy(col("label").as("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
+  def knnLabelEvalSql: String =
+    s"""WITH np AS (
+       |  ${nearPairsSql.replace("\n", "\n  ")}),
+       |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |sym AS (SELECT vec_a AS v, vec_b AS n, cosine FROM np
+       |        UNION ALL SELECT vec_b, vec_a, cosine FROM np),
+       |top AS (SELECT v, n FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY v ORDER BY cosine DESC, n) AS rk
+       |    FROM sym) r
+       |  WHERE rk <= $KnnEvalK),
+       |votes AS (SELECT v, lb.label AS n_label, count(*) AS votes
+       |          FROM top JOIN lb ON lb.vec_id = top.n GROUP BY 1, 2),
+       |pred AS (SELECT v AS vec_id, n_label AS pred_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY v ORDER BY votes DESC, n_label) AS vr
+       |    FROM votes) r
+       |  WHERE vr = 1)
+       |SELECT lb.label AS true_label, pred_label,
+       |  CAST(count(*) AS BIGINT) AS n_vectors
+       |FROM pred JOIN lb USING (vec_id)
+       |GROUP BY 1, 2""".stripMargin
+
   private val CentScale = "10000000.0" // 1e7: exact integer-scaled component sums
 
   /** Element-wise centroid of each label's embeddings — the IVF coarse

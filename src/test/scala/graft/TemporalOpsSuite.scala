@@ -322,7 +322,7 @@ class TemporalOpsSuite extends SparkSpec {
       "item_cf_recs", "graph_kcore", "textrank_keywords",
       "quality_auc", "trigram_search", "coverage_select",
       "events_hll_rollup", "events_audience_overlap", "embed_mutual_nn",
-      "embed_hard_negatives")
+      "embed_hard_negatives", "knn_label_eval")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

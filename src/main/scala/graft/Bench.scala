@@ -158,6 +158,24 @@ object Bench {
     // cut survive in the bounded errors object.
     val line = ((names.size to nMandatory by -1) ++ (nMandatory.min(names.size) to 0 by -1))
       .view.map(compactTop).find(_.length <= 1850).getOrElse(compactTop(0))
+    // The full, untruncated record also goes to a FILE the round commit
+    // picks up (BENCH_FULL.json): every per-query median at 3 decimals,
+    // per-rep walls, CPU, and failures — the tail-window compaction above
+    // is for the driver's 2000-char capture only and must never be the
+    // sole surviving artifact (r8: per-query medians for the alphabetical
+    // head of the query set were unrecoverable from the truncated tail).
+    val full = obj(Seq(
+      "metric" -> "\"bench_full\"",
+      "sf" -> ("\"" + sfDir + "\""),
+      "reps" -> reps.toString,
+      "total_sec" -> fmt(total, 3),
+      "failed" -> nFailed.toString,
+      "medians" -> obj(names.map(n => n -> fmt(medians.toMap.apply(n)._1, 3))),
+      "reps_wall" -> obj(names.map(n => n -> samples(n).map(s => fmt(s._1, 3)).mkString("[", ",", "]"))),
+      "reps_cpu" -> obj(names.map(n => n -> samples(n).map(s => fmt(s._2, 3)).mkString("[", ",", "]"))),
+      "errors" -> obj(failures.toSeq.sortBy(_._1).map { case (n, c) => n -> c.toString })))
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     println(line)
     spark.stop()
   }

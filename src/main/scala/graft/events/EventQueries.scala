@@ -993,6 +993,276 @@ object EventQueries {
       |        ORDER BY abs(cusum) DESC, day ASC) AS rk FROM cu)
       |WHERE rk = 1""".stripMargin
 
+  private val BurstGamma = 500000L // γ: 0.5 nats (micro-nat fixed point) to enter the burst state
+  private val BurstRatio = "1.2"   // s: burst rate = s·base rate (Kleinberg's state ratio)
+
+  /** Burst detection (Kleinberg 2002, "Bursty and Hierarchical Structure
+    * in Streams", 2-state batch variant): per event type, the optimal
+    * Viterbi segmentation of the daily-count sequence into base-rate vs
+    * burst-rate days — burst rate s·λ₀ ([[BurstRatio]]), entering the
+    * burst state costs [[BurstGamma]], leaving is free — emitted as burst
+    * INTERVALS. Unlike [[anomalyDays]]'s per-day 2σ rule or
+    * [[cusumChangepoint]]'s single changepoint, the DP trades elevation
+    * against γ globally, so it finds sustained episodes a per-day
+    * threshold fragments and multiple episodes a single changepoint
+    * cannot represent.
+    *
+    * Exactness: per-day Poisson emission costs in micro-nat int64 —
+    * `e_s(d) = A_s − c_d·L_s` with `A_s = round(λ_s·10⁶)`,
+    * `L_s = round(ln λ_s·10⁶)` (the `ln c_d!` term is state-independent
+    * and cancels); the two `ln`/`round` calls are the file's pinned
+    * one-float-snap policy (tfidf precedent), identical formulas both
+    * engines. The whole DP — forward costs, choice bits, backtrack — then
+    * runs in pure int64 inside ONE codegen'd `aggregate()` fold over the
+    * per-type day array, with strict-`<` switch rules and prefer-base
+    * final ties so the trajectory is engine-exact; the oracle replays it
+    * with the same fold (`list_reduce`, init via a prepended seed element,
+    * state packed into one VARCHAR — see the in-SQL comment on duckdb's
+    * struct-accumulator hazard). Cost magnitudes: |e| ≤ A₁ + c_max·L₁ ≈ 10⁶·λ(1.2 + ln λ)
+    * per day — int64-safe past 10⁹ events/day over a century of days.
+    *
+    * Scale shape: the corpus collapses to the densified (type × day)
+    * grid ([[cusumChangepoint]]'s shape — one narrow scan + partial agg);
+    * the DP folds over per-type day ARRAYS (calendar-bounded, ~30 here,
+    * 36500 for a century — trivially in-projection); islands come from
+    * the day − row_number trick on the burst days only. Nothing after
+    * the grid is corpus-sized. */
+  def burstKleinberg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.persisted(Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day")))
+    val cal = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(cal))
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val g = BurstGamma
+    val s = BurstRatio
+    val perType = grid.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("c")))).as("dc"),
+        count(lit(1)).as("n_days"), sum(col("c")).as("total"))
+      .withColumn("a0", expr("cast(round(cast(total as double) / n_days * 1000000.0) as bigint)"))
+      .withColumn("a1", expr(s"cast(round($s * total / n_days * 1000000.0) as bigint)"))
+      .withColumn("l0", expr("cast(round(ln(cast(total as double) / n_days) * 1000000.0) as bigint)"))
+      .withColumn("l1", expr(s"cast(round(ln($s * total / n_days) * 1000000.0) as bigint)"))
+      // forward pass: per-day (cost-to-be-base, cost-to-be-burst) plus the
+      // packed predecessor bits (bit0: state0's pred was 1; bit1: state1
+      // stayed 1). Strict < on every switch; init = start in base (burst
+      // reachable only by paying γ).
+      .withColumn("fwd", expr(
+        s"""aggregate(
+           |  transform(dc, x -> named_struct('e0', a0 - x.c * l0, 'e1', a1 - x.c * l1)),
+           |  named_struct('c0', 0L, 'c1', ${g}L, 'ch', cast(array() as array<bigint>)),
+           |  (acc, x) -> named_struct(
+           |    'c0', least(acc.c0, acc.c1) + x.e0,
+           |    'c1', least(acc.c0 + ${g}L, acc.c1) + x.e1,
+           |    'ch', concat(acc.ch, array(
+           |        (case when acc.c1 < acc.c0 then 1L else 0L end)
+           |      + (case when acc.c0 + ${g}L < acc.c1 then 0L else 2L end)))))""".stripMargin))
+      // backtrack: walk the choice bits newest-to-oldest from the cheaper
+      // final state (ties prefer base); ch[day 0] refers to the init
+      // pseudo-state and is dropped
+      .withColumn("sl", expr("case when fwd.c1 < fwd.c0 then 1L else 0L end"))
+      .withColumn("states", expr(
+        """reverse(aggregate(
+          |  slice(reverse(fwd.ch), 1, size(fwd.ch) - 1),
+          |  named_struct('cur', sl, 'st', array(sl)),
+          |  (a, x) -> named_struct(
+          |    'cur', case when a.cur = 0L then x % 2L else x div 2L end,
+          |    'st', concat(a.st, array(
+          |      case when a.cur = 0L then x % 2L else x div 2L end)))).st)""".stripMargin))
+      .select(col("event_type"),
+        explode(expr("zip_with(dc, states, (x, st) -> named_struct('day', x.day, 'c', x.c, 's', st))")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.c").as("c"), col("r.s").as("s"))
+    perType.filter(col("s") === 1L)
+      .withColumn("grp", col("day") - row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("n_days"), sum(col("c")).as("n_events"))
+      .select(col("event_type"), col("start_day"), col("end_day"),
+        col("n_days"), col("n_events"))
+  }
+
+  def burstKleinbergSql: String = {
+    val g = BurstGamma
+    val s = BurstRatio
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+       |cal AS (SELECT unnest(range(min(day), max(day) + 1)) AS day FROM ev),
+       |cnt AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT g.event_type, g.day, coalesce(c.c, 0) AS c
+       |  FROM (SELECT t.event_type, ca.day
+       |        FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN cal ca) g
+       |  LEFT JOIN cnt c ON c.event_type = g.event_type AND c.day = g.day),
+       |pt AS (
+       |  SELECT event_type,
+       |    list({'day': day, 'c': c} ORDER BY day) AS dc,
+       |    count(*) AS n_days, sum(c) AS total
+       |  FROM grid GROUP BY event_type),
+       |sc AS (
+       |  SELECT event_type, dc,
+       |    CAST(round(CAST(total AS DOUBLE) / n_days * 1000000.0) AS BIGINT) AS a0,
+       |    CAST(round($s * total / n_days * 1000000.0) AS BIGINT) AS a1,
+       |    CAST(round(ln(CAST(total AS DOUBLE) / n_days) * 1000000.0) AS BIGINT) AS l0,
+       |    CAST(round(ln($s * total / n_days) * 1000000.0) AS BIGINT) AS l1
+       |  FROM pt),
+       |-- duckdb 1.0's list_reduce is UNSAFE with multi-field struct
+       |-- accumulators: fields are updated destructively in declaration
+       |-- order, so a 'c1' expression reading acc.c0 sees the step's NEW
+       |-- c0 (reproduced on a 2-element fold; it silently corrupted the
+       |-- whole DP). The accumulator is therefore ONE VARCHAR packing
+       |-- 'c0,c1,ch' — a single value can't be partially updated — and
+       |-- each step re-parses it with split_part.
+       |fw AS (
+       |  SELECT event_type, dc,
+       |    list_reduce(
+       |      list_prepend('0,$g,',
+       |        list_transform(dc, x ->
+       |          CAST(a0 - x.c * l0 AS VARCHAR) || ',' || CAST(a1 - x.c * l1 AS VARCHAR))),
+       |      (acc, x) ->
+       |        CAST(least(split_part(acc, ',', 1)::BIGINT, split_part(acc, ',', 2)::BIGINT)
+       |             + split_part(x, ',', 1)::BIGINT AS VARCHAR)
+       |        || ',' ||
+       |        CAST(least(split_part(acc, ',', 1)::BIGINT + $g, split_part(acc, ',', 2)::BIGINT)
+       |             + split_part(x, ',', 2)::BIGINT AS VARCHAR)
+       |        || ',' ||
+       |        split_part(acc, ',', 3) || CAST(
+       |            (CASE WHEN split_part(acc, ',', 2)::BIGINT < split_part(acc, ',', 1)::BIGINT
+       |                  THEN 1 ELSE 0 END)
+       |          + (CASE WHEN split_part(acc, ',', 1)::BIGINT + $g < split_part(acc, ',', 2)::BIGINT
+       |                  THEN 0 ELSE 2 END) AS VARCHAR)) AS fwd
+       |  FROM sc),
+       |fwp AS (
+       |  SELECT event_type, dc,
+       |    split_part(fwd, ',', 3) AS ch,
+       |    CASE WHEN split_part(fwd, ',', 2)::BIGINT < split_part(fwd, ',', 1)::BIGINT
+       |         THEN 1 ELSE 0 END AS sl
+       |  FROM fw),
+       |-- backtrack: the 'cur' state is always the last appended char, so
+       |-- the whole accumulator is just the states-so-far VARCHAR
+       |bt AS (
+       |  SELECT event_type, dc,
+       |    reverse(
+       |      list_reduce(
+       |        list_prepend(CAST(sl AS VARCHAR),
+       |          list_filter(string_split(substr(reverse(ch), 1, len(ch) - 1), ''),
+       |                      x -> x <> '')),
+       |        (acc, x) -> acc || CAST(
+       |          CASE WHEN right(acc, 1) = '0' THEN x::BIGINT % 2
+       |               ELSE x::BIGINT // 2 END AS VARCHAR))) AS states
+       |  FROM fwp),
+       |days AS (
+       |  SELECT event_type, dc[i].day AS day, dc[i].c AS c,
+       |    CAST(substr(states, i, 1) AS BIGINT) AS s
+       |  FROM bt, UNNEST(range(1, len(dc) + 1)) AS u(i)),
+       |burst AS (
+       |  SELECT event_type, day, c,
+       |    day - row_number() OVER (PARTITION BY event_type ORDER BY day) AS grp
+       |  FROM days WHERE s = 1)
+       |SELECT event_type, min(day) AS start_day, max(day) AS end_day,
+       |  CAST(count(*) AS BIGINT) AS n_days, CAST(sum(c) AS BIGINT) AS n_events
+       |FROM burst GROUP BY event_type, grp""".stripMargin
+  }
+
+  /** Holt's linear-trend double-exponential smoothing (α = β = ½) over the
+    * per-type daily-count series, with a 7-day-ahead forecast — the
+    * capacity-planning twin of [[ewmaPerUser]] (that one smooths LEVEL only;
+    * Holt carries an explicit trend term, so a steadily growing event type
+    * forecasts growth instead of lagging it). Per type the state seeds as
+    * l = y₁, b = y₂ − y₁ (y₂ is consumed by the trend seed), then folds
+    * lₜ = ½(yₜ + lₜ₋₁ + bₜ₋₁), bₜ = ½(lₜ − lₜ₋₁ + bₜ₋₁) over t = 3..T;
+    * forecast ŷ(h) = l_T + h·b_T for h = 1..7.
+    *
+    * Exactness: counts scale to micro-units once (·10⁶, no float ever) and
+    * every halving is an explicit FLOOR division spelled as
+    * `(x − ((x%2)+2)%2) div 2` — the parenthesized term is the nonnegative
+    * mod-2 in BOTH engines, making the numerator even, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree even when the trend
+    * goes negative (a bare `x div 2` would diverge at the first negative
+    * odd value). The whole recurrence folds in one codegen'd `aggregate()`;
+    * the oracle replays it with `list_reduce` over a VARCHAR-packed (l, b)
+    * state ([[burstKleinberg]]'s duckdb struct-accumulator workaround).
+    *
+    * Scale shape: same as [[burstKleinberg]] — the corpus collapses to the
+    * densified (type × day) grid in one narrow scan + partial agg; the fold
+    * runs over per-type day arrays (calendar-bounded); output is
+    * |types|·7 rows. */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.persisted(Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day")))
+    val cal = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(cal))
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("c"), lit(0L)) * 1000000L).as("y"))
+    grid.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("dy"),
+        count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+      .withColumn("lb", expr(
+        """aggregate(
+          |  slice(dy, 3, size(dy) - 2),
+          |  named_struct('l', dy[0].y, 'b', dy[1].y - dy[0].y),
+          |  (acc, d) -> named_struct(
+          |    'l', (acc.l + acc.b + d.y
+          |          - (((acc.l + acc.b + d.y) % 2) + 2) % 2) div 2,
+          |    'b', ((acc.l + acc.b + d.y
+          |           - (((acc.l + acc.b + d.y) % 2) + 2) % 2) div 2 - acc.l + acc.b
+          |          - ((((acc.l + acc.b + d.y
+          |                - (((acc.l + acc.b + d.y) % 2) + 2) % 2) div 2 - acc.l + acc.b) % 2) + 2) % 2) div 2))""".stripMargin))
+      .select(col("event_type"),
+        explode(expr("transform(sequence(1, 7), h -> named_struct(" +
+          "'h', CAST(h AS BIGINT), 'yhat_micro', lb.l + h * lb.b))")).as("f"),
+        col("lb.l").as("level_micro"), col("lb.b").as("trend_micro"))
+      .select(col("event_type"), col("f.h").as("h"),
+        col("f.yhat_micro").as("yhat_micro"),
+        col("level_micro"), col("trend_micro"))
+  }
+
+  def holtForecastSql: String = {
+    // floor-div-by-2 with a provably even numerator (see scaladoc); `e`
+    // must be a parenthesized BIGINT expression
+    def fdiv2(e: String): String = s"(($e) - ((($e) % 2) + 2) % 2) // 2"
+    val l = "split_part(acc, ',', 1)::BIGINT"
+    val b = "split_part(acc, ',', 2)::BIGINT"
+    val nl = fdiv2(s"$l + $b + x::BIGINT")
+    val nb = fdiv2(s"$nl - $l + $b")
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+       |cal AS (SELECT unnest(range(min(day), max(day) + 1)) AS day FROM ev),
+       |cnt AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT g.event_type, g.day, coalesce(c.c, 0) * 1000000 AS y
+       |  FROM (SELECT t.event_type, ca.day
+       |        FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN cal ca) g
+       |  LEFT JOIN cnt c ON c.event_type = g.event_type AND c.day = g.day),
+       |pt AS (
+       |  SELECT event_type, list(CAST(y AS VARCHAR) ORDER BY day) AS ys
+       |  FROM grid GROUP BY event_type HAVING count(*) >= 2),
+       |-- VARCHAR-packed 'l,b' accumulator (duckdb list_reduce struct hazard)
+       |lb AS (
+       |  SELECT event_type,
+       |    list_reduce(
+       |      list_prepend(
+       |        CAST(ys[1]::BIGINT AS VARCHAR) || ',' || CAST(ys[2]::BIGINT - ys[1]::BIGINT AS VARCHAR),
+       |        ys[3:]),
+       |      (acc, x) -> CAST($nl AS VARCHAR) || ',' || CAST($nb AS VARCHAR)) AS s
+       |  FROM pt),
+       |st AS (
+       |  SELECT event_type,
+       |    split_part(s, ',', 1)::BIGINT AS l, split_part(s, ',', 2)::BIGINT AS b
+       |  FROM lb)
+       |SELECT event_type, CAST(h AS BIGINT) AS h, l + h * b AS yhat_micro,
+       |  l AS level_micro, b AS trend_micro
+       |FROM st, UNNEST(range(1, 8)) AS u(h)""".stripMargin
+  }
+
   /** Cohort LTV curve — revenue by (signup-week cohort × weeks-since-
     * signup): the money twin of `events_retention` (that one counts
     * returning users; this routes the purchase cents), the curve every

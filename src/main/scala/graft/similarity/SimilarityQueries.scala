@@ -1310,4 +1310,137 @@ object SimilarityQueries {
        |  rel AS rel_micro, score AS score_micro
        |FROM s5""".stripMargin
   }
+
+  /** Per-label embedding outliers: the 5 vectors FARTHEST from their own
+    * label's centroid, per label — the embedding-space mislabel/contaminant
+    * probe (a vector far from its class centroid is either noise or the
+    * most informative example in the class; both deserve a look before the
+    * set trains anything). Complements [[hardNegatives]] (cross-label
+    * confusion) with within-label dispersion.
+    *
+    * Exactness: distance² is computed ENTIRELY in int64 — components are
+    * quantized once (`floor(v·10⁷+0.5)`, the [[labelCentroids]] snap) and
+    * the centroid component is quantized from the exact rational mean with
+    * the SAME snap, so `d2 = Σ(vᵢ−cᵢ)²` has no float accumulation at all.
+    * Bound: 64·(2·10⁷)² ≈ 2.6·10¹⁶ — inside int64 for any unit-scale
+    * embedding up to ~22k dims.
+    *
+    * Scale shape: the |labels|-row centroid table broadcasts; d2 is one
+    * narrow zip_with/aggregate fold per vector (no shuffle of the corpus);
+    * the per-label top-5 is a WindowGroupLimit on |labels| groups. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cq = centroidVectors(spark, dir)
+      .select(col("label"),
+        expr(s"transform(centroid, v -> CAST(floor(v * $CentScale + 0.5) AS BIGINT))").as("cq"))
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr(s"transform(CAST(embedding AS array<double>), v -> CAST(floor(v * $CentScale + 0.5) AS BIGINT))").as("eq"))
+    base.join(broadcast(cq), "label")
+      .withColumn("d2",
+        expr("aggregate(zip_with(eq, cq, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("d2").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("label").cast("bigint").as("label"), col("vec_id"),
+        col("d2"), col("rk").cast("bigint").as("rk"))
+  }
+
+  def embedOutliersSql: String =
+    s"""WITH cexp AS (
+       |  SELECT label,
+       |    unnest(list_transform(range(1, len(embedding) + 1),
+       |      i -> {'pos': i - 1, 'sv': CAST(floor(embedding[i]::DOUBLE * $CentScale + 0.5) AS BIGINT)})) AS u
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, u.pos AS pos,
+       |    CAST(sum(u.sv) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $CentScale) AS cv
+       |  FROM cexp GROUP BY label, u.pos),
+       |cq AS (
+       |  SELECT label,
+       |    list(CAST(floor(cv * $CentScale + 0.5) AS BIGINT) ORDER BY pos) AS cq
+       |  FROM cent GROUP BY label),
+       |eq AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding::DOUBLE[], v -> CAST(floor(v * $CentScale + 0.5) AS BIGINT)) AS eq
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT eq.vec_id, eq.label,
+       |    list_reduce(list_transform(range(1, len(eq.eq) + 1),
+       |      i -> (eq.eq[i] - cq.cq[i]) * (eq.eq[i] - cq.cq[i])), (a, x) -> a + x) AS d2
+       |  FROM eq JOIN cq USING (label))
+       |SELECT CAST(label AS BIGINT) AS label, vec_id, d2, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk
+       |  FROM d) r
+       |WHERE rk <= 5""".stripMargin
+
+  /** Simplified silhouette of the TRAINED IVF partition ([[ivfTrain]]'s
+    * cells): per vector, a = cosine distance to its own (nearest) centroid,
+    * b = distance to the second-nearest; s = (b−a)/b ∈ [0,1] (for
+    * nearest-centroid assignment b ≥ a always, and max(a,b)=b). Reported
+    * per cell as (n, Σs, mean s) in exact ppm integers — the clustering-
+    * quality acceptance number for the quantizer that [[topkIvf]] and
+    * [[semanticDedup]] both build on: cells with mean s near 0 are
+    * boundary mush (raise nprobe); near 1 are tight (safe to probe once).
+    *
+    * Exactness: the two cosines are the engine-parity doubles every IVF
+    * query already relies on; s is snapped ONCE per vector to ppm via
+    * `floor(s·10⁶+0.5)` (s ≥ 0, so the half-up snap is floor-safe in both
+    * engines), then only int64 sums and one floor division remain.
+    *
+    * Scale shape: identical to the IVF assignment pass — broadcast ≤|cells|
+    * centroids, one narrow pass over the corpus, a 2-row-per-vector window
+    * filter, then a |cells|-row aggregate. */
+  def ivfSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val cents = trainedCentroidVectors(spark, dir)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val ranked = base.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(e, centroid)"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crank") <= 2)
+    val perVec = ranked.groupBy(col("vec_id"))
+      .agg(
+        max(when(col("crank") === 1, struct(col("csim"), col("cell")))).as("own"),
+        max(when(col("crank") === 2, col("csim"))).as("c2"))
+      .select(col("vec_id"), col("own.cell").as("cell"),
+        expr("CASE WHEN c2 >= 1.0 THEN 0L ELSE CAST(floor((own.csim - c2) / (1.0 - c2) * 1000000.0 + 0.5) AS BIGINT) END").as("s_ppm"))
+    perVec.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("s_ppm")).as("sum_s_ppm"))
+      .select(col("cell"), col("n_vectors"), col("sum_s_ppm"),
+        expr("sum_s_ppm div n_vectors").as("mean_s_ppm"))
+  }
+
+  /** Oracle: the same Lloyd-trained centroids (shared CTE chain), the same
+    * assignment ranking, the same one-snap ppm silhouette. */
+  def ivfSilhouetteSql: String =
+    s"""WITH $normCte,
+       |$lloydCtes,
+       |cn AS (
+       |  SELECT cell, c,
+       |    list_reduce(list_transform(c, x -> x * x), (a, x) -> a + x) AS cnrm
+       |  FROM cent$LloydRounds),
+       |assigned AS (
+       |  SELECT n.vec_id, cn.cell,
+       |    list_reduce(list_transform(range(1, len(n.e) + 1), i -> n.e[i] * cn.c[i]), (a, x) -> a + x)
+       |      / (sqrt(n.nrm) * sqrt(cn.cnrm)) AS csim
+       |  FROM n, cn),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+       |  FROM assigned),
+       |pv AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN crank = 1 THEN cell END) AS cell,
+       |    max(CASE WHEN crank = 1 THEN csim END) AS c1,
+       |    max(CASE WHEN crank = 2 THEN csim END) AS c2
+       |  FROM ranked WHERE crank <= 2 GROUP BY vec_id),
+       |sv AS (
+       |  SELECT vec_id, cell,
+       |    CASE WHEN c2 >= 1.0 THEN 0
+       |         ELSE CAST(floor((c1 - c2) / (1.0 - c2) * 1000000.0 + 0.5) AS BIGINT) END AS s_ppm
+       |  FROM pv)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
+       |  CAST(sum(s_ppm) AS BIGINT) // count(*) AS mean_s_ppm
+       |FROM sv GROUP BY cell""".stripMargin
 }

@@ -232,4 +232,44 @@ object StreamingCorpus {
             |    * cast(round(ln(((element_at(ref_counts, i + 1) + 1) * (n_cur + 10))
             |        / ((element_at(cur_counts, i + 1) + 1) * (n_ref + 10))) * 1000000) as bigint)
             |    div ((n_ref + 10) * (n_cur + 10)))""".stripMargin).as("psi_micro"))
+
+  /** Streaming first-occurrence vocabulary monitor — the online face of
+    * [[graft.text.CorpusStats.vocabGrowth]]'s `min(doc_id)` core: every
+    * word type emits exactly ONE row, the first time any document carries
+    * it, tagged with the smallest doc_id of that first micro-batch. Wire it
+    * to a counting sink and you have the live Heaps' curve ("is today's
+    * crawl still adding vocabulary?") without re-scanning history.
+    *
+    * Semantics: "first" is first ARRIVAL — the streaming notion; within
+    * the first batch the smallest doc_id wins, so a single-batch replay of
+    * a static corpus equals the batch `min(doc_id)` exactly
+    * (parity-tested). State is one boolean per word TYPE — bounded by the
+    * vocabulary, not the stream (the Heaps' curve itself says this grows
+    * sublinearly), which is why this operator needs no watermark; the
+    * n-gram variant of the same monitor should instead key on
+    * [[graft.dedup.DedupQueries]]-style 64-bit fingerprints and shard the
+    * state store, noted for scale. */
+  def newTokens(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), explode(graft.text.TextQueries.tokens(col("text"))).as("term"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        updateFirstSeen)
+      .toDF("term", "first_doc")
+  }
+
+  /** Emit-once state update: a term's state flips to `true` on its first
+    * batch and the term never emits again. */
+  private def updateFirstSeen(
+      term: String,
+      rows: Iterator[(Long, String)],
+      state: GroupState[Boolean]): Iterator[(String, Long)] =
+    if (state.exists) Iterator.empty
+    else {
+      state.update(true)
+      Iterator.single((term, rows.map(_._1).min))
+    }
 }

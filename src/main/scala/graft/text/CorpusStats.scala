@@ -1,0 +1,297 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Corpus-level statistics for curation decisions — the "what is in this
+  * corpus, and how do its sources relate" family that sits alongside the
+  * per-document quality scores ([[TextQueries]]) and the pair-level dedup
+  * machinery ([[graft.dedup.DedupQueries]]):
+  *
+  *  - [[vocabGrowth]]: the Heaps'-law type/token curve — how fast new
+  *    vocabulary appears as the corpus grows, the first-order signal for
+  *    "is more of this source still adding information".
+  *  - [[docNovelty]]: per-document fraction of n-grams the corpus has not
+  *    seen in any earlier document — the incremental-value score a
+  *    dedup-aware sampler ranks by.
+  *  - [[corpusOverlap]]: the exact source×source n-gram Jaccard matrix —
+  *    which sources are near-copies of each other BEFORE paying for
+  *    pair-level dedup between them.
+  *  - [[sourceLogOdds]]: per-source distinctive vocabulary by
+  *    Dirichlet-smoothed log-odds z² (Monroe, Colaresi & Quinn 2008,
+  *    "Fightin' Words") — the standard "what makes this source different"
+  *    diagnostic.
+  *
+  * Exactness policy (shared with the rest of the engine): counts and
+  * fixed-point micro-nat logs in int64; `ln` is the only transcendental and
+  * is snapped once via `round(ln(x)·10⁶)` ([[TextQueries.wordZipf]]
+  * precedent); plain IEEE +,−,×,÷ on exactly-representable integers is
+  * deterministic in both engines and needs no snapping.
+  *
+  * Scale shape: every operator here reduces the corpus to vocabulary- or
+  * gram-keyed partial aggregates in one narrow pass — n-grams travel as
+  * 64-bit md5-prefix keys, never as text ([[graft.dedup.DedupQueries]]'s
+  * fingerprint rule) — and all post-aggregation joins are
+  * vocabulary×sources-sized, broadcast or tiny.
+  */
+object CorpusStats {
+
+  /** 64-bit n-gram key: md5 prefix of the space-joined token window. The
+    * gram string itself never shuffles; md5 is identical in both engines so
+    * the oracle groups on the same keys. */
+  private val GramN = 5
+
+  private def tokens(text: Column): Column = TextQueries.tokens(text)
+
+  /** (doc_id, gram-key) pairs, DISTINCT per document: each document's set
+    * of [[GramN]]-token shingle fingerprints (16 hex chars = 64 bits). */
+  private def docGrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      // size guard, not greatest(): Spark's sequence(1, 0) DESCENDS
+      .filter(size(col("toks")) >= GramN)
+      .select(col("doc_id"), col("source"), explode(
+        expr(s"transform(sequence(1, size(toks) - ${GramN - 1})," +
+          s" i -> substring(md5(concat_ws(' ', slice(toks, i, $GramN))), 1, 16))")).as("gk"))
+
+  private val docGramsSqlCte: String =
+    s"""dg AS (
+       |  SELECT doc_id, source, unnest(list_transform(
+       |    range(1, len(toks) - ${GramN - 2}),
+       |    i -> substr(md5(array_to_string(toks[i : i + ${GramN - 1}], ' ')), 1, 16))) AS gk
+       |  FROM (SELECT doc_id, source,
+       |          list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
+       |        FROM documents) t
+       |  WHERE len(toks) >= $GramN)""".stripMargin
+
+  /** Heaps'-law vocabulary growth curve: documents in doc_id order are cut
+    * into 10 equal buckets; each bucket reports how many NEW word types and
+    * NEW [[GramN]]-gram types it introduces (first occurrence by min
+    * doc_id — order-deterministic, not arrival-order) next to its raw token
+    * throughput, plus running totals. A corpus whose `new_*` columns
+    * flatten early is repeating itself; one that keeps climbing still pays
+    * to ingest. Both granularities matter: word types saturate at the
+    * vocabulary, gram types track compositional novelty long after.
+    *
+    * Scale shape: one narrow tokenize pass; `min(doc_id)` per type is a
+    * vocabulary- (resp. gram-vocabulary-) sized partial agg; the curve
+    * itself is 10 rows, windowed on a single partition of 10. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs_total"))
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), expr("doc_id * 10 div n_docs_total").as("bucket"))
+    val tokensPerBucket = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy(col("term"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val newGrams = docGrams(spark, dir).crossJoin(broadcast(n))
+      .select(col("gk"), expr("doc_id * 10 div n_docs_total").as("bucket"))
+      .groupBy(col("gk")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_gram_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokensPerBucket
+      .join(broadcast(newTypes), Seq("bucket"), "left")
+      .join(broadcast(newGrams), Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        coalesce(col("new_gram_types"), lit(0L)).as("new_gram_types"))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("cum_gram_types", sum(col("new_gram_types")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+  }
+
+  def vocabGrowthSql: String =
+    s"""WITH $docGramsSqlCte,
+      |n AS (SELECT count(*) AS n_docs_total FROM documents),
+      |tok AS (
+      |  SELECT doc_id * 10 // n_docs_total AS bucket,
+      |    unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS term
+      |  FROM documents, n),
+      |tpb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+      |nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types
+      |       FROM (SELECT term, min(bucket) AS bucket FROM tok GROUP BY term) f GROUP BY 1),
+      |ng AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_gram_types
+      |       FROM (SELECT gk, min(doc_id * 10 // n_docs_total) AS bucket
+      |             FROM dg, n GROUP BY gk) f GROUP BY 1)
+      |SELECT bucket, n_tokens,
+      |  coalesce(new_types, 0) AS new_types,
+      |  coalesce(new_gram_types, 0) AS new_gram_types,
+      |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY bucket) AS BIGINT) AS cum_types,
+      |  CAST(sum(coalesce(new_gram_types, 0)) OVER (ORDER BY bucket) AS BIGINT) AS cum_gram_types,
+      |  CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+      |FROM tpb LEFT JOIN nt USING (bucket) LEFT JOIN ng USING (bucket)""".stripMargin
+
+  /** Per-document novelty: the share of the document's distinct
+    * [[GramN]]-gram fingerprints whose corpus-wide FIRST occurrence (min
+    * doc_id) is this document. The content-level "does this doc add
+    * anything" score — a doc can be far from every single other doc (so no
+    * dedup pair fires) yet still be 95% recombined n-grams; this catches
+    * that. Documents shorter than [[GramN]] tokens have no grams and no row.
+    *
+    * `novelty_ppm` is the exact integer `10⁶·n_novel div n_grams`.
+    *
+    * Scale shape: gram keys (8-byte md5 prefixes) shuffle twice — once for
+    * the per-gram min(doc_id) (vocabulary-of-grams-sized partial agg), once
+    * joining first-occurrence back to the per-doc gram sets; both are
+    * equi-joins on the 64-bit key. Nothing is pairwise. */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: consumed twice (min-agg + join-back); gram sets, not text
+    val dg = graft.Caches.persisted(
+      docGrams(spark, dir).select(col("doc_id"), col("gk")).distinct())
+    val first = dg.groupBy(col("gk")).agg(min(col("doc_id")).as("first_doc"))
+    // shuffle-hash: both sides agg-derived (no stats → Catalyst would SMJ);
+    // both already hash-partition on gk, nothing here is broadcast-promised
+    dg.join(first.hint("shuffle_hash"), "gk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
+  }
+
+  def docNoveltySql: String =
+    s"""WITH $docGramsSqlCte,
+       |d AS (SELECT DISTINCT doc_id, gk FROM dg),
+       |f AS (SELECT gk, min(doc_id) AS first_doc FROM d GROUP BY gk)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+       |    // count(*) AS novelty_ppm
+       |FROM d JOIN f USING (gk)
+       |GROUP BY doc_id""".stripMargin
+
+  /** Exact source×source content-overlap matrix: Jaccard similarity of the
+    * two sources' [[GramN]]-gram fingerprint SETS, for every unordered
+    * source pair (zero-intersection pairs included — the full matrix is the
+    * deliverable). The "which sources duplicate each other" triage that
+    * decides where cross-source dedup budget goes.
+    *
+    * `jaccard_ppm = 10⁶·|A∩B| div |A∪B|`, exact integers.
+    *
+    * Scale shape: the corpus reduces to distinct (source, gram-key) — at
+    * most |sources|·|gram vocabulary| narrow rows — and the intersection
+    * join is gram-keyed, producing only pairs that actually co-occur in
+    * some gram. Per-gram fan-out is (#sources carrying that gram)², fine
+    * for source counts in the thousands; for millions of sources this
+    * becomes the MinHash estimate ([[graft.dedup.DedupQueries.dedupNear]]'s
+    * signatures aggregated per source) — same output contract, noted here
+    * as the scale path. The final matrix assembly is a broadcast cross of
+    * the |sources|-row size table. */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: consumed three times (both self-join sides + sizes)
+    val sg = graft.Caches.persisted(
+      docGrams(spark, dir).select(col("source"), col("gk")).distinct())
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sg.as("a").join(sg.as("b").hint("shuffle_hash"), Seq("gk"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val allPairs = broadcast(sizes.as("x")).crossJoin(broadcast(sizes.as("y")))
+      .filter(col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+    allPairs.join(inter.hint("shuffle_hash"), Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))).as("n_union"))
+      .withColumn("jaccard_ppm", expr("n_inter * 1000000 div n_union"))
+  }
+
+  def corpusOverlapSql: String =
+    s"""WITH $docGramsSqlCte,
+       |sg AS (SELECT DISTINCT source, gk FROM dg),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM sg a JOIN sg b ON a.gk = b.gk AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT x.source AS source_a, y.source AS source_b,
+       |  coalesce(n_inter, 0) AS n_inter,
+       |  x.n + y.n - coalesce(n_inter, 0) AS n_union,
+       |  coalesce(n_inter, 0) * 1000000 // (x.n + y.n - coalesce(n_inter, 0)) AS jaccard_ppm
+       |FROM sz x JOIN sz y ON x.source < y.source
+       |LEFT JOIN inter ON inter.source_a = x.source AND inter.source_b = y.source""".stripMargin
+
+  /** Per-source distinctive vocabulary: for each source, the top-5 terms by
+    * the Dirichlet-smoothed log-odds z² of "this source vs the rest of the
+    * corpus" (Monroe, Colaresi & Quinn 2008) — the informed prior keeps a
+    * count-1 rare word from topping the list the way raw PMI would.
+    *
+    * With y = term count in the source, m = term count in the rest,
+    * n / r the source / rest token totals, prior a_w = A·g_w/G (A = 1000
+    * pseudo-tokens apportioned by global frequency):
+    * δ = ln((y+a)/(n+A−y−a)) − ln((m+a)/(r+A−m−a)), σ² ≈ 1/(y+a)+1/(m+a),
+    * z² = δ²/σ². Both `ln`s are snapped to micro-nats (the engine's
+    * one-float-snap policy); everything around them is IEEE arithmetic on
+    * exactly-representable integers, identical in both engines, and z² is
+    * rounded once to 6 decimals for the output.
+    *
+    * Scale shape: one (source, term) partial-agg shuffle (vocabulary ×
+    * sources), a broadcast join of the vocabulary-sized global counts and
+    * the |sources|-row totals, then a WindowGroupLimit top-5 per source. */
+  def sourceLogOdds(spark: SparkSession, dir: String): DataFrame = {
+    val priorA = 1000.0
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    // persisted: vocabulary×sources-sized, consumed three times
+    val st = graft.Caches.persisted(
+      tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("y")))
+    val g = st.groupBy(col("term")).agg(sum(col("y")).as("gw"))
+    val totals = st.groupBy(col("source")).agg(sum(col("y")).as("n"))
+    val grand = g.agg(sum(col("gw")).as("gt"))
+    val scored = st
+      .join(broadcast(g), "term")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("a", lit(priorA) * col("gw") / col("gt"))
+      .withColumn("m", col("gw") - col("y"))
+      .withColumn("r", col("gt") - col("n"))
+      .withColumn("d_micro",
+        expr(s"round(ln((y + a) / (n + $priorA - y - a)) * 1000000)") -
+          expr(s"round(ln((m + a) / (r + $priorA - m - a)) * 1000000)"))
+      .withColumn("z2",
+        expr("round((d_micro / 1000000.0) * (d_micro / 1000000.0) " +
+          "/ (1.0 / (y + a) + 1.0 / (m + a)), 6)"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("z2").desc, col("term").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("term"), col("y"), col("gw"),
+        col("d_micro").cast("bigint").as("d_micro"), col("z2"),
+        col("rk").cast("bigint").as("rk"))
+  }
+
+  def sourceLogOddsSql: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS y FROM tok GROUP BY 1, 2),
+      |g AS (SELECT term, CAST(sum(y) AS BIGINT) AS gw FROM st GROUP BY term),
+      |tt AS (SELECT source, CAST(sum(y) AS BIGINT) AS n FROM st GROUP BY source),
+      |gr AS (SELECT CAST(sum(gw) AS BIGINT) AS gt FROM g),
+      |sc AS (
+      |  SELECT source, term, y, gw,
+      |    round(ln((y + a) / (n + 1000.0 - y - a)) * 1000000)
+      |      - round(ln((gw - y + a) / (gt - n + 1000.0 - (gw - y) - a)) * 1000000) AS d_micro,
+      |    a
+      |  FROM (SELECT st.source, st.term, y, gw, n, gt,
+      |          1000.0 * gw / gt AS a
+      |        FROM st JOIN g USING (term) JOIN tt USING (source), gr) p),
+      |z AS (
+      |  SELECT source, term, y, gw, CAST(d_micro AS BIGINT) AS d_micro,
+      |    round((d_micro / 1000000.0) * (d_micro / 1000000.0)
+      |          / (1.0 / (y + a) + 1.0 / (gw - y + a)), 6) AS z2
+      |  FROM sc)
+      |SELECT source, term, y, gw, d_micro, z2, rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY z2 DESC, term) AS rk
+      |  FROM z) r
+      |WHERE rk <= 5""".stripMargin
+}

@@ -43,7 +43,9 @@ object ScaleProbe {
     "events_seasonality", "dedup_eval", "quality_calibration", "ann_recall",
     "textrank_keywords", "trigram_search", "coverage_select", "quality_auc",
     "events_pattern_match", "events_anomaly_mad", "events_erasure_audit",
-    "events_trend_robust", "events_cohort_ltv", "token_fertility")
+    "events_trend_robust", "events_cohort_ltv", "token_fertility",
+    "events_burst", "events_holt", "vocab_growth", "doc_novelty",
+    "corpus_overlap", "source_log_odds", "embed_outliers", "ivf_silhouette")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

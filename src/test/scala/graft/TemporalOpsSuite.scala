@@ -322,7 +322,9 @@ class TemporalOpsSuite extends SparkSpec {
       "item_cf_recs", "graph_kcore", "textrank_keywords",
       "quality_auc", "trigram_search", "coverage_select",
       "events_hll_rollup", "events_audience_overlap", "embed_mutual_nn",
-      "embed_hard_negatives", "knn_label_eval")
+      "embed_hard_negatives", "knn_label_eval", "events_burst",
+      "vocab_growth", "doc_novelty", "corpus_overlap", "source_log_odds",
+      "embed_outliers", "ivf_silhouette", "events_holt")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>
@@ -428,6 +430,71 @@ class TemporalOpsSuite extends SparkSpec {
       .select("event_id", "n_window", "ewma_cents")
       .as[(Long, Long, Long)].collect()
       .map { case (e, n, c) => e -> (n, c) }.toMap
+    assert(got == expected)
+  }
+
+  test("events_burst: pinned fixture finds exactly the elevated episode; flat series stays base") {
+    // "click": 5/day for 10 days except days 4-6 at 15/day — one sustained
+    // 3-day episode the DP must fuse into a single interval. "view": flat
+    // 5/day — must emit NO burst rows (any interval here means the γ
+    // entry cost is being ignored).
+    val rows = (0 until 10).flatMap { d =>
+      val nClick = if (d >= 4 && d <= 6) 15 else 5
+      val day = s"2024-01-${"%02d".format(d + 1)}T12:00:00Z"
+      (0 until nClick).map(i => (d * 100L + i, ts(day), i.toLong, "click", 1.0, "{}")) ++
+        (0 until 5).map(i => (d * 100L + 50 + i, ts(day), i.toLong, "view", 1.0, "{}"))
+    }
+    val dir = Files.createTempDirectory("graft-burst").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.burstKleinberg(spark, dir)
+      .select("event_type", "start_day", "end_day", "n_days", "n_events")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    val day0 = Instant.parse("2024-01-01T12:00:00Z").toEpochMilli * 1000L / 86400000000L
+    assert(got == Seq(("click", day0 + 4, day0 + 6, 3L, 45L)))
+  }
+
+  test("events_burst: Viterbi trajectory matches a driver-side integer DP on real data") {
+    // same micro-nat int64 arithmetic re-implemented independently: per-day
+    // counts → forward costs with strict-< switch rules → backtrack →
+    // islands. Any divergence in the engine's aggregate()-fold encoding of
+    // the DP (choice-bit packing, tie policy, init state) surfaces here.
+    val byType = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val d0 = byType.values.flatten.min
+    val d1 = byType.values.flatten.max
+    val g = 500000L
+    val expected = byType.toSeq.flatMap { case (et, days) =>
+      val cnt = days.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val dc = (d0 to d1).map(d => d -> cnt.getOrElse(d, 0L))
+      val n = dc.size
+      val total = dc.map(_._2).sum
+      val lam0 = total.toDouble / n
+      val a0 = math.round(lam0 * 1e6); val a1 = math.round(1.2 * total / n * 1e6)
+      val l0 = math.round(math.log(lam0) * 1e6); val l1 = math.round(math.log(1.2 * total / n) * 1e6)
+      var (c0, c1) = (0L, g)
+      val ch = dc.map { case (_, c) =>
+        val bit = (if (c1 < c0) 1 else 0) + (if (c0 + g < c1) 0 else 2)
+        val (n0, n1) = (math.min(c0, c1) + (a0 - c * l0), math.min(c0 + g, c1) + (a1 - c * l1))
+        c0 = n0; c1 = n1; bit
+      }
+      val states = new Array[Int](n)
+      states(n - 1) = if (c1 < c0) 1 else 0
+      for (i <- n - 1 to 1 by -1)
+        states(i - 1) = if (states(i) == 0) ch(i) % 2 else ch(i) / 2
+      // islands of consecutive burst days
+      val bursts = dc.zip(states).foldLeft(List.empty[(Long, Long, Long, Long)]) {
+        case (acc, ((day, c), 1)) => acc match {
+          case (s, e, nd, ne) :: t if e == day - 1 => (s, day, nd + 1, ne + c) :: t
+          case _ => (day, day, 1L, c) :: acc
+        }
+        case (acc, _) => acc
+      }
+      bursts.map { case (s, e, nd, ne) => (et, s, e, nd, ne) }
+    }.sorted
+    val got = EventQueries.burstKleinberg(spark, Sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
     assert(got == expected)
   }
 

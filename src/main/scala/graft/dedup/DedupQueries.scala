@@ -975,6 +975,51 @@ object DedupQueries {
        |  FROM j) t
        |WHERE rn = 1""".stripMargin
 
+  /** Dedup savings forecast — the cluster-size histogram of the near-dup
+    * components with the bytes a keep-one-per-cluster pass would drop
+    * (keeper = [[dedupCanonical]]'s largest-doc policy, so the two
+    * operators quote the SAME plan): for each cluster size, how many
+    * clusters, how many documents, their total bytes, and the dropped
+    * bytes. This is the "what does dedup buy us" number that decides
+    * whether the full dedup pass is worth scheduling on a new crawl —
+    * estimated from components that are already output-sized.
+    *
+    * Scale shape: inherits [[dedupComponents]]' edge-set-sized plans; the
+    * per-cluster aggregate and the size histogram run on the component
+    * table (dup-graph-sized, tiny next to the corpus), with one keys-only
+    * join to fetch n_chars. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(spark, dir)
+    val chars = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    comp.hint("shuffle_hash").join(chars, "doc_id")
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("n_chars")).as("bytes_total"),
+        max(col("n_chars")).as("bytes_kept"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("bytes_total")).as("bytes_total"),
+        sum(col("bytes_total") - col("bytes_kept")).as("bytes_dropped"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        col("bytes_total"), col("bytes_dropped"))
+  }
+
+  /** Oracle: the components CTE + the same two-level aggregate. */
+  def dedupSavingsSql: String =
+    s"""WITH comp AS ($dedupComponentsSql),
+       |cl AS (
+       |  SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size,
+       |    CAST(sum(d.n_chars) AS BIGINT) AS bytes_total,
+       |    CAST(max(d.n_chars) AS BIGINT) AS bytes_kept
+       |  FROM comp c JOIN documents d USING (doc_id)
+       |  GROUP BY canonical)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  cluster_size * CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(bytes_total) AS BIGINT) AS bytes_total,
+       |  CAST(sum(bytes_total - bytes_kept) AS BIGINT) AS bytes_dropped
+       |FROM cl GROUP BY cluster_size""".stripMargin
+
   /** Blocking threshold for [[erCandidates]]. */
   private val ErMaxDist = 3
 

@@ -1263,6 +1263,179 @@ object EventQueries {
        |FROM st, UNNEST(range(1, 8)) AS u(h)""".stripMargin
   }
 
+  /** Exact 5%-trimmed mean of the event value per type — the robust
+    * central-tendency summary that survives the fat tails [[anomalyDays]]
+    * flags (a handful of 490-cent outliers move a plain mean; they cannot
+    * move a trimmed one). Keeps exactly the ranks (⌊n/20⌋, n−⌊n/20⌋] of
+    * the per-type value order and averages them, reported next to the
+    * untrimmed mean so the gap itself is the tail-mass signal.
+    *
+    * Exactness AND the 100 TB shape come from the same device: the corpus
+    * collapses to the per-(type, cents) HISTOGRAM (distinct-value-sized,
+    * like [[graft.relational.RelationalQueries]]' two-phase median), the
+    * cumulative window runs over distinct values only, and each value
+    * contributes `min(cum, hi) − max(cum−c, lo)` copies — the exact
+    * partial-count trim at the boundary values, no per-row rank ever
+    * materialized. Means are floor divisions spelled sign-safe
+    * (`(a − ((a%b)+b)%b) div b`) so a negative-valued deployment cannot
+    * split Spark's truncating `div` from DuckDB's flooring `//`. */
+  def trimmedStats(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy(col("event_type"))
+    def fdiv(a: String, b: String) = s"(($a) - ((($a) % ($b)) + ($b)) % ($b)) div ($b)"
+    h.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wT))
+      .withColumn("lo", expr("n * 5 div 100"))
+      .withColumn("hi", expr("n - n * 5 div 100"))
+      .withColumn("kept", expr("greatest(0L, least(cum, hi) - greatest(cum - c, lo))"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("kept")).as("n_kept"),
+        sum(expr("kept * cents")).as("sum_kept_cents"),
+        sum(expr("c * cents")).as("sum_cents"))
+      .select(col("event_type"), col("n"), col("n_kept"),
+        expr(fdiv("sum_cents * 1000000", "n")).as("mean_microcents"),
+        expr(fdiv("sum_kept_cents * 1000000", "n_kept")).as("trimmed_mean_microcents"))
+  }
+
+  def trimmedStatsSql: String = {
+    def fdiv(a: String, b: String) = s"(($a) - ((($a) % ($b)) + ($b)) % ($b)) // ($b)"
+    s"""WITH h AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT event_type, cents, c,
+       |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents
+       |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM h),
+       |k AS (
+       |  SELECT event_type, cents, c, cum, n,
+       |    n * 5 // 100 AS lo, n - n * 5 // 100 AS hi
+       |  FROM w)
+       |SELECT event_type, max(n) AS n,
+       |  CAST(sum(greatest(0, least(cum, hi) - greatest(cum - c, lo))) AS BIGINT) AS n_kept,
+       |  ${fdiv("CAST(sum(c * cents) AS BIGINT) * 1000000", "max(n)")} AS mean_microcents,
+       |  ${fdiv(
+            "CAST(sum(greatest(0, least(cum, hi) - greatest(cum - c, lo)) * cents) AS BIGINT) * 1000000",
+            "CAST(sum(greatest(0, least(cum, hi) - greatest(cum - c, lo))) AS BIGINT)")}
+       |    AS trimmed_mean_microcents
+       |FROM k GROUP BY event_type""".stripMargin
+  }
+
+  /** Time-decayed leaderboard — the top-3 users per event type by
+    * exponentially decayed activity, half-life = 1 day: an event aged `a`
+    * days (vs the corpus max day) contributes `10⁶ div 2^a`. The "trending
+    * now" ranking every feed needs — a user with 50 events last week loses
+    * to a user with 3 events today — as exact integers: the decay weight is
+    * one shift (`shiftleft(1, a)` ≡ duckdb `1 << a`) and one floor
+    * division, so the scores sum associatively under any partitioning.
+    * Ages ≥ 20 floor to weight 0 — the window the leaderboard "sees" is
+    * self-limiting, which is the point of the decay.
+    *
+    * Scale shape: one narrow pass against the broadcast 1-row max-day, a
+    * (type, user)-keyed partial-agg sum, and a WindowGroupLimit top-3 per
+    * type — per-user history compresses map-side. */
+  def decayedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val maxDay = ev.agg(max(col("day")).as("max_day"))
+    ev.crossJoin(broadcast(maxDay))
+      .select(col("event_type"), col("user_id"),
+        expr("1000000L div shiftleft(1L, cast(least(max_day - day, 62L) as int))").as("w"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("w")).as("decayed_micro"), count(lit(1)).as("n_events"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("decayed_micro").desc, col("user_id").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("user_id"), col("decayed_micro"),
+        col("n_events"), col("rk").cast("bigint").as("rk"))
+  }
+
+  def decayedTopkSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |m AS (SELECT max(day) AS max_day FROM ev),
+      |s AS (
+      |  SELECT event_type, user_id,
+      |    CAST(sum(1000000 // (CAST(1 AS BIGINT) << least(max_day - day, 62))) AS BIGINT)
+      |      AS decayed_micro,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM ev, m GROUP BY 1, 2)
+      |SELECT event_type, user_id, decayed_micro, n_events, rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |                               ORDER BY decayed_micro DESC, user_id) AS rk
+      |  FROM s) r
+      |WHERE rk <= 3""".stripMargin
+
+  /** Bot-likeness score — per user (≥ 5 events), the squared coefficient
+    * of variation of the inter-event gaps: humans are bursty (CV² ≈ 1 for
+    * Poisson, ≫ 1 for sessions), schedulers are metronomes (CV² → 0), so
+    * the LOW tail of this score is the scripted-traffic cleaning list
+    * every behavioral dataset needs before it trains anything.
+    *
+    * Exactness: with m gaps (each truncated to whole seconds), S = Σg
+    * (≈ the span, up to the per-gap truncation) and Q = Σg² from one lag
+    * window; CV² = (m·Q − S²)/S² exactly in ppm. The ppm scaling splits
+    * into quotient·10⁶ + (remainder·10⁶ div S²) — algebraically identical
+    * to ⌊(m·Q−S²)·10⁶/S²⌋ but never forms the 10²¹-sized product that a
+    * single multiply would (a CV² of 30 on a month-long span overflows
+    * int64 the naive way — found by ANSI mode, kept as a two-step
+    * division). All terms are non-negative (Cauchy–Schwarz gives
+    * m·Q ≥ S²), so `div` ≡ `//`.
+    * Second-scale gaps keep m·Q ≤ ~10¹⁶ — int64-safe for year-long spans;
+    * microsecond gaps would overflow at Q, which is why the truncation to
+    * seconds is part of the contract (regularity at the sub-second level
+    * is invisible here and irrelevant to the signal). Zero-span users
+    * (all events in one second — a different bot signature) emit CV² = 0
+    * and are flagged by `span_s = 0` instead.
+    *
+    * Scale shape: one user-keyed window pass for the gaps (per-user
+    * history bounded), one partial-agg rollup per user; output is
+    * users-sized. */
+  def botScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("g", expr("(us - lag(us) over (partition by user_id order by us, event_id)) div 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("g")).as("span_s"),
+        count(col("g")).as("m"),
+        sum(col("g") * col("g")).as("q"))
+      .filter(col("n_events") >= 5)
+      .select(col("user_id"), col("n_events"), col("span_s"),
+        expr("""CASE WHEN span_s = 0 THEN 0L
+               |     ELSE ((m * q - span_s * span_s) div (span_s * span_s)) * 1000000
+               |        + ((m * q - span_s * span_s) % (span_s * span_s)) * 1000000
+               |          div (span_s * span_s) END"""
+          .stripMargin).as("cv2_ppm"))
+
+  def botScoreSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) // 1000000 AS g
+      |  FROM e),
+      |a AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(g) AS BIGINT) AS span_s,
+      |    CAST(count(g) AS BIGINT) AS m,
+      |    CAST(sum(g * g) AS BIGINT) AS q
+      |  FROM g GROUP BY user_id HAVING count(*) >= 5)
+      |SELECT user_id, n_events, span_s,
+      |  CASE WHEN span_s = 0 THEN 0
+      |       ELSE ((m * q - span_s * span_s) // (span_s * span_s)) * 1000000
+      |          + ((m * q - span_s * span_s) % (span_s * span_s)) * 1000000
+      |            // (span_s * span_s) END AS cv2_ppm
+      |FROM a""".stripMargin
+
   /** Cohort LTV curve — revenue by (signup-week cohort × weeks-since-
     * signup): the money twin of `events_retention` (that one counts
     * returning users; this routes the purchase cents), the curve every

@@ -142,6 +142,28 @@ object DataSelection {
     * same top-depth) — fusion touches only 2·depth rows regardless of
     * corpus size. */
   def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
+    val (lex, dense) = rrfRankings(spark, dir)
+    // fuse by union + one hash agg, NOT a full-outer join (full outer can't
+    // broadcast-hash, so Spark would sort-merge two 50-row sides): each list
+    // contributes its integer reciprocal, absent-in-list ranks surface as
+    // the max over the 0 sentinel
+    lex.select(col("doc_id"), col("lex_rank"), lit(0L).as("dense_rank"),
+        expr(s"1000000000L div (${RrfK} + lex_rank)").as("rrf_nano"))
+      .unionByName(
+        dense.select(col("doc_id"), lit(0L).as("lex_rank"), col("dense_rank"),
+          expr(s"1000000000L div (${RrfK} + dense_rank)").as("rrf_nano")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("lex_rank")).as("lex_rank"),
+        max(col("dense_rank")).as("dense_rank"),
+        sum(col("rrf_nano")).as("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
+      .limit(RrfTop)
+  }
+
+  /** The two top-[[RrfDepth]] rankings [[hybridSearchRrf]] fuses and
+    * [[searchRbo]] compares — factored so the two operators cannot drift:
+    * (doc_id, lex_rank) from BM25 and (doc_id, dense_rank) from cosine. */
+  private[graft] def rrfRankings(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // lexical: BM25 score_micro per doc (the bm25Search pipeline minus its
     // final top-20), ranked to RrfDepth
@@ -187,21 +209,7 @@ object DataSelection {
       .withColumn("dense_rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("bigint"))
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
-    // fuse by union + one hash agg, NOT a full-outer join (full outer can't
-    // broadcast-hash, so Spark would sort-merge two 50-row sides): each list
-    // contributes its integer reciprocal, absent-in-list ranks surface as
-    // the max over the 0 sentinel
-    lex.select(col("doc_id"), col("lex_rank"), lit(0L).as("dense_rank"),
-        expr(s"1000000000L div (${RrfK} + lex_rank)").as("rrf_nano"))
-      .unionByName(
-        dense.select(col("doc_id"), lit(0L).as("lex_rank"), col("dense_rank"),
-          expr(s"1000000000L div (${RrfK} + dense_rank)").as("rrf_nano")))
-      .groupBy(col("doc_id"))
-      .agg(max(col("lex_rank")).as("lex_rank"),
-        max(col("dense_rank")).as("dense_rank"),
-        sum(col("rrf_nano")).as("rrf_nano"))
-      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
-      .limit(RrfTop)
+    (lex, dense)
   }
 
   def hybridSearchRrfSql: String =
@@ -257,6 +265,88 @@ object DataSelection {
        |FROM t GROUP BY doc_id
        |ORDER BY CAST(sum(term_micro) AS BIGINT) DESC, doc_id ASC
        |LIMIT 20""".stripMargin
+
+  // ------------------------------- rank-biased overlap (list agreement)
+
+  private val RboP = 0.9
+  /** Per-depth RBO weights `(1−p)·p^(d−1)/d` in nano units, computed ONCE
+    * here and inlined as integer literals into BOTH engines' plans — the
+    * only powers in the operator, so no engine's `pow` ulp can diverge. */
+  private val RboW: Seq[Long] = (1 to RrfDepth)
+    .map(d => math.round((1 - RboP) * math.pow(RboP, d - 1) / d * 1e9))
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between the lexical
+    * (BM25) and dense (cosine) top-[[RrfDepth]] rankings that
+    * [[hybridSearchRrf]] fuses — the eval-family number for whether the two
+    * retrieval channels even agree (RBO ≈ 1: the dense index is re-finding
+    * the lexical answer, fusion adds little; RBO ≈ 0: disjoint evidence,
+    * fusion is load-bearing). Truncated RBO@depth:
+    * `(1−p)·Σ_{d≤D} p^(d−1)·|A_{1..d} ∩ B_{1..d}|/d`, p = 0.9.
+    *
+    * Exactness: a doc in both lists enters the intersection at depth
+    * `max(lex_rank, dense_rank)`, so X_d is a ≤D-row cumulative count; the
+    * per-depth weights are precomputed integer nanos ([[RboW]]) and the
+    * whole statistic is one Σ X_d·W_d of int64s.
+    *
+    * Scale shape: inherits the two rankings' plans (each a scale-safe
+    * top-D); the RBO itself touches ≤D matched rows × D depths — constant
+    * work regardless of corpus size. */
+  def searchRbo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (lex, dense) = rrfRankings(spark, dir)
+    val matched = lex.join(dense.hint("shuffle_hash"), "doc_id")
+      .select(greatest(col("lex_rank"), col("dense_rank")).as("m"))
+    val weights = RboW.mkString("array(", "L, ", "L)")
+    matched
+      .select(explode(expr(s"sequence(m, ${RrfDepth}L)")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x_d"))
+      .agg(
+        sum(expr(s"x_d * element_at($weights, cast(d as int))")).as("rbo_nano"),
+        max(when(col("d") === RrfDepth, col("x_d"))).as("n_matched"))
+      .select(lit(RrfDepth.toLong).as("depth"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("rbo_nano"), lit(0L)).as("rbo_nano"))
+  }
+
+  def searchRboSql: String = {
+    val weightRows = RboW.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, ${w})" }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dd),
+       |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dd) e
+       |       WHERE tok IN ($bm25TermsSqlList)
+       |       GROUP BY 1, 2, 3),
+       |idf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |t AS (SELECT doc_id,
+       |        CAST(round(CAST(round(ln(1 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * 1000000) AS BIGINT)
+       |          * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl * n_docs / total_len)))) AS BIGINT) AS term_micro
+       |      FROM tf JOIN idf USING (tok), c),
+       |lex AS (SELECT doc_id, row_number() OVER (
+       |          ORDER BY sum(term_micro) DESC, doc_id ASC) AS lex_rank
+       |        FROM t WHERE doc_id <> $RrfQueryId GROUP BY doc_id
+       |        ORDER BY sum(term_micro) DESC, doc_id ASC LIMIT $RrfDepth),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |        list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, x) -> a + x) AS nrm
+       |      FROM embeddings),
+       |q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = $RrfQueryId),
+       |dense AS (SELECT vec_id AS doc_id, row_number() OVER (
+       |            ORDER BY list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * b.e[i]), (a, x) -> a + x)
+       |              / (sqrt(qn) * sqrt(b.nrm)) DESC, vec_id ASC) AS dense_rank
+       |          FROM q, n b WHERE b.vec_id <> $RrfQueryId
+       |          ORDER BY dense_rank LIMIT $RrfDepth),
+       |w(d, w_nano) AS (VALUES $weightRows),
+       |m AS (SELECT greatest(lex_rank, dense_rank) AS m
+       |      FROM lex JOIN dense USING (doc_id)),
+       |x AS (SELECT u.d AS d, CAST(count(*) AS BIGINT) AS x_d
+       |      FROM m, UNNEST(range(m.m, ${RrfDepth + 1})) AS u(d)
+       |      GROUP BY u.d)
+       |SELECT CAST($RrfDepth AS BIGINT) AS depth,
+       |  CAST(coalesce(max(CASE WHEN d = $RrfDepth THEN x_d END), 0) AS BIGINT) AS n_matched,
+       |  CAST(coalesce(sum(x_d * w_nano), 0) AS BIGINT) AS rbo_nano
+       |FROM x JOIN w USING (d)""".stripMargin
+  }
 
   // ------------------------------- pseudo-relevance feedback (RM3-lite)
 

@@ -183,6 +183,44 @@ object TrainingPrep {
        |            FROM documents) t) c
        |GROUP BY source, chunk_id""".stripMargin
 
+  /** Packing-efficiency audit of [[seqPack]]'s chunks — per source: chunk
+    * count, token mass, the exact fill ratio against the [[ChunkTokens]]
+    * capacity, and the chunk overhead vs the information-theoretic floor
+    * ⌈tokens/capacity⌉. The number a training-data engineer watches before
+    * buying the next packing strategy: fill near 10⁶ ppm says the greedy
+    * start-position packing wastes nothing worth optimizing; low fill says
+    * documents straddle boundaries badly and a length-aware packer pays.
+    *
+    * Scale shape: one aggregate over [[seqPack]]'s output (chunk-count-
+    * sized, already ≪ corpus); everything here inherits seq_pack's single
+    * per-source window pass. Exact integers throughout (ppm = one floor
+    * division of nonneg int64s, identical both engines). */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    seqPack(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("tokens"),
+        sum(col("n_docs")).as("n_docs"))
+      .select(col("source"), col("n_chunks"), col("n_docs"), col("tokens"),
+        expr(s"tokens * 1000000 div (n_chunks * $ChunkTokens)").as("fill_ppm"),
+        expr(s"(tokens + $ChunkTokens - 1) div $ChunkTokens").as("ideal_chunks"),
+        expr(s"(n_chunks - (tokens + $ChunkTokens - 1) div $ChunkTokens) * 1000000" +
+          s" div ((tokens + $ChunkTokens - 1) div $ChunkTokens)").as("overhead_ppm"))
+
+  def packEfficiencySql: String =
+    s"""WITH sp AS (${seqPackSql.replace("\n", "\n  ")}),
+       |ag AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(chunk_tokens) AS BIGINT) AS tokens,
+       |    CAST(sum(n_docs) AS BIGINT) AS n_docs
+       |  FROM sp GROUP BY source)
+       |SELECT source, n_chunks, n_docs, tokens,
+       |  tokens * 1000000 // (n_chunks * $ChunkTokens) AS fill_ppm,
+       |  (tokens + $ChunkTokens - 1) // $ChunkTokens AS ideal_chunks,
+       |  (n_chunks - (tokens + $ChunkTokens - 1) // $ChunkTokens) * 1000000
+       |    // ((tokens + $ChunkTokens - 1) // $ChunkTokens) AS overhead_ppm
+       |FROM ag""".stripMargin
+
   /** Repetition-based quality signals (the Gopher repetition rules, adapted
     * to single-line docs): per document, the most-frequent-token share and
     * the distinct-token ratio, plus the combined gate. High top-share or

@@ -675,6 +675,112 @@ object SimilarityQueries {
        |  CAST(sum(t * p) * 1000000 // sum(t) AS BIGINT) AS recall_ppm
        |FROM j GROUP BY q_id""".stripMargin
 
+  private val CurveNprobes = Seq(1, 2, 3, 5)
+
+  /** Recall@k vs nprobe curve — [[annRecall]] swept across
+    * nprobe ∈ {1, 2, 3, 5}: the acceptance CURVE (not just the point
+    * estimate) that prices the IVF speed/recall dial before anyone turns
+    * it on a 100 TB table. The quantizer trains ONCE and the nearest-cell
+    * ranking is shared: each sweep point only re-filters the ≤|cells|-deep
+    * probe ranking, so the curve costs one training + one corpus
+    * assignment + 4 bucket-join probes — not 4 full [[topkIvf]] runs.
+    *
+    * Scale shape: the per-vector cell ranking is the [[topkIvf]]
+    * assignment pass (broadcast centroids, narrow); `corpusCells` persists
+    * ids+cells once and every sweep point joins it on cell id; the recall
+    * compare runs on (queries·k·|sweep|)-row sets. */
+  def annRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cents = trainedCentroidVectors(spark, dir)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cellRank = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val ranked = base.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(e, centroid)"))
+      .withColumn("crank", row_number().over(cellRank))
+    val corpusCells = graft.Caches.persisted(
+      ranked.filter(col("crank") === 1).select(col("vec_id"), col("e"), col("cell")))
+    val queryCells = graft.Caches.persisted(
+      ranked.filter(col("vec_id") < NumQueries && col("crank") <= CurveNprobes.max)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell"), col("crank")))
+    val preds = CurveNprobes.map { np =>
+      corpusCells.join(broadcast(queryCells.filter(col("crank") <= np)), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", expr("cosine_sim(qe, e)"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= K)
+        .select(lit(np.toLong).as("nprobe"), col("q_id"), col("vec_id"), lit(1L).as("p"))
+    }.reduce(_ unionByName _)
+    val truth = topkBruteForce(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("t"))
+      .crossJoin(broadcast(
+        spark.range(1).select(explode(
+          expr(CurveNprobes.map(_ + "L").mkString("array(", ", ", ")"))).as("nprobe"))))
+    truth.join(preds.hint("shuffle_hash"), Seq("nprobe", "q_id", "vec_id"), "full_outer")
+      .groupBy(col("nprobe"), col("q_id"))
+      .agg(
+        sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("p"), lit(0L))).as("hits"))
+      .select(col("nprobe"), col("q_id"), col("n_truth"), col("hits"),
+        expr("hits * 1000000L div n_truth").as("recall_ppm"))
+  }
+
+  /** Oracle: the shared Lloyd/assignment CTEs, one scored CTE per sweep
+    * point, unioned and set-compared against the brute-force truth. */
+  def annRecallCurveSql: String = {
+    val perNp = CurveNprobes.map { np =>
+      s"""p$np AS (
+         |  SELECT $np AS nprobe, q_id, vec_id FROM (
+         |    SELECT q.q_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_reduce(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * c.e[i]), (a, x) -> a + x)
+         |          / (sqrt(q.qn) * sqrt(c.nrm)) DESC, c.vec_id) AS rank
+         |    FROM (SELECT q_id, qe, qn, cell FROM qcells WHERE crank <= $np) q
+         |    JOIN corpus c USING (cell)
+         |    WHERE c.vec_id <> q.q_id) s
+         |  WHERE rank <= $K)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $normCte,
+       |$lloydCtes,
+       |cn AS (
+       |  SELECT cell, c,
+       |    list_reduce(list_transform(c, x -> x * x), (a, x) -> a + x) AS cnrm
+       |  FROM cent$LloydRounds),
+       |assigned AS (
+       |  SELECT n.vec_id, n.e, n.nrm, cn.cell,
+       |    list_reduce(list_transform(range(1, len(n.e) + 1), i -> n.e[i] * cn.c[i]), (a, x) -> a + x)
+       |      / (sqrt(n.nrm) * sqrt(cn.cnrm)) AS csim
+       |  FROM n, cn),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+       |  FROM assigned),
+       |corpus AS (SELECT vec_id, e, nrm, cell FROM ranked WHERE crank = 1),
+       |qcells AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell, crank
+       |           FROM ranked WHERE vec_id < $NumQueries AND crank <= ${CurveNprobes.max}),
+       |$perNp,
+       |preds AS (${CurveNprobes.map(np => s"SELECT nprobe, q_id, vec_id, 1 AS p FROM p$np").mkString(" UNION ALL ")}),
+       |bf AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * b.e[i]), (a, x) -> a + x)
+       |          / (sqrt(q.nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rank
+       |    FROM (SELECT * FROM n WHERE vec_id < $NumQueries) q, n b
+       |    WHERE b.vec_id <> q.vec_id) s
+       |  WHERE rank <= $K),
+       |truth AS (
+       |  SELECT u.np AS nprobe, q_id, vec_id, 1 AS t
+       |  FROM bf, UNNEST([${CurveNprobes.mkString(", ")}]) AS u(np)),
+       |j AS (
+       |  SELECT nprobe, q_id, coalesce(t, 0) AS t, coalesce(p, 0) AS p
+       |  FROM truth FULL OUTER JOIN preds USING (nprobe, q_id, vec_id))
+       |SELECT CAST(nprobe AS BIGINT) AS nprobe, q_id,
+       |  CAST(sum(t) AS BIGINT) AS n_truth,
+       |  CAST(sum(t * p) AS BIGINT) AS hits,
+       |  CAST(sum(t * p) * 1000000 // sum(t) AS BIGINT) AS recall_ppm
+       |FROM j GROUP BY nprobe, q_id""".stripMargin
+  }
+
   // Production SemDeDup dedups at τ≈0.95; the synthetic corpus's cosine
   // ceiling is ~0.49, so the demo threshold sits at 0.3 (nearPairs' floor)
   // to keep the is_dup verdict non-degenerate under the oracle compare.
@@ -1310,6 +1416,70 @@ object SimilarityQueries {
        |  rel AS rel_micro, score AS score_micro
        |FROM s5""".stripMargin
   }
+
+  /** Deterministic random negative sampling — for each query vector, 5
+    * pseudo-random corpus negatives via a fixed multiplicative hash
+    * (`(q·2654435761 + i·40503) mod N`, Knuth's constant), the uniform
+    * complement to [[hardNegatives]]' top-similarity mining: contrastive
+    * batches need BOTH (all-hard collapses training; all-random learns
+    * nothing), and "random" must be a pure function of the data for the
+    * run to be reproducible — no RNG state, no seed file, identical in
+    * both engines by construction.
+    *
+    * Candidates that hash onto the query itself are skipped, duplicates
+    * keep their first draw, and existence is established by the join (the
+    * contract does not assume contiguous ids); 8 draws guarantee ≥ 5
+    * survivors on any corpus with ≥ 7 vectors.
+    *
+    * Scale shape: |queries|·8 candidate rows broadcast against the corpus
+    * — one narrow pass, no shuffle of the big side; cosines only for the
+    * sampled pairs. */
+  def randomNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val cand = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(n))
+      .select(col("q_id"), col("qe"), col("n"), explode(expr("sequence(1, 8)")).as("i"))
+      .withColumn("cand", expr("(q_id * 2654435761L + i * 40503L) % n"))
+      .drop("n")
+      .filter(col("cand") =!= col("q_id"))
+      .withColumn("dup", row_number().over(
+        Window.partitionBy(col("q_id"), col("cand")).orderBy(col("i"))))
+      .filter(col("dup") === 1)
+    broadcast(cand).join(base, col("cand") === base("vec_id"))
+      .withColumn("cosine", expr("cosine_sim(qe, e)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("i"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id"), col("cosine"))
+  }
+
+  def randomNegativesSql: String =
+    s"""WITH $normCte,
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |cand AS (
+       |  SELECT q.vec_id AS q_id, q.e AS qe, q.nrm AS qn, u.i AS i,
+       |    (q.vec_id * 2654435761 + u.i * 40503) % cnt.n AS cand
+       |  FROM n q, cnt, UNNEST(range(1, 9)) AS u(i)
+       |  WHERE q.vec_id < $NumQueries
+       |    AND (q.vec_id * 2654435761 + u.i * 40503) % cnt.n <> q.vec_id),
+       |ded AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id, cand ORDER BY i) AS dup
+       |    FROM cand) t
+       |  WHERE dup = 1),
+       |joined AS (
+       |  SELECT d.q_id, d.i, b.vec_id,
+       |    list_reduce(list_transform(range(1, len(d.qe) + 1), k -> d.qe[k] * b.e[k]), (a, x) -> a + x)
+       |      / (sqrt(d.qn) * sqrt(b.nrm)) AS cosine
+       |  FROM ded d JOIN n b ON d.cand = b.vec_id)
+       |SELECT q_id, rank, vec_id, cosine FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY i) AS BIGINT) AS rank
+       |  FROM joined) r
+       |WHERE rank <= 5""".stripMargin
 
   /** Per-label embedding outliers: the 5 vectors FARTHEST from their own
     * label's centroid, per label — the embedding-space mislabel/contaminant

@@ -579,6 +579,79 @@ object StreamingEvents {
     out.iterator
   }
 
+  /** State for [[holtMonitor]]: the one OPEN day per type plus the Holt
+    * (level, trend) over all closed days; `nClosed` sequences the seeding
+    * (1st closed day → y₁; 2nd → l = y₁, b = y₂ − y₁; then the fold). */
+  case class HoltState(day: Long, count: Long, nClosed: Long, y1: Long, l: Long, b: Long)
+  case class HoltRow(event_type: String, day: Long, count: Long,
+      level_micro: Long, trend_micro: Long, yhat1_micro: Long)
+
+  /** Streaming Holt level+trend monitor — the online twin of the batch
+    * 7-day forecaster ([[graft.events.EventQueries.holtForecast]], same
+    * α = β = ½ recurrence, same micro-unit int64 state, halvings via
+    * `Math.floorDiv` ≡ the batch side's even-numerator floor division):
+    * per event type, each CLOSED day folds into (level, trend) and emits
+    * the one-day-ahead forecast `l + b` — the live capacity dashboard,
+    * updating as days complete instead of re-scanning history.
+    *
+    * Day-close and calendar semantics mirror [[cusumMonitor]]: a day
+    * closes when a later event arrives for the type; intervening EMPTY
+    * days fold as y = 0 and emit too (the batch twin densifies its
+    * calendar the same way, so the trajectories agree); the final open
+    * day dies unemitted with the idle timeout. Before two days have
+    * closed the emitted (level, trend) is the partial seed (y₁, 0). State
+    * is O(1) per type. */
+  def holtMonitor(
+      events: Dataset[Event],
+      idleHorizonMs: Long = 7L * 86400000L): Dataset[HoltRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingEvents.updateHolt(idleHorizonMs))
+  }
+
+  private def updateHolt(idleHorizonMs: Long)(
+      eventType: String,
+      evts: Iterator[Event],
+      state: GroupState[HoltState]): Iterator[HoltRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[HoltRow]
+    var st = state.getOption.orNull
+    // fold one CLOSED day (count c on day d) into the state and emit
+    def close(s: HoltState, d: Long, c: Long): HoltState = {
+      val y = c * 1000000L
+      val next =
+        if (s.nClosed == 0L) s.copy(nClosed = 1L, y1 = y, l = y, b = 0L)
+        else if (s.nClosed == 1L) s.copy(nClosed = 2L, l = s.y1, b = y - s.y1)
+        else {
+          val nl = Math.floorDiv(s.l + s.b + y, 2L)
+          s.copy(nClosed = s.nClosed + 1L, l = nl, b = Math.floorDiv(nl - s.l + s.b, 2L))
+        }
+      out += HoltRow(eventType, d, c, next.l, next.b, next.l + next.b)
+      next
+    }
+    sorted.foreach { e =>
+      val d = Math.floorDiv(e.ts.getTime, 86400000L)
+      if (st == null) st = HoltState(d, 1L, 0L, 0L, 0L, 0L)
+      else if (d == st.day) st = st.copy(count = st.count + 1)
+      else if (d > st.day) {
+        var s = close(st, st.day, st.count)
+        var g = st.day + 1
+        while (g < d) { s = close(s, g, 0L); g += 1 }
+        st = s.copy(day = d, count = 1L)
+      } // d < st.day: late beyond the open day — dropped (watermark contract)
+    }
+    state.update(st)
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs() + 1,
+        sorted.last.ts.getTime + idleHorizonMs))
+    out.iterator
+  }
+
   case class RollMedRow(user_id: Long, event_id: Long, n_window: Long, med_cents: Long)
 
   /** Streaming twin of the batch rolling median

@@ -219,6 +219,133 @@ object CorpusStats {
        |FROM sz x JOIN sz y ON x.source < y.source
        |LEFT JOIN inter ON inter.source_a = x.source AND inter.source_b = y.source""".stripMargin
 
+  /** Out-of-vocabulary rate of the newer half of the corpus against the
+    * older half (split at the doc_id midpoint): what fraction of the new
+    * delivery's token OCCURRENCES, and of its distinct TYPES, a vocabulary
+    * frozen on the old half has never seen. The tokenizer-drift /
+    * "retrain the BPE?" alarm ([[graft.pipelines.BpeTrainer]]'s merges and
+    * every frozen embedding table age exactly this way), and the two
+    * numerators deliberately differ: occurrence-OOV prices the runtime
+    * cost (how many <unk>s the model will eat), type-OOV the vocabulary
+    * gap.
+    *
+    * Scale shape: one narrow tokenize pass; the frozen vocabulary is a
+    * type-level aggregate (vocabulary-sized); both OOV tests are term-keyed
+    * anti joins of vocabulary-sized aggregates — the corpus itself never
+    * joins. Output is ONE row. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs_total"))
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), expr("doc_id * 2 div n_docs_total").as("half"))
+    // per-term counts in each half: ONE vocabulary-sized aggregate feeds
+    // the vocabulary, the occurrence test, and the type test
+    val byTerm = tok.groupBy(col("term"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c_old"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c_new"))
+      .filter(col("c_new") > 0)
+    byTerm.agg(
+      sum(col("c_new")).as("new_tokens"),
+      sum(when(col("c_old") === 0, col("c_new")).otherwise(0L)).as("oov_tokens"),
+      count(lit(1)).as("new_types"),
+      sum(when(col("c_old") === 0, 1L).otherwise(0L)).as("oov_types"))
+      .select(col("new_tokens"), col("oov_tokens"),
+        expr("oov_tokens * 1000000 div new_tokens").as("oov_token_ppm"),
+        col("new_types"), col("oov_types"),
+        expr("oov_types * 1000000 div new_types").as("oov_type_ppm"))
+  }
+
+  def oovRateSql: String =
+    """WITH n AS (SELECT count(*) AS n_docs_total FROM documents),
+      |tok AS (
+      |  SELECT doc_id * 2 // n_docs_total AS half,
+      |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS term
+      |  FROM documents, n),
+      |bt AS (
+      |  SELECT term,
+      |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+      |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+      |  FROM tok GROUP BY term HAVING sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) > 0)
+      |SELECT CAST(sum(c_new) AS BIGINT) AS new_tokens,
+      |  CAST(sum(CASE WHEN c_old = 0 THEN c_new ELSE 0 END) AS BIGINT) AS oov_tokens,
+      |  CAST(sum(CASE WHEN c_old = 0 THEN c_new ELSE 0 END) * 1000000 AS BIGINT)
+      |    // CAST(sum(c_new) AS BIGINT) AS oov_token_ppm,
+      |  CAST(count(*) AS BIGINT) AS new_types,
+      |  CAST(sum(CASE WHEN c_old = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_types,
+      |  CAST(sum(CASE WHEN c_old = 0 THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+      |    // count(*) AS oov_type_ppm
+      |FROM bt""".stripMargin
+
+  /** Jaccard threshold (ppm) above which two sources are "the same family"
+    * for [[sourceClusters]]. */
+  private val ClusterPpm = 25000L
+
+  /** Source families: single-link clustering of the sources over the
+    * [[corpusOverlap]] matrix at ≥ [[ClusterPpm]] — mirror-detection at the
+    * SOURCE level (one crawl of the same site under two hostnames shows up
+    * here long before pair-level dedup runs). Every source appears exactly
+    * once; singletons cluster with themselves; the cluster label is the
+    * lexicographically smallest member (the [[graft.dedup.DedupQueries
+    * .dedupComponents]] canonical-min policy, on strings).
+    *
+    * Scale shape: the expensive part IS [[corpusOverlap]] (gram-keyed, one
+    * corpus pass); everything after runs on the |sources|-row node table
+    * and the thresholded edge list — min-label propagation rounds are
+    * edge-set-sized and `localCheckpoint`-truncated exactly like the
+    * document-level components loop, terminating in O(cluster diameter). */
+  def sourceClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = corpusOverlap(spark, dir)
+      .filter(col("jaccard_ppm") >= ClusterPpm)
+      .select(col("source_a"), col("source_b"))
+      .localCheckpoint()
+    val nodes = Tables.documents(spark, dir).select(col("source")).distinct()
+    val edges = pairs.union(pairs.select(col("source_b"), col("source_a")))
+      .toDF("src", "dst")
+    var labels = nodes.select(col("source").as("node"), col("source").as("lab"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nl"))
+      val next = labels.as("l")
+        .join(prop.hint("shuffle_hash"), col("l.node") === prop("src"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.lab"), coalesce(col("nl"), col("l.lab"))).as("lab"),
+          (col("nl") < col("l.lab")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(coalesce(col("chg"), lit(false))).count()
+      labels = next.select(col("node"), col("lab"))
+    }
+    labels
+      .select(col("node").as("source"), col("lab").as("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+  }
+
+  /** Oracle: the overlap CTE thresholded, transitive closure as a recursive
+    * CTE (the [[graft.dedup.DedupQueries.dedupComponentsSql]] shape),
+    * singletons restored from the full source list. */
+  def sourceClustersSql: String =
+    s"""WITH RECURSIVE ov AS (${corpusOverlapSql.replace("\n", "\n  ")}),
+       |edges AS (
+       |  SELECT source_a AS src, source_b AS dst FROM ov WHERE jaccard_ppm >= $ClusterPpm
+       |  UNION
+       |  SELECT source_b, source_a FROM ov WHERE jaccard_ppm >= $ClusterPpm),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
+       |lab AS (SELECT node, min(r) AS lab FROM reach GROUP BY node),
+       |full_lab AS (
+       |  SELECT s.source, coalesce(lab.lab, s.source) AS cluster
+       |  FROM (SELECT DISTINCT source FROM documents) s
+       |  LEFT JOIN lab ON lab.node = s.source)
+       |SELECT source, cluster,
+       |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+       |FROM full_lab""".stripMargin
+
   /** Per-source distinctive vocabulary: for each source, the top-5 terms by
     * the Dirichlet-smoothed log-odds z² of "this source vs the rest of the
     * corpus" (Monroe, Colaresi & Quinn 2008) — the informed prior keeps a

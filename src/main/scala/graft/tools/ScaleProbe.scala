@@ -45,7 +45,10 @@ object ScaleProbe {
     "events_pattern_match", "events_anomaly_mad", "events_erasure_audit",
     "events_trend_robust", "events_cohort_ltv", "token_fertility",
     "events_burst", "events_holt", "vocab_growth", "doc_novelty",
-    "corpus_overlap", "source_log_odds", "embed_outliers", "ivf_silhouette")
+    "corpus_overlap", "source_log_odds", "embed_outliers", "ivf_silhouette",
+    "oov_rate", "dedup_savings", "events_trimmed_stats", "pack_efficiency",
+    "source_clusters", "search_rbo", "events_decayed_topk",
+    "events_bot_score", "embed_random_negatives", "ann_recall_curve")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

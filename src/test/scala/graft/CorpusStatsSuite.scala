@@ -160,6 +160,210 @@ class CorpusStatsSuite extends SparkSpec {
     assert(got == expected)
   }
 
+  test("oov_rate: matches a driver-side split recompute") {
+    val got = CorpusStats.oovRate(spark, Sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    Caches.drain()
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val n = docs.length
+    val oldVocab = docs.filter(_._1 * 2 / n == 0).flatMap(d => tokensOf(d._2)).toSet
+    val newToks = docs.filter(_._1 * 2 / n == 1).flatMap(d => tokensOf(d._2))
+    val newTypes = newToks.distinct
+    val oovOcc = newToks.count(!oldVocab.contains(_)).toLong
+    val oovTyp = newTypes.count(!oldVocab.contains(_)).toLong
+    assert(got == ((newToks.size.toLong, oovOcc, oovOcc * 1000000L / newToks.size,
+      newTypes.size.toLong, oovTyp, oovTyp * 1000000L / newTypes.size)))
+  }
+
+  test("dedup_savings: histogram is consistent with dedup_canonical's per-cluster keeps") {
+    val sav = graft.dedup.DedupQueries.dedupSavings(spark, Sf0001)
+      .select("cluster_size", "n_clusters", "n_docs", "bytes_total", "bytes_dropped")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    Caches.drain()
+    val canon = graft.dedup.DedupQueries.dedupCanonical(spark, Sf0001)
+      .select("canonical", "kept_chars", "component_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    Caches.drain()
+    val comp = graft.dedup.DedupQueries.dedupComponents(spark, Sf0001)
+      .select("doc_id", "canonical").as[(Long, Long)].collect().toSeq
+    Caches.drain()
+    val chars = Tables.documents(spark, Sf0001)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(sav.map(_._2).sum == canon.size, "cluster counts agree across operators")
+    assert(sav.map(_._3).sum == comp.size, "every clustered doc is in the histogram")
+    val bytesByCluster = comp.groupBy(_._2).view.mapValues(_.map(t => chars(t._1)).sum).toMap
+    val expectDropped = canon.map { case (c, kept, _) => bytesByCluster(c) - kept }.sum
+    assert(sav.map(_._5).sum == expectDropped,
+      "dropped bytes equal total minus dedup_canonical's keeps")
+  }
+
+  test("events_trimmed_stats: matches a driver-side sort-and-trim") {
+    val got = graft.events.EventQueries.trimmedStats(spark, Sf0001)
+      .select("event_type", "n", "n_kept", "mean_microcents", "trimmed_mean_microcents")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    val cents = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .as[(String, Long)].collect()
+    val expected = cents.groupBy(_._1).toSeq.map { case (et, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length.toLong
+      val lo = n * 5 / 100
+      val kept = sorted.slice(lo.toInt, (n - lo).toInt)
+      (et, n, n - 2 * lo,
+        Math.floorDiv(sorted.sum * 1000000L, n),
+        Math.floorDiv(kept.sum * 1000000L, kept.length.toLong))
+    }.sorted
+    assert(got == expected)
+  }
+
+  test("pack_efficiency: exact rollup of seq_pack's chunks") {
+    val packs = graft.pipelines.TrainingPrep.seqPack(spark, Sf0001)
+      .select("source", "chunk_tokens", "n_docs")
+      .as[(String, Long, Long)].collect().toSeq
+    val got = graft.pipelines.TrainingPrep.packEfficiency(spark, Sf0001)
+      .select("source", "n_chunks", "n_docs", "tokens", "fill_ppm", "ideal_chunks", "overhead_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val expected = packs.groupBy(_._1).toSeq.map { case (s, cs) =>
+      val nChunks = cs.size.toLong
+      val tokens = cs.map(_._2).sum
+      val ideal = (tokens + 511) / 512
+      (s, nChunks, cs.map(_._3).sum, tokens,
+        tokens * 1000000L / (nChunks * 512), ideal, (nChunks - ideal) * 1000000L / ideal)
+    }.sorted
+    assert(got == expected)
+    // the greedy start-position packer on this corpus packs tightly: every
+    // source's fill is above 50% of capacity (sanity floor, not a tuning claim)
+    assert(got.forall(_._5 > 500000L))
+  }
+
+  test("source_clusters: partition of all sources; matches driver-side union-find over the thresholded overlap") {
+    val got = CorpusStats.sourceClusters(spark, Sf0001)
+      .select("source", "cluster", "cluster_size")
+      .as[(String, String, Long)].collect().toSeq
+    Caches.drain()
+    val edges = CorpusStats.corpusOverlap(spark, Sf0001)
+      .filter(col("jaccard_ppm") >= 25000)
+      .select("source_a", "source_b").as[(String, String)].collect().toSeq
+    Caches.drain()
+    val sources = Tables.documents(spark, Sf0001)
+      .select("source").distinct().as[String].collect().toSeq
+    assert(got.map(_._1).sorted == sources.sorted, "every source exactly once")
+    // driver union-find with min-label canonicalization
+    val parent = scala.collection.mutable.Map(sources.map(s => s -> s): _*)
+    def find(s: String): String =
+      if (parent(s) == s) s else { val r = find(parent(s)); parent(s) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = if (ra < rb) ra else rb; parent(ra) = lo; parent(rb) = lo }
+    }
+    val expectedCluster = sources.map(s => s -> find(s)).toMap
+    val bySize = expectedCluster.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (s, c, n) =>
+      assert(c == expectedCluster(s), s"$s in wrong cluster")
+      assert(n == bySize(expectedCluster(s)), s"$s wrong cluster size")
+    }
+    assert(got.exists(_._3 > 1), "the threshold yields at least one nontrivial family")
+  }
+
+  test("search_rbo: matches a driver-side RBO over the two collected rank lists") {
+    val (lexDf, denseDf) = graft.pipelines.DataSelection.rrfRankings(spark, Sf0001)
+    val lex = lexDf.as[(Long, Long)].collect().toMap
+    val dense = denseDf.as[(Long, Long)].collect().toMap
+    val got = graft.pipelines.DataSelection.searchRbo(spark, Sf0001)
+      .select("depth", "n_matched", "rbo_nano")
+      .as[(Long, Long, Long)].collect().head
+    val depth = 50
+    val ms = lex.keySet.intersect(dense.keySet).toSeq
+      .map(d => math.max(lex(d), dense(d)))
+    val w = (1 to depth).map(d => math.round(0.1 * math.pow(0.9, d - 1) / d * 1e9))
+    val rbo = (1 to depth).map(d => ms.count(_ <= d).toLong * w(d - 1)).sum
+    assert(got == ((depth.toLong, ms.size.toLong, rbo)))
+    assert(got._3 > 0 && got._3 < 1000000000L)
+  }
+
+  test("events_decayed_topk: matches a driver-side decayed recount") {
+    val got = graft.events.EventQueries.decayedTopk(spark, Sf0001)
+      .select("event_type", "user_id", "decayed_micro", "n_events", "rk")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    val evts = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[(String, Long, Long)].collect()
+    val maxDay = evts.map(_._3).max
+    val expected = evts.groupBy(e => (e._1, e._2)).toSeq
+      .map { case ((et, u), es) =>
+        (et, u, es.map(e => 1000000L / (1L << math.min(maxDay - e._3, 62L))).sum,
+          es.size.toLong)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((et, u, s, n), i) => (et, u, s, n, i + 1L) }
+      }.sorted
+    assert(got == expected)
+  }
+
+  test("events_bot_score: matches a driver-side gap recount; CV2 nonnegative") {
+    val got = graft.events.EventQueries.botScore(spark, Sf0001)
+      .select("user_id", "n_events", "span_s", "cv2_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val evts = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .as[(Long, Long, Long)].collect()
+    val expected = evts.groupBy(_._1).toSeq
+      .filter(_._2.length >= 5)
+      .map { case (u, es) =>
+        val ts = es.sortBy(e => (e._3, e._2)).map(_._3)
+        val gaps = ts.zip(ts.tail).map { case (a, b) => (b - a) / 1000000L }
+        val (m, s, q) = (gaps.length.toLong, gaps.sum, gaps.map(g => g * g).sum)
+        val cv2 = if (s == 0) 0L
+          else ((m * q - s * s) / (s * s)) * 1000000L + ((m * q - s * s) % (s * s)) * 1000000L / (s * s)
+        (u, es.length.toLong, s, cv2)
+      }.sorted
+    assert(got == expected)
+    assert(got.forall(_._4 >= 0))
+  }
+
+  test("embed_random_negatives: the hash draws are exact and exclude the query; 5 per query") {
+    val got = SimilarityQueries.randomNegatives(spark, Sf0001)
+      .select("q_id", "rank", "vec_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val ids = Tables.embeddings(spark, Sf0001).select("vec_id").as[Long].collect().toSet
+    val n = ids.size.toLong
+    val expected = (0L until 5L).flatMap { q =>
+      (1L to 8L).map(i => (i, (q * 2654435761L + i * 40503L) % n))
+        .filter(_._2 != q)
+        .distinctBy(_._2)
+        .filter(c => ids.contains(c._2))
+        .take(5).zipWithIndex
+        .map { case ((_, c), r) => (q, r + 1L, c) }
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == expected)
+    assert(got.forall(t => t._4 >= -1.0001 && t._4 <= 1.0001))
+    assert(got.groupBy(_._1).values.forall(_.size == 5))
+  }
+
+  test("ann_recall_curve: monotone non-decreasing in nprobe and anchored to ann_recall at nprobe=3") {
+    val curve = SimilarityQueries.annRecallCurve(spark, Sf0001)
+      .select("nprobe", "q_id", "n_truth", "hits", "recall_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    Caches.drain()
+    val anchor = SimilarityQueries.annRecall(spark, Sf0001)
+      .select("q_id", "recall_ppm").as[(Long, Long)].collect().toMap
+    Caches.drain()
+    assert(curve.map(_._1).distinct.sorted == Seq(1L, 2L, 3L, 5L))
+    assert(curve.groupBy(_._1).values.forall(_.map(_._2).sorted == (0L until 5L)))
+    // anchored: the swept nprobe=3 point IS ann_recall
+    curve.filter(_._1 == 3L).foreach { case (_, q, _, _, r) => assert(r == anchor(q)) }
+    // monotone per query: a superset of probe cells can only add candidates
+    val byQ = curve.groupBy(_._2)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._1).map(_._5)
+      assert(sorted == sorted.sorted, s"recall not monotone in nprobe: $rows")
+    }
+    assert(curve.forall(r => r._4 <= r._3 && r._5 >= 0 && r._5 <= 1000000L))
+  }
+
   test("streaming new-token monitor: single-batch replay equals the batch first-occurrence; no re-emission") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext

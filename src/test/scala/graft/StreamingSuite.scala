@@ -903,6 +903,51 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt monitor equals a driver replay of the batch fold on driver data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.holtMonitor(input.toDS(), 40L * 86400000L)
+      .writeStream.format("memory").queryName("holt_stream")
+      .outputMode("append").start()
+    try {
+      val ordered = evts.sortBy(e => (e.ts.getTime, e.event_id))
+      ordered.grouped((ordered.length + 2) / 3).foreach { batch =>
+        input.addData(scala.util.Random.shuffle(batch.toSeq): _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("holt_stream")
+        .select($"event_type", $"day", $"count", $"level_micro", $"trend_micro", $"yhat1_micro")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      // driver replay: per type, closed days are [first, last) densified;
+      // the same seed-then-fold recurrence in floorDiv arithmetic
+      val expected = evts.groupBy(_.event_type).toSeq.flatMap { case (et, es) =>
+        val days = es.map(e => Math.floorDiv(e.ts.getTime, 86400000L))
+        val cnt = days.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val closed = (days.min until days.max).map(d => d -> cnt.getOrElse(d, 0L))
+        var (nClosed, y1, l, b) = (0L, 0L, 0L, 0L)
+        closed.map { case (d, c) =>
+          val y = c * 1000000L
+          if (nClosed == 0L) { y1 = y; l = y; b = 0L }
+          else if (nClosed == 1L) { l = y1; b = y - y1 }
+          else {
+            val nl = Math.floorDiv(l + b + y, 2L)
+            b = Math.floorDiv(nl - l + b, 2L); l = nl
+          }
+          nClosed += 1
+          (et, d, c, l, b, l + b)
+        }
+      }.toSet
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+      // and the closed-day (level, trend) trajectory ends one step behind
+      // the batch forecaster, which also folds the final day
+    } finally q.stop()
+  }
+
   test("streaming CUSUM monitor equals the batch densified cumulative deviation on driver data") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -324,7 +324,10 @@ class TemporalOpsSuite extends SparkSpec {
       "events_hll_rollup", "events_audience_overlap", "embed_mutual_nn",
       "embed_hard_negatives", "knn_label_eval", "events_burst",
       "vocab_growth", "doc_novelty", "corpus_overlap", "source_log_odds",
-      "embed_outliers", "ivf_silhouette", "events_holt")
+      "embed_outliers", "ivf_silhouette", "events_holt",
+      "oov_rate", "dedup_savings", "events_trimmed_stats", "pack_efficiency",
+      "source_clusters", "search_rbo", "events_decayed_topk",
+      "events_bot_score", "embed_random_negatives", "ann_recall_curve")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

@@ -815,6 +815,213 @@ object TrainingPrep {
        |    // (2 * sum(c_pos) * sum(c_neg)) AS BIGINT) AS auc_ppm
        |FROM cum""".stripMargin
 
+  /** Isotonic calibration (PAV) of the quality score against the English
+    * label — the nonparametric upgrade to [[qualityCalibration]]'s fixed
+    * decile reliability diagram: the pool-adjacent-violators fit is the
+    * unique monotone least-squares map score → P(en), THE standard
+    * calibrator when a model's scores rank well ([[qualityAuc]]) but their
+    * magnitudes mean nothing.
+    *
+    * Algorithm (and why it parallelizes): per distinct score, the
+    * (positives, total) histogram; then repeatedly pool every maximal run
+    * of adjacent blocks whose means DECREASE. The PAV exchange lemma says
+    * adjacent violators always share a final block, so pooling whole
+    * violating runs in one round — a lag-window flag + a running-anchor
+    * regroup, both distinct-score-sized — converges to the same unique fit
+    * as the sequential textbook algorithm. Each round is one partial-agg
+    * + one window over the block table; rounds are `localCheckpoint`ed
+    * like every iterative operator here.
+    *
+    * Parity argument is UNIQUENESS, not replay: the oracle runs the
+    * sequential small-step PAV (a single-path recursive CTE over a packed
+    * stack) — a different algorithm whose fixpoint is the same projection;
+    * block means are exact integer rationals in both (violation = one
+    * cross-multiplied compare), and the one output division is the shared
+    * `p·10⁶ div n` snap. Score cardinality bounds everything: the DP table,
+    * the windows, the recursion — all saturate with the score RANGE, not
+    * the corpus. */
+  def qualityIsotonic(spark: SparkSession, dir: String): DataFrame = {
+    val scores = qualityClassifier(spark, dir).select(col("doc_id"), col("raw_score"))
+    val labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("lbl"))
+    val hist = scores.join(labels, "doc_id")
+      .groupBy(col("raw_score"))
+      .agg(sum(col("lbl")).as("p"), count(lit(1)).as("n"))
+    var rows = hist
+      .withColumn("blk",
+        row_number().over(Window.orderBy(col("raw_score"))).cast("bigint"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val wOrd = Window.orderBy(col("lo"))
+      val wRun = Window.orderBy(col("lo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = rows.groupBy(col("blk"))
+        .agg(sum(col("p")).as("bp"), sum(col("n")).as("bn"), min(col("raw_score")).as("lo"))
+        .withColumn("v",
+          coalesce(lag(col("bp"), 1).over(wOrd) * col("bn") >
+            col("bp") * lag(col("bn"), 1).over(wOrd), lit(false)))
+        .withColumn("anchor", max(when(!col("v"), col("blk"))).over(wRun))
+        .localCheckpoint()
+      changed = blocks.filter(col("v")).count()
+      if (changed > 0)
+        rows = rows.join(blocks.select(col("blk"), col("anchor")), "blk")
+          .select(col("raw_score"), col("p"), col("n"), col("anchor").as("blk"))
+          .localCheckpoint()
+    }
+    val wBlk = Window.partitionBy(col("blk"))
+    rows
+      .withColumn("fp", sum(col("p")).over(wBlk))
+      .withColumn("fn", sum(col("n")).over(wBlk))
+      .select(col("raw_score"), col("n"), col("p"),
+        expr("fp * 1000000 div fn").as("iso_ppm"))
+  }
+
+  /** Oracle: sequential PAV as a single-path recursive CTE — the stack of
+    * (scores-covered, positives, total) blocks packs into one VARCHAR
+    * (top first); each step merges the top two blocks if they violate,
+    * else pushes the next histogram cell; the terminal stack expands back
+    * to per-score rows via cumulative block spans. */
+  def qualityIsotonicSql: String =
+    s"""WITH RECURSIVE scored AS (
+       |  ${qualityClassifierSql.replace("\n", "\n  ")}),
+       |lbl AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl
+       |  FROM documents),
+       |hist AS (
+       |  SELECT raw_score, CAST(sum(lbl) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS n
+       |  FROM scored JOIN lbl USING (doc_id) GROUP BY raw_score),
+       |hl AS (
+       |  SELECT list({'s': raw_score, 'p': p, 'n': n} ORDER BY raw_score) AS h,
+       |    count(*) AS hn
+       |  FROM hist),
+       |pav(step, i, stack) AS (
+       |  SELECT 0, 1, '' FROM hl
+       |  UNION ALL
+       |  SELECT step + 1,
+       |    CASE WHEN viol THEN i ELSE i + 1 END,
+       |    CASE WHEN viol THEN
+       |      CAST(split_part(split_part(stack,'|',1),',',1)::BIGINT
+       |           + split_part(split_part(stack,'|',2),',',1)::BIGINT AS VARCHAR)
+       |      || ',' || CAST(split_part(split_part(stack,'|',1),',',2)::BIGINT
+       |                     + split_part(split_part(stack,'|',2),',',2)::BIGINT AS VARCHAR)
+       |      || ',' || CAST(split_part(split_part(stack,'|',1),',',3)::BIGINT
+       |                     + split_part(split_part(stack,'|',2),',',3)::BIGINT AS VARCHAR)
+       |      || regexp_replace(stack, '^[^|]*\\|[^|]*', '')
+       |    ELSE
+       |      '1,' || CAST(h[i].p AS VARCHAR) || ',' || CAST(h[i].n AS VARCHAR)
+       |      || CASE WHEN stack = '' THEN '' ELSE '|' || stack END
+       |    END
+       |  FROM (
+       |    SELECT step, i, stack,
+       |      coalesce(try_cast(split_part(split_part(stack,'|',2),',',2) AS BIGINT)
+       |               * try_cast(split_part(split_part(stack,'|',1),',',3) AS BIGINT)
+       |        > try_cast(split_part(split_part(stack,'|',1),',',2) AS BIGINT)
+       |          * try_cast(split_part(split_part(stack,'|',2),',',3) AS BIGINT), FALSE) AS viol
+       |    FROM pav, hl) s, hl
+       |  WHERE viol OR i <= hn),
+       |terminal AS (SELECT stack FROM pav ORDER BY step DESC LIMIT 1),
+       |blocks AS (
+       |  -- bottom-first blocks with cumulative score spans
+       |  SELECT
+       |    sum(split_part(u.e.b, ',', 1)::BIGINT)
+       |      OVER (ORDER BY u.e.j ROWS UNBOUNDED PRECEDING) AS hi_idx,
+       |    split_part(u.e.b, ',', 1)::BIGINT AS span,
+       |    split_part(u.e.b, ',', 2)::BIGINT AS fp,
+       |    split_part(u.e.b, ',', 3)::BIGINT AS fn
+       |  FROM (SELECT unnest(list_transform(range(1, len(l) + 1), j -> {'j': j, 'b': l[j]})) AS e
+       |        FROM (SELECT list_reverse(string_split(stack, '|')) AS l FROM terminal) t) u),
+       |idx AS (
+       |  SELECT raw_score, p, n,
+       |    row_number() OVER (ORDER BY raw_score) AS i
+       |  FROM hist)
+       |SELECT idx.raw_score, idx.n, idx.p,
+       |  blocks.fp * 1000000 // blocks.fn AS iso_ppm
+       |FROM idx JOIN blocks
+       |  ON idx.i > blocks.hi_idx - blocks.span AND idx.i <= blocks.hi_idx""".stripMargin
+
+  /** Split-conformal coverage check of the quality score as an English
+    * detector — the distribution-free guarantee the eval family was
+    * missing: calibrate a score threshold on one half (the α = 0.1 lower
+    * quantile of the CALIBRATION English docs' scores, at the conformal
+    * rank k = max(1, ⌊α·(n+1)⌋)), then measure on the OTHER half what
+    * fraction of English docs clear it (conformal theory promises
+    * ≥ 1−α − O(1/n) coverage for exchangeable data) and what fraction of
+    * non-English docs are correctly below. Split = doc_id parity —
+    * deterministic, engine-identical.
+    *
+    * Exactness: the threshold is an exact order statistic selected from
+    * the calibration score histogram (cumulative window over DISTINCT
+    * scores, the median_price two-phase device — never a global sort of
+    * rows); coverage ratios are integer ppm.
+    *
+    * Scale shape: one classifier scoring pass, one histogram partial agg,
+    * the 1-row threshold broadcast back, one counting pass. */
+  def qualityConformal(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.Caches.persisted(
+      qualityClassifier(spark, dir).select(col("doc_id"), col("raw_score"))
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("en")), "doc_id")
+        .withColumn("cal", (col("doc_id") % 2 === 0).cast("boolean")))
+    val calHist = scored.filter(col("cal") && col("en") === 1L)
+      .groupBy(col("raw_score")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("raw_score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = calHist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_cal", sum(col("c")).over(
+        Window.orderBy(col("raw_score"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("k", expr("greatest(1L, (n_cal + 1) div 10)"))
+      .filter(col("cum") >= col("k"))
+      .orderBy(col("raw_score")).limit(1)
+      .select(col("raw_score").as("threshold"), col("n_cal"), col("k"))
+    scored.filter(!col("cal"))
+      .crossJoin(broadcast(thr))
+      .agg(
+        max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+        max(col("threshold")).as("threshold"),
+        sum(col("en")).as("n_test_pos"),
+        sum(when(col("en") === 1L && col("raw_score") >= col("threshold"), 1L)
+          .otherwise(0L)).as("pos_covered"),
+        sum(lit(1L) - col("en")).as("n_test_neg"),
+        sum(when(col("en") === 0L && col("raw_score") < col("threshold"), 1L)
+          .otherwise(0L)).as("neg_below"))
+      .select(col("n_cal"), col("k"), col("threshold"),
+        col("n_test_pos"), expr("pos_covered * 1000000 div n_test_pos").as("coverage_ppm"),
+        col("n_test_neg"), expr("neg_below * 1000000 div n_test_neg").as("neg_below_ppm"))
+  }
+
+  def qualityConformalSql: String =
+    s"""WITH scored AS (
+       |  ${qualityClassifierSql.replace("\n", "\n  ")}),
+       |j AS (
+       |  SELECT s.doc_id, s.raw_score,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS en,
+       |    s.doc_id % 2 = 0 AS cal
+       |  FROM scored s JOIN documents d USING (doc_id)),
+       |ch AS (
+       |  SELECT raw_score, CAST(count(*) AS BIGINT) AS c
+       |  FROM j WHERE cal AND en = 1 GROUP BY raw_score),
+       |cum AS (
+       |  SELECT raw_score,
+       |    CAST(sum(c) OVER (ORDER BY raw_score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER () AS BIGINT) AS n_cal
+       |  FROM ch),
+       |thr AS (
+       |  SELECT raw_score AS threshold, n_cal,
+       |    greatest(1, (n_cal + 1) // 10) AS k
+       |  FROM cum WHERE cum >= greatest(1, (n_cal + 1) // 10)
+       |  ORDER BY raw_score LIMIT 1)
+       |SELECT max(n_cal) AS n_cal, max(k) AS k, max(threshold) AS threshold,
+       |  CAST(sum(en) AS BIGINT) AS n_test_pos,
+       |  CAST(sum(CASE WHEN en = 1 AND raw_score >= threshold THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+       |    // CAST(sum(en) AS BIGINT) AS coverage_ppm,
+       |  CAST(sum(1 - en) AS BIGINT) AS n_test_neg,
+       |  CAST(sum(CASE WHEN en = 0 AND raw_score < threshold THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+       |    // CAST(sum(1 - en) AS BIGINT) AS neg_below_ppm
+       |FROM j, thr WHERE NOT cal""".stripMargin
+
   private val PerStratumK = 20
 
   /** Exactly-k-PER-STRATUM deterministic sample — the grouped member of

@@ -48,7 +48,8 @@ object ScaleProbe {
     "corpus_overlap", "source_log_odds", "embed_outliers", "ivf_silhouette",
     "oov_rate", "dedup_savings", "events_trimmed_stats", "pack_efficiency",
     "source_clusters", "search_rbo", "events_decayed_topk",
-    "events_bot_score", "embed_random_negatives", "ann_recall_curve")
+    "events_bot_score", "embed_random_negatives", "ann_recall_curve",
+    "quality_isotonic", "quality_conformal")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

@@ -364,6 +364,67 @@ class CorpusStatsSuite extends SparkSpec {
     assert(curve.forall(r => r._4 <= r._3 && r._5 >= 0 && r._5 <= 1000000L))
   }
 
+  test("quality_isotonic: equals textbook sequential PAV; monotone; conserves mass") {
+    val got = graft.pipelines.TrainingPrep.qualityIsotonic(spark, Sf0001)
+      .select("raw_score", "n", "p", "iso_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    Caches.drain()
+    // driver-side reference: the classifier's scores joined to labels, then
+    // the sequential stack PAV
+    val scores = graft.pipelines.TrainingPrep.qualityClassifier(spark, Sf0001)
+      .select("doc_id", "raw_score").as[(Long, Long)].collect().toMap
+    Caches.drain()
+    val labels = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L))
+      .as[(Long, Long)].collect().toMap
+    val hist = scores.toSeq.map { case (d, s) => (s, labels(d)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, ys) => (s, ys.map(_._2).sum, ys.size.toLong) }
+    // sequential PAV over (score, p, n)
+    val stack = scala.collection.mutable.Stack.empty[(Long, Long, Long)] // (span, p, n)
+    hist.foreach { case (_, p, n) =>
+      var blk = (1L, p, n)
+      while (stack.nonEmpty && stack.top._2 * blk._3 > blk._2 * stack.top._3) {
+        val t = stack.pop()
+        blk = (t._1 + blk._1, t._2 + blk._2, t._3 + blk._3)
+      }
+      stack.push(blk)
+    }
+    val fits = stack.toSeq.reverse.flatMap { case (span, p, n) =>
+      Seq.fill(span.toInt)(p * 1000000L / n)
+    }
+    val expected = hist.zip(fits).map { case ((s, p, n), f) => (s, n, p, f) }
+    assert(got == expected)
+    assert(got.map(_._4) == got.map(_._4).sorted, "calibrated fit is monotone in score")
+    assert(got.map(_._3).sum == hist.map(_._2).sum && got.map(_._2).sum == hist.map(_._3).sum)
+  }
+
+  test("quality_conformal: threshold is the exact conformal order statistic; counts recompute") {
+    val got = graft.pipelines.TrainingPrep.qualityConformal(spark, Sf0001)
+      .select("n_cal", "k", "threshold", "n_test_pos", "coverage_ppm", "n_test_neg", "neg_below_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    Caches.drain()
+    val scores = graft.pipelines.TrainingPrep.qualityClassifier(spark, Sf0001)
+      .select("doc_id", "raw_score").as[(Long, Long)].collect().toMap
+    Caches.drain()
+    val en = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), (col("lang") === "en").cast("boolean"))
+      .as[(Long, Boolean)].collect().toMap
+    val calPos = scores.toSeq.filter { case (d, _) => d % 2 == 0 && en(d) }.map(_._2).sorted
+    val k = math.max(1L, (calPos.size + 1L) / 10L)
+    val t = calPos((k - 1).toInt)
+    val test = scores.toSeq.filter(_._1 % 2 != 0)
+    val tp = test.filter(d => en(d._1))
+    val tn = test.filterNot(d => en(d._1))
+    assert(got._1 == calPos.size.toLong && got._2 == k && got._3 == t)
+    assert(got._4 == tp.size.toLong &&
+      got._5 == tp.count(_._2 >= t).toLong * 1000000L / tp.size)
+    assert(got._6 == tn.size.toLong &&
+      got._7 == tn.count(_._2 < t).toLong * 1000000L / tn.size)
+    // the conformal promise at alpha=0.1: coverage near or above ~900000 ppm
+    assert(got._5 >= 800000L, s"coverage ${got._5} implausibly low for alpha=0.1")
+  }
+
   test("streaming new-token monitor: single-batch replay equals the batch first-occurrence; no re-emission") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext

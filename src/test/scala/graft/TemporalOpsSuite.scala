@@ -327,7 +327,8 @@ class TemporalOpsSuite extends SparkSpec {
       "embed_outliers", "ivf_silhouette", "events_holt",
       "oov_rate", "dedup_savings", "events_trimmed_stats", "pack_efficiency",
       "source_clusters", "search_rbo", "events_decayed_topk",
-      "events_bot_score", "embed_random_negatives", "ann_recall_curve")
+      "events_bot_score", "embed_random_negatives", "ann_recall_curve",
+      "quality_isotonic", "quality_conformal")
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     def digest(): Map[String, Seq[String]] = names.map { n =>

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Join-strategy gates shared by every query module.
+  *
+  * Many attach-side frames here are aggregate-derived (degree tables,
+  * per-item counts, frequent-pair sets), where Catalyst has no stats and
+  * would default to sort-merge — sorting the |E|-sized probe side for a
+  * |V|-sized build side. Historically those sites hard-coded a
+  * `broadcast()` hint, which is the right plan at every tested scale but
+  * the wrong FAILURE MODE at 100×: a forced broadcast of a multi-GB
+  * degree table OOMs the driver instead of degrading. [[broadcastIfSmall]]
+  * makes the documented fallback executable: under the row threshold the
+  * side broadcasts; above it the same equi-join runs as a shuffled hash
+  * join (`shuffle_hash` hint — hash on the small side, no sort of the
+  * probe side), which is the plan a cluster wants once the build side is
+  * data-proportional.
+  *
+  * The threshold is a ROW count, not bytes, because every gated frame here
+  * is narrow (a key plus one or two int64s, or a key plus a bounded
+  * array); 4M such rows ≈ 100–200 MB serialized — inside executor/driver
+  * headroom with margin. It is configurable (`spark.graft.broadcastRowLimit`)
+  * so the shuffled path is testable without a 100 TB graph:
+  * PlanQualitySuite pins BOTH plan shapes by flipping the limit. */
+object Plans {
+
+  /** Conf key for the broadcast row-count threshold (session-scoped). */
+  val BroadcastRowLimitKey = "spark.graft.broadcastRowLimit"
+
+  /** Default threshold: ~4M narrow rows ≈ low hundreds of MB broadcast. */
+  val DefaultBroadcastRowLimit: Long = 4L * 1000 * 1000
+
+  def broadcastRowLimit(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get(BroadcastRowLimitKey, DefaultBroadcastRowLimit.toString).toLong
+
+  /** Hint `df` as the build side of an equi-join: `broadcast` when
+    * `estRows` (an exact count of a persisted frame, or a conservative
+    * upper bound derived from one) is under the session threshold,
+    * `shuffle_hash` otherwise. Both paths keep the join an equi-join with
+    * `df` as the hash side — only the exchange strategy changes, so
+    * results are identical by construction. */
+  def broadcastIfSmall(df: DataFrame, estRows: Long): DataFrame =
+    if (estRows <= broadcastRowLimit(df)) broadcast(df)
+    else df.hint("shuffle_hash")
+
+  /** Conf key for the byte-estimate threshold used by [[broadcastIfSmallStats]]. */
+  val BroadcastByteLimitKey = "spark.graft.broadcastByteLimit"
+
+  /** Default: 128 MB of scan-estimated bytes — well inside driver/executor
+    * headroom once decoded, far above every dimension table at test scale. */
+  val DefaultBroadcastByteLimit: Long = 128L * 1024 * 1024
+
+  /** Stats-based gate for frames whose optimized plan carries a real size
+    * estimate — parquet scans and narrow projections/filters of them,
+    * where Catalyst's `sizeInBytes` comes from file footers (no job, no
+    * scan). TPC-H-shaped dimensions (customer/supplier/part) GROW with
+    * scale factor — a hard-coded hint that is right at sf0.1 forces a
+    * driver-OOM broadcast at SF 10⁵ — so dimension attaches gate on the
+    * metadata estimate instead. Filters don't shrink the estimate without
+    * CBO column stats, so the gate is conservative: it can only flip to
+    * shuffle-hash EARLIER than strictly needed, never broadcast a side
+    * that is bigger than its files. Constant-size dimensions (nation=25,
+    * region=5 rows at every SF) stay unconditionally broadcast. */
+  def broadcastIfSmallStats(df: DataFrame): DataFrame = {
+    val limit = df.sparkSession.conf
+      .get(BroadcastByteLimitKey, DefaultBroadcastByteLimit.toString).toLong
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= limit) broadcast(df)
+    else df.hint("shuffle_hash")
+  }
+}

@@ -1502,9 +1502,13 @@ object EventQueries {
     * the audit and the delete share the scan. */
   def erasureAudit(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"))
-    val manifest = ev.filter(col("event_type") === "error")
-      .select(col("user_id")).distinct().withColumn("erase", lit(1L))
-    ev.join(broadcast(manifest), Seq("user_id"), "left")
+    // |affected users|-sized, so the scaladoc's shuffle-hash fallback is
+    // executable: the manifest persists (it is consumed by the count and
+    // the join), and past the row gate the flag join shuffles on user_id
+    val manifest = graft.Caches.persisted(
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id")).distinct().withColumn("erase", lit(1L)))
+    ev.join(graft.Plans.broadcastIfSmall(manifest, manifest.count()), Seq("user_id"), "left")
       .groupBy(col("event_type"))
       .agg(
         sum(when(col("erase").isNull, 1L).otherwise(0L)).as("n_kept"),

@@ -107,12 +107,15 @@ object BpeTrainer {
     * and broadcast; the corpus side is one narrow explode + keyed agg, so
     * encoding 100 TB is a single broadcast-join pass. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = train(spark, dir)._2
-      .select(col("word"), size(col("syms")).as("n_syms"))
+    // the symbol table is word-vocabulary-sized (data-derived, already
+    // checkpointed by train, so the gate count is one cheap local job);
+    // past the gate the encode join shuffle-hashes on `word`
+    val syms = train(spark, dir)._2
+    val vocab = syms.select(col("word"), size(col("syms")).as("n_syms"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
-      .join(broadcast(vocab), "word")
+      .join(graft.Plans.broadcastIfSmall(vocab, syms.count()), "word")
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n_syms")).as("bpe_tokens"),
@@ -187,12 +190,12 @@ object BpeTrainer {
     * exactly as [[bpeEncode]]'s does; the corpus pays one narrow tokenize
     * pass into a |langs|-row partial agg. */
   def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = train(spark, dir)._2
-      .select(col("word"), size(col("syms")).as("n_syms"))
+    val syms = train(spark, dir)._2
+    val vocab = syms.select(col("word"), size(col("syms")).as("n_syms"))
     Tables.documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
-      .join(broadcast(vocab), "word")
+      .join(graft.Plans.broadcastIfSmall(vocab, syms.count()), "word")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_syms")).as("n_bpe_tokens"))

@@ -594,17 +594,23 @@ object DataSelection {
       .select(col("doc_id"), col("source"),
         substring_index(col("g"), " ", 1).as("w1"),
         substring_index(col("g"), " ", -1).as("w2"))
-    val modelBi = bi.filter(col("source") === LmSource)
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).cast("bigint").as("c12"))
+    // LM model tables are bigram/unigram-vocabulary-sized — data-derived,
+    // so the "broadcast when it fits" contract in the scaladoc gates on
+    // the persisted bigram table's exact count (unigrams are ≤ bigrams,
+    // and derive from the SAME persisted frame so the count is free)
+    val modelBi = graft.Caches.persisted(
+      bi.filter(col("source") === LmSource)
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("bigint").as("c12")))
+    val nModelBi = modelBi.count()
     val modelUni = modelBi.groupBy(col("w1"))
       .agg(sum(col("c12")).cast("bigint").as("c1"))
     val vocab = base.filter(col("source") === LmSource)
       .select(explode(col("toks")).as("w"))
       .agg(countDistinct(col("w")).cast("bigint").as("v"))
     val scored = bi
-      .join(broadcast(modelBi), Seq("w1", "w2"), "left_outer")
-      .join(broadcast(modelUni), Seq("w1"), "left_outer")
+      .join(graft.Plans.broadcastIfSmall(modelBi, nModelBi), Seq("w1", "w2"), "left_outer")
+      .join(graft.Plans.broadcastIfSmall(modelUni, nModelBi), Seq("w1"), "left_outer")
       .crossJoin(broadcast(vocab))
       .withColumn("nll_micro",
         expr("cast(round(ln((coalesce(c1, 0) + v) / (coalesce(c12, 0) + 1)) * 1000000) as bigint)"))

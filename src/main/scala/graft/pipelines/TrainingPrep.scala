@@ -75,9 +75,14 @@ object TrainingPrep {
     * [[graft.functions.ShingleExpressions]], shrinking the broadcast ~5×. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // eval suites are megabytes against the corpus, but the gram set is
+    // still data-derived: persist + exact count gate it, so a multi-suite
+    // set past broadcast scale degrades to a shuffled-hash join on `gram`
+    // (or the [[bloomDecontaminate]] prefilter path)
+    val bench = graft.Caches.persisted(benchmarkGrams(spark, dir))
     docs.filter(col("source") =!= BenchmarkSource)
       .select(col("doc_id"), explode(ngrams(col("text"), NGram)).as("gram"))
-      .join(broadcast(benchmarkGrams(spark, dir)), "gram")
+      .join(graft.Plans.broadcastIfSmall(bench, bench.count()), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -115,7 +120,10 @@ object TrainingPrep {
     *      covers plans (and filter reuse across jobs) the optimizer rule
     *      can't see. */
   def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val bench = benchmarkGrams(spark, dir)
+    // persisted: consumed by the Bloom build, the gate count, and the
+    // verify join; the gate makes the scaladoc's "becomes a shuffled hash
+    // join" stage-3 fallback executable
+    val bench = graft.Caches.persisted(benchmarkGrams(spark, dir))
     val bloom = bench
       .agg(expr("bloom_agg(xxhash64(gram), 1000000L, 8388608L)").as("bf"))
       .scalar()
@@ -123,7 +131,7 @@ object TrainingPrep {
     docs.filter(col("source") =!= BenchmarkSource)
       .select(col("doc_id"), explode(ngrams(col("text"), NGram)).as("gram"))
       .filter(call_function("bloom_might_contain", bloom, xxhash64(col("gram"))))
-      .join(broadcast(bench), "gram")
+      .join(graft.Plans.broadcastIfSmall(bench, bench.count()), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -67,7 +67,7 @@ object RelationalQueries {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(graft.Plans.broadcastIfSmallStats(cust), col("o_custkey") === col("c_custkey"))
       // order_date as a calendar string: timestamp columns round-trip with
       // engine-specific precisions; a date string is representation-stable.
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
@@ -101,7 +101,7 @@ object RelationalQueries {
       .filter(col("r_name") === "ASIA")
       .select(col("s_suppkey"), col("n_name"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(dims), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"))
       .agg(
         (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
@@ -396,7 +396,7 @@ object RelationalQueries {
     * |brands|-row shuffle after a broadcast join against `part`. */
   def brandCheapest(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+      .join(graft.Plans.broadcastIfSmallStats(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(min(struct(
@@ -586,7 +586,7 @@ object RelationalQueries {
   def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
     val disc = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+      .join(graft.Plans.broadcastIfSmallStats(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
@@ -618,7 +618,7 @@ object RelationalQueries {
     * exact cents. */
   def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
+      .join(graft.Plans.broadcastIfSmallStats(Tables.part(spark, dir)
           .select(col("p_partkey"), col("p_type"), col("p_size"))),
         col("l_partkey") === col("p_partkey"))
       .filter(
@@ -954,7 +954,7 @@ object RelationalQueries {
     l.join(o, "l_orderkey")
       .groupBy(col("o_custkey"))
       .agg((sum(col("rev")) / 10000.0).as("revenue"))
-      .join(broadcast(Tables.customer(spark, dir)
+      .join(graft.Plans.broadcastIfSmallStats(Tables.customer(spark, dir)
         .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_nationkey"))), "o_custkey")
       .join(broadcast(Tables.nation(spark, dir)
         .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
@@ -1001,14 +1001,14 @@ object RelationalQueries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(supp), col("l_suppkey") === col("s_suppkey"))
       // the supp broadcast already thinned lineitem to the 2-nation slice;
       // the orders side joins as a raw scan (statically broadcast at this
       // sf, a keyed shuffle join at cluster scale — same shape as q3) and
       // the cust broadcast then acts as the customer-nation filter
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(graft.Plans.broadcastIfSmallStats(cust), col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
       .agg(
@@ -1050,7 +1050,7 @@ object RelationalQueries {
     val top = rev.agg(max(col("rev_c")).as("max_c"))
     rev.crossJoin(broadcast(top))
       .filter(col("rev_c") === col("max_c"))
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(graft.Plans.broadcastIfSmallStats(Tables.supplier(spark, dir)
         .select(col("s_suppkey").as("l_suppkey"), col("s_name"))), "l_suppkey")
       .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
         (col("rev_c") / 10000.0).as("total_revenue"))
@@ -1126,7 +1126,7 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"))
     profile
       .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .join(broadcast(asiaSuppliers), col("bad_supp") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(asiaSuppliers), col("bad_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
   }
@@ -1170,8 +1170,8 @@ object RelationalQueries {
       .filter(col("p_type") === "PROMO")
       .select(col("p_partkey"), col("p_brand"), col("p_type"))
     val supply = Tables.lineitem(spark, dir)
-      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(eurSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(graft.Plans.broadcastIfSmallStats(eurSuppliers), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("s_name"),
         col("n_name"), col("s_acctbal"),
         (cents(col("l_extendedprice")) / col("l_quantity")).as("unit_cost"))
@@ -1223,7 +1223,7 @@ object RelationalQueries {
     val flows = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(graft.Plans.broadcastIfSmallStats(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).cast("bigint").as("q97"))
       .filter(col("q97") > 50)
@@ -1261,12 +1261,12 @@ object RelationalQueries {
       // customer is a dimension: broadcast the semi side explicitly (the
       // static planner over-estimates the joined-dimension size and would
       // fall back to a sort-merge semi join)
-      .join(broadcast(amerCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(graft.Plans.broadcastIfSmallStats(amerCust), col("o_custkey") === col("c_custkey"), "left_semi")
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
         (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
       .join(amerOrders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         nationRev.cast("bigint").as("nation_rev_scaled"),
@@ -1309,8 +1309,8 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(mediumParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(mediumParts), col("l_partkey") === col("p_partkey"))
+      .join(graft.Plans.broadcastIfSmallStats(supp), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("nation"), year(col("o_orderdate")).as("o_year"),
@@ -1353,7 +1353,7 @@ object RelationalQueries {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
     val flows = Tables.lineitem(spark, dir)
-      .join(broadcast(asiaSuppliers), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(graft.Plans.broadcastIfSmallStats(asiaSuppliers), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(cents(col("l_extendedprice")) * col("l_quantity").cast("bigint"))
         .cast("bigint").as("value_scaled"))
@@ -1391,10 +1391,10 @@ object RelationalQueries {
       .filter(col("s_acctbal") < 500.0)
       .select(col("s_suppkey"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_size") >= 25)
+      .join(graft.Plans.broadcastIfSmallStats(Tables.part(spark, dir).filter(col("p_size") >= 25)
         .select(col("p_partkey"), col("p_brand"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(graft.Plans.broadcastIfSmallStats(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -1812,7 +1812,7 @@ object RelationalQueries {
     * cᵢ² safely past int64 at any revenue scale. */
   def regionSupplierHhi(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("s_suppkey"))

@@ -445,7 +445,10 @@ object CorpusStats {
     val totals = st.groupBy(col("source")).agg(sum(col("y")).as("n"))
     val grand = g.agg(sum(col("gw")).as("gt"))
     val scored = st
-      .join(broadcast(g), "term")
+      // vocabulary-sized global counts: gate by the persisted (source,
+      // term) table's exact count (an upper bound on |terms|) — a 100 TB
+      // vocabulary degrades this attach to shuffled-hash on `term`
+      .join(graft.Plans.broadcastIfSmall(g, st.count()), "term")
       .join(broadcast(totals), "source")
       .crossJoin(broadcast(grand))
       .withColumn("a", lit(priorA) * col("gw") / col("gt"))

@@ -111,6 +111,64 @@ class PlanQualitySuite extends SparkSpec {
     assert(cols < 11, s"q1 reads $cols of 11 lineitem columns — pruning lost")
   }
 
+  test("size-gated broadcasts: both strategies plan, and results agree (Plans.broadcastIfSmall)") {
+    // Under the default limits every gated side is tiny at this sf, so the
+    // attach joins must plan as BroadcastHashJoin — and with the limits
+    // forced to 0 (simulating a graph/dimension that outgrew broadcast)
+    // the SAME query must re-plan every gated side as ShuffledHashJoin,
+    // never fall back to a sort-merge of the probe side, and return the
+    // identical rows. This is the executable form of every "past broadcast
+    // scale the same plan holds shuffled" design note.
+    def explain(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(FormattedMode)
+    val tri = graft.graph.GraphQueries.copurchaseTriangles(spark, Sf0001)
+    val q5 = graft.relational.RelationalQueries.q5NationRevenue(spark, Sf0001)
+    val smallTri = explain(tri)
+    assert(smallTri.contains("BroadcastHashJoin"),
+      s"triangles: gated degree/adjacency attaches did not broadcast under the default limit:\n$smallTri")
+    val smallQ5 = explain(q5)
+    assert(smallQ5.contains("BroadcastHashJoin"),
+      s"q5: stats-gated dimension attach did not broadcast under the default limit:\n$smallQ5")
+    // materialize BOTH paths' rows driver-side for the equality check —
+    // persisting the small result instead would let the CacheManager swap
+    // the forced-large plan for the cached one (cache matching ignores
+    // join-strategy hints), silently voiding the whole test
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+    val smallTriRows = rows(tri)
+    val smallQ5Rows = rows(q5)
+    // drop the small run's query-internal persists (e.g. triangles'
+    // `oriented`): cache matching ignores hints, so a live small-path
+    // cache entry would be spliced into the large plan and its stored
+    // broadcast-join build subtree would show up in the explain
+    Caches.drain()
+    spark.conf.set(Plans.BroadcastRowLimitKey, "0")
+    spark.conf.set(Plans.BroadcastByteLimitKey, "0")
+    try {
+      val triL = graft.graph.GraphQueries.copurchaseTriangles(spark, Sf0001)
+      val largeTri = explain(triL)
+      assert(largeTri.contains("ShuffledHashJoin"),
+        s"triangles: forced-large gated sides did not plan shuffled-hash:\n$largeTri")
+      assert(!largeTri.contains("BroadcastHashJoin"),
+        s"triangles: a gated side still broadcasts past the limit:\n$largeTri")
+      assert(!largeTri.contains("SortMergeJoin"),
+        s"triangles: gate degraded to sort-merge instead of shuffled-hash:\n$largeTri")
+      val q5L = graft.relational.RelationalQueries.q5NationRevenue(spark, Sf0001)
+      val largeQ5 = explain(q5L)
+      assert(largeQ5.contains("ShuffledHashJoin"),
+        s"q5: forced-large stats-gated dimension did not plan shuffled-hash:\n$largeQ5")
+      // exact-integer outputs on both queries ⇒ strict multiset equality
+      assert(rows(triL) == smallTriRows,
+        "triangles: shuffled-hash path returns different rows than broadcast path")
+      assert(rows(q5L) == smallQ5Rows,
+        "q5: shuffled-hash path returns different rows than broadcast path")
+    } finally {
+      spark.conf.unset(Plans.BroadcastRowLimitKey)
+      spark.conf.unset(Plans.BroadcastByteLimitKey)
+      Caches.drain()
+    }
+  }
+
   test("dimension joins are broadcast in the join-heavy queries") {
     for (name <- Seq("q3_shipping", "q5_nation_revenue", "brand_cheapest", "nation_balance")) {
       assert(plan(name).contains("BroadcastHashJoin"),

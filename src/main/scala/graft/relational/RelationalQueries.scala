@@ -2284,6 +2284,84 @@ object RelationalQueries {
       |  CAST(max_rows_per_key * 1000000 // (n_rows // n_keys) AS BIGINT) AS skew_ratio_ppm
       |FROM agg JOIN hv USING (col_name)""".stripMargin
 
+  private[graft] val SaltBuckets = 64
+
+  /** The skewed-key expression both sides of the salted join share: half
+    * the part catalog collapses onto key 0 — a deliberate hot key carrying
+    * ~50% of the fact rows, the pathology [[lineitemSkewReport]] exists to
+    * detect. */
+  private def skewKey(c: org.apache.spark.sql.Column) =
+    when(c % 10 < 5, lit(0L)).otherwise(c)
+
+  /** The salted shuffled join itself, pre-aggregation — the CURE to the
+    * skew [[lineitemSkewReport]] diagnoses, as a first-class operator
+    * rather than a design note. The plain shuffled join on the hot key
+    * sends ~half the fact table to ONE reducer (the straggler that decides
+    * a 100 TB job's wall-clock); salting:
+    *
+    *   - FACT side: salt = hash(row identity) mod [[SaltBuckets]] — pure
+    *     repartitioning metadata, deterministic but value-irrelevant.
+    *   - DIM side: each row REPLICATES across all [[SaltBuckets]] salts
+    *     (the standard dim-side explode; dim pays ×S rows, the fact side
+    *     pays nothing).
+    *   - join on (k, salt): the hot key's rows now spread across S
+    *     reducers; results are identical to the unsalted join because
+    *     every (k, salt) fact row meets exactly its (k, salt) dim replica.
+    *
+    * The dim side is deliberately `shuffle_hash`-hinted, NOT broadcast —
+    * salting exists precisely for the regime where the dim is too big to
+    * broadcast and the fact key is hot; at broadcast-able dim sizes the
+    * broadcast join needs no salt at all (no shuffle of the fact side).
+    * SkewSuite measures the balanced-task property on this frame: max
+    * per-partition row share, salted vs unsalted. AQE's runtime skew
+    * split (SkewSuite's other witness) is the ALTERNATIVE cure when the
+    * engine owns the decision; explicit salting is the one a pipeline
+    * author controls, works under any join strategy, and composes with
+    * bucketed layouts AQE cannot re-split. */
+  private[graft] def saltedJoinBase(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("k", skewKey(col("l_partkey")))
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(SaltBuckets)))
+    val dim = Tables.part(spark, dir)
+      .select(skewKey(col("p_partkey")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("salt",
+        explode(org.apache.spark.sql.functions.sequence(
+          lit(0L), lit(SaltBuckets - 1L))))
+    fact.join(dim.hint("shuffle_hash"), Seq("k", "salt"))
+  }
+
+  /** Registered form: the salted join rolled up per (returnflag, hot-key
+    * flag) in exact cents — value-identical to the plain unsalted join the
+    * oracle runs, which is the whole point of salting. */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame =
+    saltedJoinBase(spark, dir)
+      .groupBy(col("l_returnflag"), (col("k") === 0L).as("is_hot"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+        sum(col("n_parts")).as("sum_group_parts"))
+      .select(col("l_returnflag"), col("is_hot"), col("n_rows"),
+        col("revenue_cents"), col("sum_group_parts"))
+
+  def saltedSkewJoinSql: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN l_partkey % 10 < 5 THEN 0 ELSE l_partkey END AS k,
+      |    l_returnflag, l_extendedprice
+      |  FROM lineitem),
+      |d AS (
+      |  SELECT CASE WHEN p_partkey % 10 < 5 THEN 0 ELSE p_partkey END AS k,
+      |    CAST(count(*) AS BIGINT) AS n_parts
+      |  FROM part GROUP BY 1)
+      |SELECT l_returnflag, (f.k = 0) AS is_hot,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  CAST(sum(n_parts) AS BIGINT) AS sum_group_parts
+      |FROM f JOIN d ON f.k = d.k
+      |GROUP BY 1, 2""".stripMargin
+
   def fkOrphanAuditSql: String = {
     def one(edge: String, child: String, fk: String, parent: String, pk: String): String =
       s"""SELECT '$edge' AS fk_edge,

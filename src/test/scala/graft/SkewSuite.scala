@@ -2,11 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** The skew escape hatches SCALING.md names: two-phase salting is proven on
-  * the Zipfian word count (GoldenParitySuite / wc_salted); this suite proves
-  * the OTHER hatch — AQE's runtime skew-join splitting — actually engages on
-  * a pathologically skewed join, with thresholds scaled down to test size
-  * the way a 100 TB deployment scales them up. */
+/** The skew escape hatches SCALING.md names, each proven executable:
+  * two-phase AGGREGATION salting on the Zipfian word count
+  * (GoldenParitySuite / wc_salted); AQE's runtime skew-JOIN splitting,
+  * engaged here on a pathologically skewed join with thresholds scaled
+  * down to test size the way a 100 TB deployment scales them up; and
+  * explicit JOIN salting (lineitem_salted_join — the cure
+  * lineitem_skew_report's diagnosis calls for), whose balanced-reducer
+  * property is measured below against its unsalted twin. */
 class SkewSuite extends SparkSpec {
 
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
@@ -35,6 +38,54 @@ class SkewSuite extends SparkSpec {
       assert(finalPlan.contains("skew=true"),
         s"AQE did not mark the hot partition as skewed:\n$finalPlan")
     } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("salted join balances the hot key's reducers (lineitem_salted_join's base frame)") {
+    import graft.relational.RelationalQueries
+    // test data is tiny, so AQE would coalesce every post-shuffle partition
+    // into one and blind the measurement; at production scale partitions
+    // are advisory-sized and the per-reducer shares below are the real ones
+    // 32 reducers (not the suite session's 4): salting targets the
+    // many-reducer regime — with reducers ≤ a handful, ANY partitioning
+    // is "balanced" and the property is unmeasurable
+    val confs = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "32")
+    val savedConfs = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+    // per-reducer row counts right after the join: spark_partition_id()
+    // captured BEFORE any further exchange reflects the join's own
+    // partitioning — (k, salt) for the salted plan, k for the plain one
+    def shares(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(spark_partition_id().as("pid"))
+        .groupBy(col("pid")).count()
+        .collect().map(_.getLong(1)).toSeq
+    val salted = shares(RelationalQueries.saltedJoinBase(spark, "/root/testdata/sf0.01"))
+    val total = salted.sum
+    val saltedMaxShare = salted.max.toDouble / total
+    // the unsalted twin: same skewed key, same shuffle_hash dim join,
+    // no salt — the hot key (≈50% of rows) lands on ONE reducer
+    val fact = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(when(col("l_partkey") % 10 < 5, 0L).otherwise(col("l_partkey")).as("k"))
+    val dim = Tables.part(spark, "/root/testdata/sf0.01")
+      .select(when(col("p_partkey") % 10 < 5, 0L).otherwise(col("p_partkey")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_parts"))
+    val plain = shares(fact.join(dim.hint("shuffle_hash"), Seq("k")))
+    val plainMaxShare = plain.max.toDouble / plain.sum
+    assert(plain.sum == total, "salting changed the join cardinality")
+    assert(plainMaxShare > 0.4,
+      f"unsalted hot partition only carries $plainMaxShare%.2f of rows — skew fixture lost its point")
+    // the hot key spreads across SaltBuckets=64 salt combos hashed into 32
+    // reducers: worst reducer carries a few combos (~0.8% each) plus the
+    // uniform remainder; 0.10 leaves headroom for balls-into-bins variance
+    assert(saltedMaxShare < 0.10,
+      f"salted max partition share $saltedMaxShare%.3f — salting failed to balance " +
+        f"(unsalted: $plainMaxShare%.3f)")
+    } finally savedConfs.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }

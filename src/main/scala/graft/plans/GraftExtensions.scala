@@ -46,4 +46,19 @@ object GraftSession {
       // lives here and not next to the loop.
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
+      // Streaming state store backend. The default HDFS-backed provider
+      // keeps ALL state on-heap — fine for the bounded per-key state the
+      // streaming family maintains at test scale, but the 100× deployment
+      // (every user/key resident for the watermark window) wants the
+      // spillable RocksDB store, which Spark ships in-box. Plumbed as an
+      // env knob so the SAME binary flips backends per deployment;
+      // StreamingSuite re-runs the heaviest stateful twin under RocksDB to
+      // pin that the operators are provider-agnostic.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.get("SPARK_GRAFT_STATE_STORE") match {
+          case Some("rocksdb") =>
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+          case _ =>
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        })
 }

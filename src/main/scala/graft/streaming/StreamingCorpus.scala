@@ -46,7 +46,10 @@ object StreamingCorpus {
     docs.withWatermark("ingest_ts", watermark)
       .select(col("doc_id"), col("ingest_ts"),
         explode(TrainingPrep.ngrams(col("text"), TrainingPrep.NGram)).as("gram"))
-      .join(broadcast(benchGrams), "gram")
+      // static side is batch-computable at query definition, so the same
+      // size gate as the batch twin applies: broadcast when it fits, else
+      // each micro-batch stream-static joins shuffled on `gram`
+      .join(graft.Plans.broadcastIfSmall(benchGrams, benchGrams.count()), "gram")
       .groupBy(window(col("ingest_ts"), aggWindow), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .select(col("doc_id"), col("n_shared"))

@@ -351,7 +351,7 @@ class CorpusStatsSuite extends SparkSpec {
     val anchor = SimilarityQueries.annRecall(spark, Sf0001)
       .select("q_id", "recall_ppm").as[(Long, Long)].collect().toMap
     Caches.drain()
-    assert(curve.map(_._1).distinct.sorted == Seq(1L, 2L, 3L, 5L))
+    assert(curve.map(_._1).distinct.sorted == Seq(1L, 2L, 3L, 5L, 8L))
     assert(curve.groupBy(_._1).values.forall(_.map(_._2).sorted == (0L until 5L)))
     // anchored: the swept nprobe=3 point IS ann_recall
     curve.filter(_._1 == 3L).foreach { case (_, q, _, _, r) => assert(r == anchor(q)) }

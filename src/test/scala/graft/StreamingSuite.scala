@@ -649,6 +649,61 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trending top-k parity holds under the RocksDB state store (the 100x spillable backend)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the heaviest custom-state twin re-run under RocksDB: the on-heap
+    // HDFS-backed default is the streaming scale ceiling (all state
+    // resident), so the operators must be provider-agnostic — same
+    // emissions, same watermark/timeout behavior, state spilled off-heap
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evts = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    val q = StreamingEvents.trendingTopK(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("trending_rocksdb")
+      .outputMode("append").start()
+    try {
+      val boundary = evts.map(_.ts.getTime).sorted.apply(evts.length / 2)
+      input.addData(evts.filter(_.ts.getTime < boundary): _*)
+      q.processAllAvailable()
+      input.addData(evts.filter(_.ts.getTime >= boundary): _*)
+      q.processAllAvailable()
+      val far = evts.map(_.ts.getTime).max
+      input.addData(Event(9990, new Timestamp(far + 10 * 86400000L), 999999, "error", 0))
+      q.processAllAvailable()
+      // witness the backend actually engaged: RocksDB providers export
+      // rocksdb* custom metrics in the progress; the HDFS store does not
+      val metrics = Option(q.lastProgress).toSeq.flatMap(
+        _.stateOperators.toSeq.flatMap(_.customMetrics.keySet().toArray.map(_.toString)))
+      assert(metrics.exists(_.startsWith("rocksdb")),
+        s"no rocksdb state-store metrics in progress — provider did not engage: $metrics")
+      val sentinelHour = Math.floorDiv(far + 10 * 86400000L, 3600000L) * 3600L
+      val got = spark.table("trending_rocksdb")
+        .as[StreamingEvents.TrendRow].collect()
+        .filterNot(_.hour_start_sec == sentinelHour)
+        .map(r => (r.hour_start_sec, r.rank, r.event_type, r.n)).toSet
+      val expected = evts.groupBy(e => Math.floorDiv(e.ts.getTime, 3600000L))
+        .flatMap { case (h, es) =>
+          es.groupBy(_.event_type).view.mapValues(_.length.toLong).toSeq
+            .sortBy { case (t, n) => (-n, t) }.take(3).zipWithIndex
+            .map { case ((t, n), i) => (h * 3600L, i + 1L, t, n) }
+        }.toSet
+      assert(got == expected,
+        "RocksDB-backed trending top-k diverges from the batch expectation")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming funnel stages equal the batch funnel counters on driver data") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -289,6 +289,53 @@ object TrainingPrep {
        |      FROM documents) b
        |GROUP BY 1, 2""".stripMargin
 
+  /** LEAKAGE-SAFE train/validation/test split — [[trainSplit]]'s hash
+    * assignment keyed by the near-duplicate COMPONENT representative
+    * instead of the document id. Plain per-doc hashing puts ~1−(0.8²+0.1²+0.1²)
+    * ≈ 34% of any near-dup pair across split boundaries — the textbook
+    * eval-contamination bug: the model trains on a near-copy of its test
+    * document and the benchmark stops measuring generalization. Keying the
+    * hash on [[graft.dedup.DedupQueries.dedupComponents]]' canonical id
+    * makes split membership a CLUSTER property: every near-duplicate lands
+    * in the same split, provably (members share the key the hash reads).
+    * Documents in no near-dup pair keep their own id as representative, so
+    * on a duplicate-free corpus this IS [[trainSplit]]'s assignment.
+    *
+    * Emitted per document (id, representative, bucket, split) — the
+    * audit-grade form: the invariant "same rep ⇒ same split" is checkable
+    * row-by-row, and the suite checks it on every component.
+    *
+    * Scale shape: the component labels are the near-dup EDGE closure —
+    * |near-dup docs| rows, minuscule next to the corpus — attached by a
+    * size-gated join (broadcast here; shuffled-hash on doc_id past the
+    * gate); the split itself stays the one narrow hash projection. */
+  def trainSplitGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val comp = graft.Caches.persisted(
+      graft.dedup.DedupQueries.dedupComponents(spark, dir)
+        .select(col("doc_id"), col("canonical")))
+    val bucket = ((col("rep_id") * lit(1000003L)) % lit(999999937L)) % lit(100L)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(graft.Plans.broadcastIfSmall(comp, comp.count()), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("canonical"), col("doc_id")).as("rep_id"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation").otherwise("test"))
+  }
+
+  def trainSplitGroupedSql: String =
+    s"""WITH comp AS (${graft.dedup.DedupQueries.dedupComponentsSql}),
+       |a AS (
+       |  SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS rep_id
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id, rep_id,
+       |    ((rep_id * 1000003) % 999999937) % 100 AS bucket
+       |  FROM a)
+       |SELECT doc_id, rep_id, CAST(bucket AS BIGINT) AS bucket,
+       |  $SplitCaseSql AS split
+       |FROM b""".stripMargin
+
   /** Per-stratum sampling rates for [[stratifiedSample]] (percent kept):
     * the corpus-rebalancing knob — downsample overrepresented strata,
     * keep the rest whole. */
@@ -439,6 +486,97 @@ object TrainingPrep {
        |SELECT doc_id, is_quality, uni_repetitive, ngram_repetitive,
        |  (is_quality AND NOT uni_repetitive AND NOT ngram_repetitive) AS keep
        |FROM q JOIN uni USING (doc_id) JOIN ng USING (doc_id)""".stripMargin
+
+  /** Filter FUNNEL report over [[gopherFilter]]'s rule pipeline — the
+    * dataset-card table every production filter ships (Gopher Table A1
+    * reports exactly this): per stage, how many documents entered, how
+    * many survived, and how many THIS rule killed (among survivors of the
+    * earlier stages — attribution is sequential, so the killed counts sum
+    * to exactly n_docs − n_kept with no double-counting, unlike
+    * independent per-rule kill rates which overlap). Rule order is the
+    * pipeline's: heuristic quality, then unigram repetition, then n-gram
+    * repetition.
+    *
+    * Scale shape: [[gopherFilter]]'s per-doc verdict plan (narrow passes +
+    * doc_id-keyed joins) feeding ONE fully partial-aggregable 7-sum
+    * reduction to a single row, exploded to the 3 report rows driver-free. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame =
+    gopherFilter(spark, dir)
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("is_quality"), 1L).otherwise(0L)).as("p1"),
+        sum(when(col("is_quality") && !col("uni_repetitive"), 1L).otherwise(0L)).as("p2"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("p3"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("quality").as("rule"),
+          col("n0").as("n_in"), col("p1").as("n_out")),
+        struct(lit(2L).as("stage"), lit("unigram_repetition").as("rule"),
+          col("p1").as("n_in"), col("p2").as("n_out")),
+        struct(lit(3L).as("stage"), lit("ngram_repetition").as("rule"),
+          col("p2").as("n_in"), col("p3").as("n_out")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.rule").as("rule"),
+        col("r.n_in").as("n_in"), col("r.n_out").as("n_out"),
+        (col("r.n_in") - col("r.n_out")).as("n_killed"))
+
+  def filterFunnelSql: String =
+    s"""WITH g AS ($gopherFilterSql),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN is_quality THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+       |    CAST(sum(CASE WHEN is_quality AND NOT uni_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS p3
+       |  FROM g)
+       |SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS rule, n0 AS n_in, p1 AS n_out, n0 - p1 AS n_killed FROM s
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), 'unigram_repetition', p1, p2, p1 - p2 FROM s
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), 'ngram_repetition', p2, p3, p2 - p3 FROM s""".stripMargin
+
+  /** Cross-split n-gram LEAKAGE rate — the memorization-leak audit run
+    * after any split assignment: of the distinct word 5-grams in each
+    * held-out split, what fraction also occurs in the train split? Plain
+    * per-doc hash splitting ([[trainSplit]]) leaves near-duplicate text
+    * straddling the boundary, and this measures exactly how much: the
+    * companion diagnostic to [[trainSplitGrouped]] (which fixes the doc-
+    * level cause) and [[decontaminate]] (the benchmark-side analog; this
+    * one audits the corpus's own eval splits).
+    *
+    * Scale shape: one narrow gram explode per side into distinct-gram
+    * partial aggs; the train gram set attaches by a size-gated join
+    * (vocabulary-scale — broadcast here, shuffled-hash on `gram` past the
+    * gate); the report is a 2-row rollup. */
+  def splitGramLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(splitCol(col("doc_id")).as("split"),
+        explode(ngrams(col("text"), NGram)).as("gram"))
+    val train = graft.Caches.persisted(
+      grams.filter(col("split") === "train").select(col("gram")).distinct()
+        .withColumn("hit", lit(1L)))
+    val eval = grams.filter(col("split") =!= "train")
+      .select(col("split"), col("gram")).distinct()
+    eval.join(graft.Plans.broadcastIfSmall(train, train.count()), Seq("gram"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
+      .withColumn("leak_ppm", expr("n_leaked * 1000000L div n_grams"))
+  }
+
+  def splitGramLeakageSql: String =
+    s"""WITH tok AS (
+       |  SELECT $SplitBucketSql AS bucket, string_split(text, ' ') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT $SplitCaseSql AS split,
+       |    array_to_string(t[i:i+${NGram - 1}], ' ') AS gram
+       |  FROM tok, UNNEST(range(1, len(t) - ${NGram - 2})) AS u(i)),
+       |tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+       |ev AS (SELECT DISTINCT split, gram FROM g WHERE split <> 'train')
+       |SELECT ev.split, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+       |  CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS leak_ppm
+       |FROM ev LEFT JOIN tr ON ev.gram = tr.gram
+       |GROUP BY ev.split""".stripMargin
 
   def trainingPipeline(spark: SparkSession, dir: String): DataFrame = {
     val contaminated = decontaminate(spark, dir).select(col("doc_id"))
@@ -822,6 +960,68 @@ object TrainingPrep {
        |  CAST(sum(c_pos * (2 * neg_below + c_neg)) * 1000000
        |    // (2 * sum(c_pos) * sum(c_neg)) AS BIGINT) AS auc_ppm
        |FROM cum""".stripMargin
+
+  /** Precision/recall operating curve of the quality classifier — one row
+    * per DISTINCT score threshold t (predict positive ⇔ raw_score ≥ t):
+    * predicted-positive count, true positives, precision, recall, F1 —
+    * the table a data curator reads to pick the keep threshold (AUC says
+    * whether the score ranks; THIS says what a given cut costs). The
+    * companion operating-point view to [[qualityAuc]] /
+    * [[qualityCalibration]], like [[graft.similarity.SimilarityQueries
+    * .annRecallCurve]] is to `ann_recall`.
+    *
+    * Exactness: every number is a cumulative integer count over the
+    * distinct-score histogram; precision/recall/F1 floor to ppm
+    * (F1 = 2·TP div (PP + P) — the harmonic mean's exact integer form).
+    *
+    * Scale shape: the corpus contributes one classifier scoring pass into
+    * a distinct-score HISTOGRAM (saturating, the isotonic/AUC argument);
+    * the cumulative window and per-threshold arithmetic run over that
+    * bounded table. */
+  def qualityPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    val scores = qualityClassifier(spark, dir).select(col("doc_id"), col("raw_score"))
+    val labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("lbl"))
+    val hist = scores.join(labels, "doc_id")
+      .groupBy(col("raw_score"))
+      .agg(sum(col("lbl")).as("c_pos"), count(lit(1)).as("c_all"))
+    // cumulative from the highest score down = counts with raw_score >= t
+    val wGe = Window.orderBy(col("raw_score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("tp", sum(col("c_pos")).over(wGe))
+      .withColumn("n_pred_pos", sum(col("c_all")).over(wGe))
+      .crossJoin(broadcast(hist.agg(sum(col("c_pos")).as("n_pos"))))
+      .select(col("raw_score").as("threshold"), col("n_pred_pos"), col("tp"),
+        expr("tp * 1000000L div n_pred_pos").as("precision_ppm"),
+        expr("tp * 1000000L div n_pos").as("recall_ppm"),
+        expr("2L * tp * 1000000L div (n_pred_pos + n_pos)").as("f1_ppm"))
+  }
+
+  def qualityPrCurveSql: String =
+    s"""WITH scored AS (
+       |  ${qualityClassifierSql.replace("\n", "\n  ")}),
+       |lbl AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl
+       |  FROM documents),
+       |hist AS (
+       |  SELECT raw_score, CAST(sum(lbl) AS BIGINT) AS c_pos,
+       |    CAST(count(*) AS BIGINT) AS c_all
+       |  FROM scored JOIN lbl USING (doc_id) GROUP BY raw_score),
+       |cum AS (
+       |  SELECT raw_score,
+       |    sum(c_pos) OVER (ORDER BY raw_score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |    sum(c_all) OVER (ORDER BY raw_score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pred_pos
+       |  FROM hist),
+       |tot AS (SELECT sum(c_pos) AS n_pos FROM hist)
+       |SELECT raw_score AS threshold,
+       |  CAST(n_pred_pos AS BIGINT) AS n_pred_pos, CAST(tp AS BIGINT) AS tp,
+       |  CAST(tp * 1000000 // n_pred_pos AS BIGINT) AS precision_ppm,
+       |  CAST(tp * 1000000 // n_pos AS BIGINT) AS recall_ppm,
+       |  CAST(2 * tp * 1000000 // (n_pred_pos + n_pos) AS BIGINT) AS f1_ppm
+       |FROM cum, tot""".stripMargin
 
   /** Isotonic calibration (PAV) of the quality score against the English
     * label — the nonparametric upgrade to [[qualityCalibration]]'s fixed

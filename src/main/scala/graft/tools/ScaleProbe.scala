@@ -49,7 +49,9 @@ object ScaleProbe {
     "oov_rate", "dedup_savings", "events_trimmed_stats", "pack_efficiency",
     "source_clusters", "search_rbo", "events_decayed_topk",
     "events_bot_score", "embed_random_negatives", "ann_recall_curve",
-    "quality_isotonic", "quality_conformal")
+    "quality_isotonic", "quality_conformal", "filter_funnel",
+    "split_gram_leakage", "train_split_grouped", "quality_pr_curve",
+    "embed_topk_ivfpq_rerank", "ann_recall_rerank")
 
   private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

@@ -210,6 +210,29 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("no unconditional broadcast of scale-proportional dimension scans (statically enforced)") {
+    // TPC-H-shaped dimensions GROW with scale factor; a hard-coded
+    // broadcast(Tables.customer(...)) is correct at sf0.1 and a driver OOM
+    // at SF 10^5 — such attaches must route through Plans.broadcastIfSmall
+    // / broadcastIfSmallStats (nation/region are constant-size at every SF
+    // and stay exempt). Lexical screen, like the driver-path gate below.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    assume(java.nio.file.Files.exists(root), "run from the repo root")
+    val banned = Seq("customer", "supplier", "part", "orders", "lineitem", "events",
+      "documents", "embeddings").map(t => s"broadcast(Tables.$t(")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val text = java.nio.file.Files.readString(p)
+        val hits = banned.filter(text.contains)
+        if (hits.isEmpty) None else Some(p.toString -> hits)
+      }
+      .toList
+    assert(offenders.isEmpty,
+      s"unconditional broadcasts of SF-proportional scans (use Plans.broadcastIfSmallStats): $offenders")
+  }
+
   test("no driver-side data path in any query module (SCALING.md rule 7, statically enforced)") {
     // the one documented exception: MapReduceJob.mergedLines (test/debug
     // helper reproducing the reference harness's merged view). Coverage is

@@ -697,11 +697,14 @@ object GraphQueries {
     * weighted adjacency adds one (u,v)-keyed count agg over the same
     * grouped pair expansion [[copurchaseEdges]] uses. */
   def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = orderBaskets(spark, dir)
+    // persisted: the symmetrizing union below consumes `pairs` twice —
+    // left lazy, the pair-expansion aggregate evaluates once per side
+    // while the adjacency cache materializes
+    val pairs = graft.Caches.persisted(orderBaskets(spark, dir)
       .select(explode(expr(PairExpandSql)).as("p"))
       .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("u"), col("v"), expr("1000000L div cnt").as("w"))
+      .select(col("u"), col("v"), expr("1000000L div cnt").as("w")))
     val adj = graft.Caches.persisted(
       pairs.select(col("u").as("v"), col("v").as("n"), col("w"))
         .unionByName(pairs.select(col("v").as("v"), col("u").as("n"), col("w"))))
@@ -778,10 +781,15 @@ object GraphQueries {
         .select(col("c"), explode(col("ps")).as("p")))
     var auth = e.select(col("p")).distinct().withColumn("a", lit(1000000L))
     for (_ <- 1 to HitsRounds) {
-      val hRaw = e.join(auth, "p").groupBy(col("c")).agg(sum(col("a")).as("hr"))
+      // each half-step's raw sums feed BOTH the max scalar and the rescale:
+      // persisted, or the e⋈scores join evaluates twice inside one action
+      // (the same both-consumers lesson as the bfs/sssp truncation)
+      val hRaw = graft.Caches.persisted(
+        e.join(auth, "p").groupBy(col("c")).agg(sum(col("a")).as("hr")))
       val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("hr")).as("hm"))))
         .select(col("c"), expr("hr * 1000000L div hm").as("h"))
-      val aRaw = e.join(hub, "c").groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      val aRaw = graft.Caches.persisted(
+        e.join(hub, "c").groupBy(col("p")).agg(sum(col("h")).as("ar")))
       auth = graft.dedup.DedupQueries.truncate(
         aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
           .select(col("p"), expr("ar * 1000000L div am").as("a")))
@@ -847,17 +855,22 @@ object GraphQueries {
     val baskets = custBaskets(spark, dir)
     val deg = baskets.select(explode(col("ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
-    val co = baskets
+    // persisted: the symmetrizing union below consumes `co` TWICE — left
+    // lazy, the whole pair-expansion aggregate evaluates once per side
+    // minimum-support prune, applied AT the partial agg's output before
+    // any join/window: singleton co-occurrence is noise (cos² with co=1
+    // rewards random low-degree pairs), and it is also 97% of the mass —
+    // measured at sf0.1: 12.3M co=1 pairs vs 414k at co ≥ 2, a 30× cut
+    // in everything downstream. Every production item-CF prunes support
+    // for exactly these two reasons (cf. DIMSUM's similarity threshold).
+    // Persisted AFTER the prune (the 414k-row survivor set, never the 12M
+    // singletons): the symmetrizing union consumes `co` TWICE — left lazy,
+    // the whole pair-expansion aggregate evaluates once per side.
+    val co = graft.Caches.persisted(baskets
       .select(explode(expr(PairExpandSql)).as("pr"))
       .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
       .agg(count(lit(1)).as("co"))
-      // minimum-support prune, applied AT the partial agg's output before
-      // any join/window: singleton co-occurrence is noise (cos² with co=1
-      // rewards random low-degree pairs), and it is also 97% of the mass —
-      // measured at sf0.1: 12.3M co=1 pairs vs 414k at co ≥ 2, a 30× cut
-      // in everything downstream. Every production item-CF prunes support
-      // for exactly these two reasons (cf. DIMSUM's similarity threshold).
-      .filter(col("co") >= CfMinCo)
+      .filter(col("co") >= CfMinCo))
     val sym = co.select(col("u").as("item"), col("v").as("other"), col("co"))
       .unionByName(co.select(col("v").as("item"), col("u").as("other"), col("co")))
     val scored = sym

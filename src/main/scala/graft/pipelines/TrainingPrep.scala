@@ -1357,4 +1357,56 @@ object TrainingPrep {
        |  SELECT doc_id, list_transform(range(0, $NumShards), s ->
        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT) AS ws
        |  FROM documents)""".stripMargin
+
+  /** Per-shard BALANCE report over the rendezvous assignment — the
+    * observability half of [[shardRendezvous]]: documents, characters, and
+    * whitespace-token mass per shard, each with its exact ppm share of the
+    * corpus total. Rendezvous hashing balances COUNTS in expectation; what
+    * a training job actually streams is token mass, and a shard whose
+    * share drifts far from 1/[[NumShards]] is the straggler — this is the
+    * table that catches it before the job runs.
+    *
+    * Scale shape: the assignment is the same zero-shuffle narrow argmax;
+    * one |shards|-keyed partial agg + a 1-row total folded back by a
+    * broadcast scalar crossJoin. */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = Tables.documents(spark, dir)
+      .select(col("n_chars"),
+        size(split(col("text"), " ")).cast("bigint").as("toks"),
+        expr(s"""transform(sequence(0, ${NumShards - 1}), s ->
+               |  cast(conv(substring(md5(concat(cast(doc_id as string), ':', cast(s as string))), 1, 15), 16, 10) as bigint))"""
+          .stripMargin).as("ws"))
+      .select((expr("array_position(ws, array_max(ws))") - 1).cast("bigint").as("shard"),
+        col("n_chars"), col("toks"))
+    val per = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("toks")).as("tokens"))
+    per.crossJoin(broadcast(per.agg(
+        sum(col("n_docs")).as("t_docs"), sum(col("tokens")).as("t_tokens"))))
+      .select(col("shard"), col("n_docs"), col("chars"), col("tokens"),
+        expr("n_docs * 1000000L div t_docs").as("doc_share_ppm"),
+        expr("tokens * 1000000L div t_tokens").as("token_share_ppm"))
+  }
+
+  def shardBalanceSql: String =
+    s"""WITH a AS (
+       |  SELECT CAST(list_position(ws, list_max(ws)) - 1 AS BIGINT) AS shard,
+       |    n_chars, toks
+       |  FROM (
+       |    SELECT doc_id, n_chars,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |      list_transform(range(0, $NumShards), s ->
+       |        ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT) AS ws
+       |    FROM documents) x),
+       |per AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars,
+       |    CAST(sum(toks) AS BIGINT) AS tokens
+       |  FROM a GROUP BY shard),
+       |tot AS (SELECT sum(n_docs) AS t_docs, sum(tokens) AS t_tokens FROM per)
+       |SELECT shard, n_docs, chars, tokens,
+       |  CAST(n_docs * 1000000 // t_docs AS BIGINT) AS doc_share_ppm,
+       |  CAST(tokens * 1000000 // t_tokens AS BIGINT) AS token_share_ppm
+       |FROM per, tot""".stripMargin
 }

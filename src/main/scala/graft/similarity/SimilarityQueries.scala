@@ -1622,6 +1622,53 @@ object SimilarityQueries {
     * Scale shape: the |labels|-row centroid table broadcasts; d2 is one
     * narrow zip_with/aggregate fold per vector (no shuffle of the corpus);
     * the per-label top-5 is a WindowGroupLimit on |labels| groups. */
+  /** Per-DIMENSION moment diagnostics of the embedding table — the
+    * anisotropy / dead-dimension health check run before an embedding
+    * column is trusted for retrieval or clustering (Ethayarajh 2019's
+    * observation: contextual embeddings concentrate in a narrow cone, and
+    * a dimension whose variance collapses to ~0 carries no signal; a
+    * dimension whose |mean| dwarfs its spread biases every cosine).
+    * Emits per dimension: exact integer-scaled sum and sum-of-squares,
+    * the mean, and the population variance.
+    *
+    * Exactness: components quantize to 1e7 ints BEFORE summing (the
+    * centroid-training policy), so both power sums are order-free int64
+    * and the derived doubles are single final divisions — engine-exact.
+    * sq ≤ 10¹⁴ per row bounds the int64 at ~9·10⁴⁸⁄10¹⁴ rows; past 10⁹
+    * vectors the sums lower to DECIMAL(38,0).
+    *
+    * Scale shape: ONE narrow posexplode into a |dims|-keyed partial agg —
+    * corpus×dims rows map-side-combined into 64 output rows. */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(expr(
+        s"transform(CAST(embedding AS array<double>), v -> CAST(floor(v * $CentScale + 0.5) AS BIGINT))")))
+      .groupBy(col("pos").cast("bigint").as("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("col")).as("s"),
+        sum(col("col") * col("col")).as("sq"))
+      .select(col("pos"), col("n"), col("s"), col("sq"),
+        (col("s").cast("double") / (col("n").cast("double") * lit(1e7))).as("mean"),
+        ((col("sq").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n").cast("double"))
+          / (col("n").cast("double") * lit(1e14))).as("variance"))
+
+  def embedDimStatsSql: String =
+    s"""WITH cexp AS (
+       |  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+       |    i -> {'pos': i - 1, 'sv': CAST(floor(embedding[i]::DOUBLE * $CentScale + 0.5) AS BIGINT)})) AS u
+       |  FROM embeddings),
+       |m AS (
+       |  SELECT CAST(u.pos AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(u.sv) AS BIGINT) AS s,
+       |    CAST(sum(u.sv * u.sv) AS BIGINT) AS sq
+       |  FROM cexp GROUP BY u.pos)
+       |SELECT pos, n, s, sq,
+       |  CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $CentScale) AS mean,
+       |  (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * 1e14) AS variance
+       |FROM m""".stripMargin
+
   def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
     val cq = centroidVectors(spark, dir)
       .select(col("label"),

@@ -2362,6 +2362,72 @@ object RelationalQueries {
       |FROM f JOIN d ON f.k = d.k
       |GROUP BY 1, 2""".stripMargin
 
+  /** Snapshot DIFF between two versions of a keyed table — the lakehouse
+    * "what changed between v1 and v2" operator (Delta/Iceberg table-diff
+    * shape, and the generalization of [[nationReconciliation]]'s two-book
+    * compare to row-version semantics): every key is classified
+    * added / removed / changed / unchanged by a full-outer join on the key
+    * with a row-content hash compare, then rolled up per class with the
+    * netted money delta. Version B is derived deterministically from the
+    * base snapshot (keys ≡0 mod 97 deleted, priorities bumped at mod 89,
+    * prices +1.00 at mod 83) so the operator is self-contained and
+    * oracle-exact; a deployment points the two sides at real snapshots.
+    *
+    * Scale shape: both sides shuffle once on the key (or co-located
+    * bucketed snapshots join with zero exchange — the
+    * [[graft.sources.BucketedTables]] layout); the hash compare is one
+    * codegen'd projection; the report is a 4-key partial agg. Neither
+    * side broadcasts — snapshots are both corpus-sized by definition. */
+  def ordersSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_cents"))
+    val a = base.select(col("o_orderkey").as("k"), col("o_orderstatus").as("st_a"),
+      col("o_orderpriority").as("pr_a"), col("price_cents").as("c_a"))
+    val b = base
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st_b"),
+        when(col("o_orderkey") % 89 === 0, lit("0-BUMPED"))
+          .otherwise(col("o_orderpriority")).as("pr_b"),
+        when(col("o_orderkey") % 83 === 0, col("price_cents") + 100L)
+          .otherwise(col("price_cents")).as("c_b"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(
+        when(col("st_b").isNull, "removed")
+          .when(col("st_a").isNull, "added")
+          .when(col("st_a") === col("st_b") && col("pr_a") === col("pr_b") &&
+            col("c_a") === col("c_b"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("c_b"), lit(0L)).as("cb"),
+        coalesce(col("c_a"), lit(0L)).as("ca"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cb") - col("ca")).as("cents_delta"))
+  }
+
+  def ordersSnapshotDiffSql: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st_a, o_orderpriority AS pr_a,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c_a
+      |  FROM orders),
+      |b AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st_b,
+      |    CASE WHEN o_orderkey % 89 = 0 THEN '0-BUMPED' ELSE o_orderpriority END AS pr_b,
+      |    CASE WHEN o_orderkey % 83 = 0
+      |         THEN CAST(round(o_totalprice * 100) AS BIGINT) + 100
+      |         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS c_b
+      |  FROM orders WHERE o_orderkey % 97 <> 0)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cb - ca) AS BIGINT) AS cents_delta
+      |FROM (
+      |  SELECT CASE WHEN st_b IS NULL THEN 'removed'
+      |              WHEN st_a IS NULL THEN 'added'
+      |              WHEN st_a = st_b AND pr_a = pr_b AND c_a = c_b THEN 'unchanged'
+      |              ELSE 'changed' END AS status,
+      |    coalesce(c_b, 0) AS cb, coalesce(c_a, 0) AS ca
+      |  FROM a FULL OUTER JOIN b USING (k)) t
+      |GROUP BY status""".stripMargin
+
   def fkOrphanAuditSql: String = {
     def one(edge: String, child: String, fk: String, parent: String, pk: String): String =
       s"""SELECT '$edge' AS fk_edge,

@@ -468,7 +468,31 @@ object SimilarityQueries {
     * max-of-struct, no window over the corpus), then the same exploded
     * (cell, dim) partial aggregation as [[labelCentroids]]. Empty cells
     * simply drop out of the next round, identically in both engines. */
-  private[graft] def trainedCentroidTable(spark: SparkSession, dir: String): DataFrame = {
+  /** Session-scoped memo of the TRAINED quantizer tables (IVF centroids,
+    * PQ codebooks), keyed by (session, dir, kind) — the
+    * [[graft.graph.GraphQueries]] edge-memo pattern applied to model
+    * artifacts: eight registered queries consume a trained quantizer, and
+    * before the memo each re-ran the full Lloyd loop in-query (the r9
+    * bench-mover note: "a deployment that reuses a stored quantizer pays
+    * the r7 price" — the memo IS that stored quantizer for the session;
+    * a cluster deployment persists the same table). The trained frames are
+    * already localCheckpoint-truncated, so the memo holds self-contained
+    * materialized plans; entries of stopped sessions evict on access.
+    * Determinism makes this safe: every training walks the identical
+    * trajectory, so a memoized result is bit-identical to a retrain. */
+  private val trainedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
+  private def memoTrained(spark: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    trainedMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    trainedMemo.computeIfAbsent((spark, dir, kind), _ => build)
+  }
+
+  private[graft] def trainedCentroidTable(spark: SparkSession, dir: String): DataFrame =
+    memoTrained(spark, dir, "ivf")(trainCentroidTable(spark, dir))
+
+  private def trainCentroidTable(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     var cents = centroidVectors(spark, dir)
@@ -959,7 +983,10 @@ object SimilarityQueries {
     * rows against a broadcast PqM·PqK-row codebook (argmin via one
     * partial-agg max-of-struct), then a (s, code, dim) partial aggregation
     * whose width is the codebook, not the corpus. */
-  private[graft] def pqCodebookTable(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqCodebookTable(spark: SparkSession, dir: String): DataFrame =
+    memoTrained(spark, dir, "pq")(trainPqCodebookTable(spark, dir))
+
+  private def trainPqCodebookTable(spark: SparkSession, dir: String): DataFrame = {
     val subs = subvectors(spark, dir)
     var cents = subs.filter(col("vec_id") < PqK)
       .select(col("s"), col("vec_id").as("code"), col("sub").as("c"))

@@ -66,7 +66,13 @@ class PlanQualitySuite extends SparkSpec {
   // of their SortAggregates, the merge adds zero exchanges, and at scale
   // neither side (a full snapshot / a full delta) is broadcastable. The
   // companion assertion below pins that stronger property instead.
-  private val intendedSmj = Set("events_merge_upsert")
+  // orders_snapshot_diff full-outer-merges two corpus-sized table
+  // SNAPSHOTS on their key — by definition neither version broadcasts,
+  // and a spill-safe merge is the right 100 TB plan (bucketed snapshot
+  // layouts drop even the two key exchanges).
+  // name -> max allowed Exchange nodes: one per merge side, plus (for the
+  // snapshot diff) the 4-key report rollup ABOVE the merge.
+  private val intendedSmj = Map("events_merge_upsert" -> 2, "orders_snapshot_diff" -> 3)
 
   test("broadcast-able sides broadcast: no sort-merge join anywhere at this sf") {
     // plans with persisted intermediates (InMemoryRelation — the composed
@@ -83,14 +89,14 @@ class PlanQualitySuite extends SparkSpec {
   }
 
   test("intended sort-merge joins are co-partitioned: no exchange beyond the per-side aggregates") {
-    for (name <- intendedSmj) {
+    for ((name, maxExchanges) <- intendedSmj) {
       val p = plan(name)
       assert(p.contains("SortMergeJoin"), s"$name no longer sort-merge-joins")
       // tree entries only ("Exchange (6)"), not the detail-section echoes
       val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(p).size
-      // one shuffle per aggregated side; the merge itself must reuse that
-      // partitioning (a third exchange would mean the join re-shuffles)
-      assert(exchanges <= 2,
+      // one shuffle per merge side (+ any allowed report rollup above);
+      // an exchange beyond the budget means the join itself re-shuffles
+      assert(exchanges <= maxExchanges,
         s"$name has $exchanges exchanges — the merge join re-shuffles:\n$p")
     }
   }

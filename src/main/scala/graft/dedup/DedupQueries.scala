@@ -638,43 +638,80 @@ object DedupQueries {
     * to the cluster FS when the session opts in — same dataflow. The
     * fixpoint is unique, so the result is deterministic regardless of
     * scheduling, and a DuckDB recursive CTE reproduces it exactly. */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    // scoped: truncate() materializes the edge list eagerly, so the LSH
-    // candidate cache dedupNear registers internally is dead once this block
-    // returns — release it here instead of leaking it to the harness drain
-    // (or forever, for a direct library caller).
-    val pairs = graft.Caches.scoped {
-      truncate( // materialize the tiny edge list once; loop plans stay O(1)
-        dedupNear(spark, dir).select(col("doc_a"), col("doc_b")))
-    }
-    val edges = truncate(
-      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
-    var labels = truncate(
-      edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lab")))
-    var changed = 1L
-    while (changed > 0) {
-      val prop = edges
-        .join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("lab")).as("nl"))
-      val next = truncate( // eager: one job materializes the round
-        labels.as("l")
-          .join(prop, col("l.node") === prop("src"), "left")
-          .select(col("l.node").as("node"),
-            least(col("l.lab"), coalesce(col("nl"), col("l.lab"))).as("lab"),
-            (col("nl") < col("l.lab")).as("chg")))
-      changed = next.filter(coalesce(col("chg"), lit(false))).count() // scan of the checkpointed RDD, no join
-      labels = next.select(col("node"), col("lab"))
-      // superseded rounds: localCheckpoint blocks are reclaimed by the
-      // ContextCleaner once unreferenced; reliable-mode checkpoint FILES
-      // need spark.cleaner.referenceTracking.cleanCheckpoints=true as well
-      // (GraftSession sets it; truncate() warns when it's missing)
-    }
-    labels
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentLabelsMemo(spark, dir)
       .select(col("node").as("doc_id"), col("lab").as("canonical"))
       .withColumn("component_size",
         count(lit(1)).over(Window.partitionBy(col("canonical"))))
+
+  /** Session-scoped memo of the two shared near-dup ARTIFACTS — the
+    * verified pair list and the component label table — keyed by
+    * (session, dir): seven registered queries derive from one or the other
+    * (components/canonical/savings/pagerank/eval, the corpus pipeline's
+    * near-dup stage, the leakage-safe split), and each previously re-ran
+    * the full LSH candidate generation + verification. Both artifacts are
+    * checkpoint-truncated (self-contained materialized plans, no live
+    * dependence on dedupNear's internal caches, which are released by the
+    * scoped block before the memo entry is published); determinism makes a
+    * memoized result bit-identical to a rebuild. The cluster-deployment
+    * analog is the persisted pair/label table every production dedup
+    * pipeline maintains. Stopped sessions evict on access. */
+  private val artifactMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
+  private def memoArtifact(spark: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    artifactMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    // the truncation mode is part of the key: a session that opts into
+    // reliable checkpointing expects durably-materialized artifacts (and
+    // the fail-fast require when no checkpoint dir is set), so a
+    // local-mode memo entry must not satisfy a reliable-mode request
+    val mode = if (spark.conf.getOption(ReliableCheckpointConf).exists(_.toBoolean))
+      "reliable" else "local"
+    artifactMemo.computeIfAbsent((spark, dir, s"$kind/$mode"), _ => build)
   }
+
+  /** The verified near-dup pair list (doc_a, doc_b), truncated. */
+  private[graft] def nearPairsMemo(spark: SparkSession, dir: String): DataFrame =
+    memoArtifact(spark, dir, "pairs") {
+      // scoped: truncate() materializes the tiny edge list eagerly, so the
+      // LSH candidate cache dedupNear registers internally is dead once
+      // this block returns — release it here instead of leaking it to the
+      // harness drain (or forever, for a direct library caller).
+      graft.Caches.scoped {
+        truncate(dedupNear(spark, dir).select(col("doc_a"), col("doc_b")))
+      }
+    }
+
+  /** The converged min-label table (node, lab), truncated per round. */
+  private def componentLabelsMemo(spark: SparkSession, dir: String): DataFrame =
+    memoArtifact(spark, dir, "labels") {
+      val pairs = nearPairsMemo(spark, dir)
+      val edges = truncate(
+        pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
+      var labels = truncate(
+        edges.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("lab")))
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges
+          .join(labels, edges("dst") === labels("node"))
+          .groupBy(col("src")).agg(min(col("lab")).as("nl"))
+        val next = truncate( // eager: one job materializes the round
+          labels.as("l")
+            .join(prop, col("l.node") === prop("src"), "left")
+            .select(col("l.node").as("node"),
+              least(col("l.lab"), coalesce(col("nl"), col("l.lab"))).as("lab"),
+              (col("nl") < col("l.lab")).as("chg")))
+        changed = next.filter(coalesce(col("chg"), lit(false))).count() // scan of the checkpointed RDD, no join
+        labels = next.select(col("node"), col("lab"))
+        // superseded rounds: localCheckpoint blocks are reclaimed by the
+        // ContextCleaner once unreferenced; reliable-mode checkpoint FILES
+        // need spark.cleaner.referenceTracking.cleanCheckpoints=true as well
+        // (GraftSession sets it; truncate() warns when it's missing)
+      }
+      labels
+    }
 
   /** Oracle: transitive closure as a recursive CTE (UNION dedup terminates
     * the undirected cycles), min reachable id = the canonical label. */
@@ -720,9 +757,7 @@ object DedupQueries {
     * final top-20 is TakeOrderedAndProject. */
   def docPagerank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val pairs = graft.Caches.scoped {
-      truncate(dedupNear(spark, dir).select(col("doc_a"), col("doc_b")))
-    }
+    val pairs = nearPairsMemo(spark, dir)
     // strict doc_a < doc_b in the pair set → the two directions are disjoint
     val edges = truncate(
       pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))

@@ -931,8 +931,12 @@ object GraphQueries {
       und.select(col("u").as("v"), col("v").as("n"))
         .unionByName(und.select(col("v").as("v"), col("u").as("n"))))
     for (_ <- 1 to KcorePeels) {
-      val keep = edges.groupBy(col("v")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= KcoreK).select(col("v"))
+      // persisted: the survivor set prunes BOTH endpoints — two semi
+      // joins share it, and left lazy the degree aggregate evaluates
+      // once per endpoint inside the round's materializing job
+      val keep = graft.Caches.persisted(
+        edges.groupBy(col("v")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= KcoreK).select(col("v")))
       edges = graft.dedup.DedupQueries.truncate(
         edges.join(keep, Seq("v"), "left_semi")
           .join(keep.select(col("v").as("n")), Seq("n"), "left_semi"))

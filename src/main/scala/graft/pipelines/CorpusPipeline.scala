@@ -44,7 +44,7 @@ object CorpusPipeline {
     // expensive shingle/signature pass reads straight from parquet splits —
     // nothing upstream of it recomputes, and no raw text is ever cached or
     // shuffled (at 100 TB, caching a survivors⋈text frame is O(corpus)).
-    val dropB = DedupQueries.dedupNear(spark, dir)
+    val dropB = DedupQueries.nearPairsMemo(spark, dir)
       .join(keepers.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
       .join(keepers.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
       .select(col("doc_b").as("doc_id")).distinct()

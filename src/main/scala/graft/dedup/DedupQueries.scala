@@ -659,6 +659,18 @@ object DedupQueries {
   private val artifactMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
 
+  // release path for multi-dir sessions (ScaleProbe) — see graft.Memo.
+  // Values are checkpoint-truncated (unpersist is a no-op); removing the
+  // entries releases the last references so the ContextCleaner reclaims
+  // the checkpoint blocks.
+  graft.Memo.onEvict { spark =>
+    val it = artifactMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(blocking = false); it.remove() }
+    }
+  }
+
   private def memoArtifact(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame = {
     artifactMemo.keySet.removeIf(_._1.sparkContext.isStopped)
@@ -683,10 +695,20 @@ object DedupQueries {
       }
     }
 
-  /** The converged min-label table (node, lab), truncated per round. */
-  private def componentLabelsMemo(spark: SparkSession, dir: String): DataFrame =
+  /** The converged min-label table (node, lab), truncated per round.
+    *
+    * The pairs artifact is resolved BEFORE entering the labels
+    * `computeIfAbsent`: nesting two `computeIfAbsent` calls on the same
+    * ConcurrentHashMap violates the CHM contract — when both keys are
+    * absent and hash to the same bin the inner call throws
+    * `IllegalStateException("Recursive update")`, and in the
+    * non-colliding case the inner insert can be lost. Hoisting the inner
+    * lookup makes the mapping function CHM-free; at worst a concurrent
+    * racer builds the pairs artifact twice (determinism makes the copies
+    * identical; only one is published). */
+  private def componentLabelsMemo(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearPairsMemo(spark, dir)
     memoArtifact(spark, dir, "labels") {
-      val pairs = nearPairsMemo(spark, dir)
       val edges = truncate(
         pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
       var labels = truncate(
@@ -712,6 +734,7 @@ object DedupQueries {
       }
       labels
     }
+  }
 
   /** Oracle: transitive closure as a recursive CTE (UNION dedup terminates
     * the undirected cycles), min reachable id = the canonical label. */

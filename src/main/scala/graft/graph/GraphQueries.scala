@@ -37,6 +37,22 @@ object GraphQueries {
   private val edgeMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)]
 
+  // release path for a long-lived session probing many data dirs
+  // (ScaleProbe): Memo.evictSession unpersists and drops this module's
+  // entries along with every other registered session memo
+  graft.Memo.onEvict { spark =>
+    val ei = edgeMemo.entrySet().iterator()
+    while (ei.hasNext) {
+      val e = ei.next()
+      if (e.getKey._1 eq spark) { e.getValue._1.unpersist(blocking = false); ei.remove() }
+    }
+    val bi = basketMemo.entrySet().iterator()
+    while (bi.hasNext) {
+      val e = bi.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(blocking = false); bi.remove() }
+    }
+  }
+
   private def copurchaseEdgesCounted(spark: SparkSession, dir: String): (DataFrame, Long) = {
     edgeMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     edgeMemo.computeIfAbsent((spark, dir), { _ =>

@@ -62,8 +62,20 @@ object BpeTrainer {
 
   /** Runs the training loop; returns (merge table, final per-word symbol
     * table). Both are materialized (`localCheckpoint`) — callers get
-    * bounded plans. */
-  private[graft] def train(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * bounded plans.
+    *
+    * Memoized per (session, dir) via [[graft.Memo]]: three registered
+    * queries (bpe_train, bpe_encode, token_fertility) consume the same
+    * trained tables, and before the memo each re-ran the full
+    * [[Merges]]-round loop — the trained-quantizer pattern from
+    * [[graft.similarity.SimilarityQueries]], applied to the tokenizer. The
+    * checkpointed results are self-contained and the trajectory is
+    * deterministic (total tie-break), so a memoized result is
+    * bit-identical to a retrain. */
+  private[graft] def train(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.Memo.artifact(spark, s"bpe-train/$dir")(trainLoop(spark, dir))
+
+  private def trainLoop(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     var syms = wordFreqs(spark, dir)
       .withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
@@ -108,14 +120,15 @@ object BpeTrainer {
     * encoding 100 TB is a single broadcast-join pass. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     // the symbol table is word-vocabulary-sized (data-derived, already
-    // checkpointed by train, so the gate count is one cheap local job);
+    // checkpointed by train; the gate count is memoized with the model);
     // past the gate the encode join shuffle-hashes on `word`
     val syms = train(spark, dir)._2
+    val nSyms = graft.Memo.countOf(spark, s"bpe-syms/$dir")(syms)
     val vocab = syms.select(col("word"), size(col("syms")).as("n_syms"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
-      .join(graft.Plans.broadcastIfSmall(vocab, syms.count()), "word")
+      .join(graft.Plans.broadcastIfSmall(vocab, nSyms), "word")
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n_syms")).as("bpe_tokens"),
@@ -191,11 +204,12 @@ object BpeTrainer {
     * pass into a |langs|-row partial agg. */
   def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
     val syms = train(spark, dir)._2
+    val nSyms = graft.Memo.countOf(spark, s"bpe-syms/$dir")(syms)
     val vocab = syms.select(col("word"), size(col("syms")).as("n_syms"))
     Tables.documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
-      .join(graft.Plans.broadcastIfSmall(vocab, syms.count()), "word")
+      .join(graft.Plans.broadcastIfSmall(vocab, nSyms), "word")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_syms")).as("n_bpe_tokens"))

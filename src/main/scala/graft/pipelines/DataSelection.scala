@@ -597,12 +597,16 @@ object DataSelection {
     // LM model tables are bigram/unigram-vocabulary-sized — data-derived,
     // so the "broadcast when it fits" contract in the scaladoc gates on
     // the persisted bigram table's exact count (unigrams are ≤ bigrams,
-    // and derive from the SAME persisted frame so the count is free)
-    val modelBi = graft.Caches.persisted(
+    // and derive from the SAME persisted frame so the count is free).
+    // Memoized per (session, dir): the gate count would otherwise
+    // materialize the whole model build as an eager job PER INVOCATION —
+    // the round-10 8× regression. The memo is the session analog of the
+    // stored LM every CCNet-style pipeline keeps next to the corpus.
+    val (modelBi, nModelBi) = graft.Memo.countedArtifact(spark, s"lm-bigram/$dir") {
       bi.filter(col("source") === LmSource)
         .groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).cast("bigint").as("c12")))
-    val nModelBi = modelBi.count()
+        .agg(count(lit(1)).cast("bigint").as("c12"))
+    }
     val modelUni = modelBi.groupBy(col("w1"))
       .agg(sum(col("c12")).cast("bigint").as("c1"))
     val vocab = base.filter(col("source") === LmSource)

@@ -483,6 +483,15 @@ object SimilarityQueries {
   private val trainedMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
 
+  // release path for multi-dir sessions (ScaleProbe) — see graft.Memo
+  graft.Memo.onEvict { spark =>
+    val it = trainedMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(blocking = false); it.remove() }
+    }
+  }
+
   private def memoTrained(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame = {
     trainedMemo.keySet.removeIf(_._1.sparkContext.isStopped)

@@ -48,7 +48,10 @@ object StreamingCorpus {
         explode(TrainingPrep.ngrams(col("text"), TrainingPrep.NGram)).as("gram"))
       // static side is batch-computable at query definition, so the same
       // size gate as the batch twin applies: broadcast when it fits, else
-      // each micro-batch stream-static joins shuffled on `gram`
+      // each micro-batch stream-static joins shuffled on `gram`. The gate
+      // count runs ONCE here (stream definition), never per micro-batch,
+      // so the eager-count cost the batch twins memoize away is already
+      // amortized by the streaming lifecycle.
       .join(graft.Plans.broadcastIfSmall(benchGrams, benchGrams.count()), "gram")
       .groupBy(window(col("ingest_ts"), aggWindow), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))

@@ -162,6 +162,11 @@ object ScaleProbe {
         Caches.drain()
         println(f"[scaleprobe] k=$k $name%-20s ${sec}%7.2f s  ($n rows)")
       }
+      // each k probes a DIFFERENT data dir: release every session memo
+      // (graph edges/baskets, trained quantizers, dedup artifacts, LM /
+      // BPE / bench-gram tables) so the caches don't accumulate one
+      // |E|-sized copy per replica scale
+      graft.Memo.evictSession(spark)
     }
     spark.stop()
   }

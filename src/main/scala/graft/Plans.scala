@@ -62,12 +62,50 @@ object Plans {
     * metadata estimate instead. Filters don't shrink the estimate without
     * CBO column stats, so the gate is conservative: it can only flip to
     * shuffle-hash EARLIER than strictly needed, never broadcast a side
-    * that is bigger than its files. Constant-size dimensions (nation=25,
-    * region=5 rows at every SF) stay unconditionally broadcast. */
-  def broadcastIfSmallStats(df: DataFrame): DataFrame = {
-    val limit = df.sparkSession.conf
-      .get(BroadcastByteLimitKey, DefaultBroadcastByteLimit.toString).toLong
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= limit) broadcast(df)
+    * that is bigger than its files. The same direction holds for JOINED
+    * dimension chains (supplier⋈nation⋈region): without CBO the join
+    * estimate is multiplicative, i.e. an over-estimate, so the worst case
+    * is again a premature — correct — shuffled-hash plan, never an OOM.
+    * Constant-size dimensions (nation=25, region=5 rows at every SF) stay
+    * unconditionally broadcast.
+    *
+    * `cacheKey` (recommended: `"site/dataDir"`) memoizes the DECISION per
+    * (session, key, limit): computing the estimate forces analysis +
+    * optimization of the dimension subtree on every call — a visible
+    * constant cost on sub-2 s queries with several gated dims (the
+    * round-10 q2/q3 movers). The gated frame for a given site and dir is
+    * deterministic, so the decision is too; the limit is part of the key
+    * so a flipped `spark.graft.broadcastRowLimit` test conf never sees a
+    * stale verdict. Pass no key to keep the uncached behavior. */
+  def broadcastIfSmallStats(df: DataFrame, cacheKey: String = null): DataFrame =
+    if (statsFitsBroadcast(df, cacheKey)) broadcast(df)
     else df.hint("shuffle_hash")
+
+  /** The [[broadcastIfSmallStats]] decision alone — reusable for a frame
+    * AGGREGATED from the gated one (e.g. q2's per-part min-cost table:
+    * ≤ one row per qualifying part, so "the part dimension fits" bounds
+    * the aggregate too). */
+  def statsFitsBroadcast(df: DataFrame, cacheKey: String = null): Boolean = {
+    val spark = df.sparkSession
+    val limit = spark.conf
+      .get(BroadcastByteLimitKey, DefaultBroadcastByteLimit.toString).toLong
+    def compute: Boolean = df.queryExecution.optimizedPlan.stats.sizeInBytes <= limit
+    if (cacheKey == null) compute
+    else {
+      decisionCache.keySet.removeIf(_._1.sparkContext.isStopped)
+      decisionCache.computeIfAbsent((spark, s"$cacheKey/$limit"),
+        _ => java.lang.Boolean.valueOf(compute)).booleanValue()
+    }
+  }
+
+  // A DEDICATED map (not graft.Memo's): gated queries may one day be
+  // built inside a Memo artifact, and nesting computeIfAbsent on one
+  // ConcurrentHashMap is a contract violation. Released with the rest of
+  // the session memos by Memo.evictSession.
+  private val decisionCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), java.lang.Boolean]
+
+  Memo.onEvict { spark =>
+    decisionCache.keySet.removeIf(_._1 eq spark)
   }
 }

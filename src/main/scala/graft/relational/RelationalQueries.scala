@@ -67,7 +67,7 @@ object RelationalQueries {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(graft.Plans.broadcastIfSmallStats(cust), col("o_custkey") === col("c_custkey"))
+      .join(graft.Plans.broadcastIfSmallStats(cust, s"q3/cust/$dir"), col("o_custkey") === col("c_custkey"))
       // order_date as a calendar string: timestamp columns round-trip with
       // engine-specific precisions; a date string is representation-stable.
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
@@ -101,7 +101,7 @@ object RelationalQueries {
       .filter(col("r_name") === "ASIA")
       .select(col("s_suppkey"), col("n_name"))
     Tables.lineitem(spark, dir)
-      .join(graft.Plans.broadcastIfSmallStats(dims), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(dims, s"q5/dims/$dir"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"))
       .agg(
         (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
@@ -396,7 +396,7 @@ object RelationalQueries {
     * |brands|-row shuffle after a broadcast join against `part`. */
   def brandCheapest(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(graft.Plans.broadcastIfSmallStats(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+      .join(graft.Plans.broadcastIfSmallStats(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")), s"brandCheapest/part/$dir"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(min(struct(
@@ -586,7 +586,7 @@ object RelationalQueries {
   def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
     val disc = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
     Tables.lineitem(spark, dir)
-      .join(graft.Plans.broadcastIfSmallStats(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+      .join(graft.Plans.broadcastIfSmallStats(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")), s"q14/part/$dir"),
         col("l_partkey") === col("p_partkey"))
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
@@ -619,7 +619,7 @@ object RelationalQueries {
   def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(graft.Plans.broadcastIfSmallStats(Tables.part(spark, dir)
-          .select(col("p_partkey"), col("p_type"), col("p_size"))),
+          .select(col("p_partkey"), col("p_type"), col("p_size")), s"q19/part/$dir"),
         col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_type") === "PROMO" && col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
@@ -955,7 +955,7 @@ object RelationalQueries {
       .groupBy(col("o_custkey"))
       .agg((sum(col("rev")) / 10000.0).as("revenue"))
       .join(graft.Plans.broadcastIfSmallStats(Tables.customer(spark, dir)
-        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_nationkey"))), "o_custkey")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_nationkey")), s"q10/cust/$dir"), "o_custkey")
       .join(broadcast(Tables.nation(spark, dir)
         .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
       .select(col("o_custkey").as("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
@@ -1001,14 +1001,14 @@ object RelationalQueries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     Tables.lineitem(spark, dir)
-      .join(graft.Plans.broadcastIfSmallStats(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(supp, s"q7/supp/$dir"), col("l_suppkey") === col("s_suppkey"))
       // the supp broadcast already thinned lineitem to the 2-nation slice;
       // the orders side joins as a raw scan (statically broadcast at this
       // sf, a keyed shuffle join at cluster scale — same shape as q3) and
       // the cust broadcast then acts as the customer-nation filter
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(graft.Plans.broadcastIfSmallStats(cust), col("o_custkey") === col("c_custkey"))
+      .join(graft.Plans.broadcastIfSmallStats(cust, s"q7/cust/$dir"), col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
       .agg(
@@ -1051,7 +1051,7 @@ object RelationalQueries {
     rev.crossJoin(broadcast(top))
       .filter(col("rev_c") === col("max_c"))
       .join(graft.Plans.broadcastIfSmallStats(Tables.supplier(spark, dir)
-        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))), "l_suppkey")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name")), s"q15/supp/$dir"), "l_suppkey")
       .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
         (col("rev_c") / 10000.0).as("total_revenue"))
   }
@@ -1126,7 +1126,7 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"))
     profile
       .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .join(graft.Plans.broadcastIfSmallStats(asiaSuppliers), col("bad_supp") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(asiaSuppliers, s"q21/asiaSupp/$dir"), col("bad_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
   }
@@ -1170,20 +1170,24 @@ object RelationalQueries {
       .filter(col("p_type") === "PROMO")
       .select(col("p_partkey"), col("p_brand"), col("p_type"))
     val supply = Tables.lineitem(spark, dir)
-      .join(graft.Plans.broadcastIfSmallStats(promoParts), col("l_partkey") === col("p_partkey"))
-      .join(graft.Plans.broadcastIfSmallStats(eurSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(promoParts, s"q2/parts/$dir"), col("l_partkey") === col("p_partkey"))
+      .join(graft.Plans.broadcastIfSmallStats(eurSuppliers, s"q2/supp/$dir"), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("s_name"),
         col("n_name"), col("s_acctbal"),
         (cents(col("l_extendedprice")) / col("l_quantity")).as("unit_cost"))
     // `best` derives from `supply` — rename its key so the back-join isn't
-    // an ambiguous self-join reference. It is one row per qualifying part
-    // (dimension-sized, not fact-sized), so it broadcasts; a part dimension
-    // too large for the broadcast threshold would drop the hint and take
-    // the keyed shuffle join on the same equi-keys.
+    // an ambiguous self-join reference. It is ≤ one row per qualifying
+    // part (dimension-sized, not fact-sized), so the promoParts gate
+    // decision is a free conservative upper bound: if the part dimension
+    // fits a broadcast, so does the narrower per-part aggregate; past the
+    // threshold the same equality join runs shuffled-hash on its keys.
     val best = supply.groupBy(col("p_partkey")).agg(min(col("unit_cost")).as("cost"))
       .select(col("p_partkey").as("best_partkey"), col("cost"))
+    val bestHinted =
+      if (graft.Plans.statsFitsBroadcast(promoParts, s"q2/parts/$dir")) broadcast(best)
+      else best.hint("shuffle_hash")
     supply
-      .join(broadcast(best),
+      .join(bestHinted,
         col("p_partkey") === col("best_partkey") && col("unit_cost") === col("cost"))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("s_name"),
         col("n_name"), col("s_acctbal"), col("cost"))
@@ -1223,7 +1227,7 @@ object RelationalQueries {
     val flows = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(graft.Plans.broadcastIfSmallStats(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(graft.Plans.broadcastIfSmallStats(promoParts, s"q20/parts/$dir"), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).cast("bigint").as("q97"))
       .filter(col("q97") > 50)
@@ -1261,12 +1265,12 @@ object RelationalQueries {
       // customer is a dimension: broadcast the semi side explicitly (the
       // static planner over-estimates the joined-dimension size and would
       // fall back to a sort-merge semi join)
-      .join(graft.Plans.broadcastIfSmallStats(amerCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(graft.Plans.broadcastIfSmallStats(amerCust, s"q8/amerCust/$dir"), col("o_custkey") === col("c_custkey"), "left_semi")
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
         (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
       .join(amerOrders, col("l_orderkey") === col("o_orderkey"))
-      .join(graft.Plans.broadcastIfSmallStats(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(supp, s"q8/supp/$dir"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         nationRev.cast("bigint").as("nation_rev_scaled"),
@@ -1309,8 +1313,8 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
     Tables.lineitem(spark, dir)
-      .join(graft.Plans.broadcastIfSmallStats(mediumParts), col("l_partkey") === col("p_partkey"))
-      .join(graft.Plans.broadcastIfSmallStats(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(mediumParts, s"q9/parts/$dir"), col("l_partkey") === col("p_partkey"))
+      .join(graft.Plans.broadcastIfSmallStats(supp, s"q9/supp/$dir"), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("nation"), year(col("o_orderdate")).as("o_year"),
@@ -1353,7 +1357,7 @@ object RelationalQueries {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
     val flows = Tables.lineitem(spark, dir)
-      .join(graft.Plans.broadcastIfSmallStats(asiaSuppliers), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(graft.Plans.broadcastIfSmallStats(asiaSuppliers, s"q11/asiaSupp/$dir"), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(cents(col("l_extendedprice")) * col("l_quantity").cast("bigint"))
         .cast("bigint").as("value_scaled"))
@@ -1392,9 +1396,9 @@ object RelationalQueries {
       .select(col("s_suppkey"))
     Tables.lineitem(spark, dir)
       .join(graft.Plans.broadcastIfSmallStats(Tables.part(spark, dir).filter(col("p_size") >= 25)
-        .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+        .select(col("p_partkey"), col("p_brand"), col("p_type")), s"q16/part/$dir"),
         col("l_partkey") === col("p_partkey"))
-      .join(graft.Plans.broadcastIfSmallStats(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(graft.Plans.broadcastIfSmallStats(excluded, s"q16/excluded/$dir"), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -1812,7 +1816,7 @@ object RelationalQueries {
     * cᵢ² safely past int64 at any revenue scale. */
   def regionSupplierHhi(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
-      .join(graft.Plans.broadcastIfSmallStats(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Plans.broadcastIfSmallStats(Tables.supplier(spark, dir), s"hhi/supp/$dir"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("s_suppkey"))

@@ -1668,10 +1668,18 @@ object SimilarityQueries {
     * the mean, and the population variance.
     *
     * Exactness: components quantize to 1e7 ints BEFORE summing (the
-    * centroid-training policy), so both power sums are order-free int64
-    * and the derived doubles are single final divisions — engine-exact.
-    * sq ≤ 10¹⁴ per row bounds the int64 at ~9·10⁴⁸⁄10¹⁴ rows; past 10⁹
-    * vectors the sums lower to DECIMAL(38,0).
+    * centroid-training policy), so both power sums are order-free exact
+    * integers and the derived doubles are single final divisions —
+    * engine-exact. Width budget: |sv| ≤ 2·10⁷ keeps the linear sum `s`
+    * inside int64 to ~4.6·10¹¹ rows per dimension, but sv² reaches 4·10¹⁴
+    * per ROW — an int64 sum would silently wrap between ~2·10⁴ and ~10⁷
+    * vectors depending on the norm profile, far below any real corpus —
+    * so `sq` accumulates as DECIMAL(38,0) (cast BEFORE the sum; headroom
+    * 10³⁸⁄4·10¹⁴ ≈ 2.5·10²³ rows), exactly as the oracle does. The
+    * EMITTED `sq` column is that exact decimal cast to double once at the
+    * end (both engines round the identical integer to the identical IEEE
+    * double, so the hash compare stays exact; past 2⁵³ the displayed
+    * value rounds, the variance still derives from the exact sum).
     *
     * Scale shape: ONE narrow posexplode into a |dims|-keyed partial agg —
     * corpus×dims rows map-side-combined into 64 output rows. */
@@ -1682,8 +1690,8 @@ object SimilarityQueries {
       .groupBy(col("pos").cast("bigint").as("pos"))
       .agg(count(lit(1)).as("n"),
         sum(col("col")).as("s"),
-        sum(col("col") * col("col")).as("sq"))
-      .select(col("pos"), col("n"), col("s"), col("sq"),
+        sum((col("col") * col("col")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sq"))
+      .select(col("pos"), col("n"), col("s"), col("sq").cast("double").as("sq"),
         (col("s").cast("double") / (col("n").cast("double") * lit(1e7))).as("mean"),
         ((col("sq").cast("double") -
           col("s").cast("double") * col("s").cast("double") / col("n").cast("double"))
@@ -1697,9 +1705,9 @@ object SimilarityQueries {
        |m AS (
        |  SELECT CAST(u.pos AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(u.sv) AS BIGINT) AS s,
-       |    CAST(sum(u.sv * u.sv) AS BIGINT) AS sq
+       |    CAST(sum(CAST(u.sv * u.sv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
        |  FROM cexp GROUP BY u.pos)
-       |SELECT pos, n, s, sq,
+       |SELECT pos, n, s, CAST(sq AS DOUBLE) AS sq,
        |  CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $CentScale) AS mean,
        |  (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
        |    / (CAST(n AS DOUBLE) * 1e14) AS variance

@@ -135,6 +135,12 @@ class PlanQualitySuite extends SparkSpec {
     val smallQ5 = explain(q5)
     assert(smallQ5.contains("BroadcastHashJoin"),
       s"q5: stats-gated dimension attach did not broadcast under the default limit:\n$smallQ5")
+    // q2 covers the aggregate-derived attach (`best`, gated by the
+    // promoParts stats bound) on top of the dimension-chain gates
+    val q2 = graft.relational.RelationalQueries.q2MinCostSupplier(spark, Sf0001)
+    val smallQ2 = explain(q2)
+    assert(smallQ2.contains("BroadcastHashJoin"),
+      s"q2: gated dimension/aggregate attaches did not broadcast under the default limit:\n$smallQ2")
     // materialize BOTH paths' rows driver-side for the equality check —
     // persisting the small result instead would let the CacheManager swap
     // the forced-large plan for the cached one (cache matching ignores
@@ -143,6 +149,7 @@ class PlanQualitySuite extends SparkSpec {
       df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
     val smallTriRows = rows(tri)
     val smallQ5Rows = rows(q5)
+    val smallQ2Rows = rows(q2)
     // drop the small run's query-internal persists (e.g. triangles'
     // `oriented`): cache matching ignores hints, so a live small-path
     // cache entry would be spliced into the large plan and its stored
@@ -163,11 +170,23 @@ class PlanQualitySuite extends SparkSpec {
       val largeQ5 = explain(q5L)
       assert(largeQ5.contains("ShuffledHashJoin"),
         s"q5: forced-large stats-gated dimension did not plan shuffled-hash:\n$largeQ5")
+      val q2L = graft.relational.RelationalQueries.q2MinCostSupplier(spark, Sf0001)
+      val largeQ2 = explain(q2L)
+      // nation/region stay unconditionally broadcast (constant 25/5 rows
+      // at every SF), so only assert the gated sides went shuffled-hash —
+      // 3 of them: promoParts, eurSuppliers, and the best-cost aggregate
+      val largeQ2Shuffled = "ShuffledHashJoin".r.findAllIn(largeQ2).size
+      assert(largeQ2Shuffled >= 3,
+        s"q2: expected >=3 shuffled-hash joins past the limit (parts, supp, best), got $largeQ2Shuffled:\n$largeQ2")
       // exact-integer outputs on both queries ⇒ strict multiset equality
+      // (q2's unit_cost double is the same cents/quantity division and an
+      // associative-commutative min in both plans — bit-identical too)
       assert(rows(triL) == smallTriRows,
         "triangles: shuffled-hash path returns different rows than broadcast path")
       assert(rows(q5L) == smallQ5Rows,
         "q5: shuffled-hash path returns different rows than broadcast path")
+      assert(rows(q2L) == smallQ2Rows,
+        "q2: shuffled-hash path returns different rows than broadcast path")
     } finally {
       spark.conf.unset(Plans.BroadcastRowLimitKey)
       spark.conf.unset(Plans.BroadcastByteLimitKey)

@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Caches, SparkEntry, Tables}
+import graft.plans.GraftSession
+
+/** Bench variant that runs the REGISTERED multi-join queries in
+  * managed-catalog CBO mode and diffs plans + results against the
+  * raw-parquet mode the driver benches.
+  *
+  * Raw mode plans stats-blind over parquet paths: join sizing comes from
+  * file footers and the library's explicit size gates, and join ORDER is
+  * syntactic (every hint excludes its join from `CostBasedJoinReorder`).
+  * Managed mode ([[Tables.materializeCatalog]]) gives Catalyst ANALYZE
+  * row counts + column stats, the gates stand down
+  * ([[graft.Plans.statsTrusted]]), and the CBO both sizes joins from
+  * evidence and is free to reorder the q5/q9-class dimension chains —
+  * the posture a 100 TB warehouse deployment would run. This tool proves
+  * the mode on the real registry: per query it prints both walls, both
+  * join-leaf orders, whether the order changed, and a fingerprint
+  * equality check (the reorder must be invisible in the bytes).
+  *
+  * `runMain graft.tools.CboBench [sfDir] [queries]`
+  */
+object CboBench {
+
+  /** The registry's join-heaviest shapes — dimension chains the CBO can
+    * legitimately re-sequence. */
+  private val Probes = Seq(
+    "q2_min_cost_supplier", "q3_shipping", "q5_nation_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_ranking", "q21_waiting_suppliers")
+
+  private val TableNames = Seq("lineitem", "orders", "customer", "supplier",
+    "part", "nation", "region", "events", "documents", "embeddings")
+
+  // identify a leaf relation by its column-name prefix — works identically
+  // for path relations (whose toString omits the file path) and catalog
+  // tables, since both expose the same schema
+  private val PrefixTable = Seq(
+    "l_" -> "lineitem", "o_" -> "orders", "c_" -> "customer",
+    "s_" -> "supplier", "p_" -> "part", "n_" -> "nation", "r_" -> "region",
+    "doc_" -> "documents", "vec_" -> "embeddings", "event_" -> "events")
+
+  private def leafOrder(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.output.headOption.map(_.name).getOrElse(""))
+      .map(c => PrefixTable.collectFirst {
+        case (p, t) if c.startsWith(p) => t
+      }.getOrElse("?"))
+
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val rowStr = concat_ws("|",
+      df.columns.sorted.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
+    val r = df.select(crc32(rowStr).as("h"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("s"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val probes = args.lift(1)
+      .map(_.split(',').toSeq.map(_.trim).filter(SparkEntry.queries.contains))
+      .filter(_.nonEmpty)
+      .getOrElse(Probes)
+    val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // raw-mode pass first (the confs route loaders per-dir, so order matters)
+    val raw = probes.map { name =>
+      val fn = SparkEntry.queries(name)
+      val order = leafOrder(fn(spark, sfDir))
+      val t0 = System.nanoTime()
+      val fp = fingerprint(fn(spark, sfDir))
+      val sec = (System.nanoTime() - t0) / 1e9
+      Caches.drain()
+      (name, order, fp, sec)
+    }
+    Tables.materializeCatalog(spark, sfDir, "graft_bench")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    var mismatches = 0
+    var reordered = 0
+    raw.foreach { case (name, rawOrder, rawFp, rawSec) =>
+      val fn = SparkEntry.queries(name)
+      val cboOrder = leafOrder(fn(spark, sfDir))
+      val t0 = System.nanoTime()
+      val cboFp = fingerprint(fn(spark, sfDir))
+      val cboSec = (System.nanoTime() - t0) / 1e9
+      Caches.drain()
+      val ok = cboFp == rawFp
+      if (!ok) mismatches += 1
+      val moved = cboOrder != rawOrder
+      if (moved) reordered += 1
+      println(f"[cbobench] $name%-22s raw=${rawSec}%5.2f s cbo=${cboSec}%5.2f s " +
+        f"${if (moved) "REORDERED" else "same-order"} ${if (ok) "MATCH" else "MISMATCH"}")
+      if (moved)
+        println(s"[cbobench]   raw: ${rawOrder.mkString(" > ")}\n[cbobench]   cbo: ${cboOrder.mkString(" > ")}")
+    }
+    println(s"[cbobench] done: ${raw.size} queries, $reordered reordered, $mismatches mismatches")
+    spark.sql("DROP DATABASE IF EXISTS graft_bench CASCADE")
+    spark.stop()
+    if (mismatches > 0) sys.exit(1)
+  }
+}

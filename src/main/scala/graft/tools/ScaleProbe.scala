@@ -53,7 +53,7 @@ object ScaleProbe {
     "split_gram_leakage", "train_split_grouped", "quality_pr_curve",
     "embed_topk_ivfpq_rerank", "ann_recall_rerank", "embed_dim_stats", "shard_balance")
 
-  private def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
+  private[tools] def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would
     // leave [a-z] and the letter-run shingle tokenizer would split it off,
     // collapsing the disjoint-shingle-space property the probe depends on

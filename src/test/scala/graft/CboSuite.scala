@@ -84,4 +84,40 @@ class CboSuite extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("managed-catalog mode: a REGISTRY query reorders under CBO, result identical") {
+    // The fixture test above proves the ANALYZE→reorder mechanism on
+    // managed copies; this one proves the REGISTERED query path: in
+    // managed-catalog mode (Tables.materializeCatalog + cbo on) the
+    // loaders resolve ANALYZEd catalog tables, the size-gate hints stand
+    // down (Plans.statsTrusted — hints exclude joins from
+    // CostBasedJoinReorder), and q5's dimension chain must re-sequence
+    // while producing byte-identical rows.
+    def leafCols(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.output.headOption.map(_.name).getOrElse("?"))
+    def q5() = graft.relational.RelationalQueries.q5NationRevenue(spark, Sf0001)
+    val rawOrder = leafCols(q5())
+    val rawRows = q5().collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val cboConfs = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = cboConfs.map(k => k -> spark.conf.getOption(k))
+    try {
+      Tables.materializeCatalog(spark, Sf0001, "graft_cbo_reg")
+      cboConfs.foreach(spark.conf.set(_, "true"))
+      assert(graft.Plans.statsTrusted(spark), "managed mode did not arm statsTrusted")
+      val cboOrder = leafCols(q5())
+      assert(cboOrder != rawOrder,
+        s"registry q5 did not reorder under managed-catalog CBO: $cboOrder")
+      val cboRows = q5().collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(cboRows == rawRows, "managed-catalog q5 changed the result")
+    } finally {
+      spark.conf.unset(Tables.ManagedDbKey)
+      spark.conf.unset(Tables.ManagedDirKey)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.sql("DROP DATABASE IF EXISTS graft_cbo_reg CASCADE")
+    }
+  }
 }

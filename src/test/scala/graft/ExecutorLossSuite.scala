@@ -141,6 +141,51 @@ class ExecutorLossSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(DedupQueries.ReliableCheckpointConf)
   }
 
+  test("persisted session memos (graph edges, LM model) survive executor loss via lineage recompute") {
+    // The round-10/11 session memos are load-bearing for 20+ queries and
+    // hold PERSISTED frames (edge lists, baskets, the bigram LM). Persist
+    // keeps lineage — unlike localCheckpoint — so when an executor dies
+    // between a memo build and its consumer, the consumer must transparently
+    // recompute the lost blocks from the parquet scans and produce the
+    // identical result through the SAME (still-cached) memo handle.
+    val dir = "/root/testdata/sf0.001"
+    def triangles() = graft.graph.GraphQueries.copurchaseTriangles(spark, dir)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    def perplexity() = graft.pipelines.DataSelection.ngramPerplexity(spark, dir)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val triCalm = triangles() // builds the edge/basket memos
+    val ppxCalm = perplexity() // builds the LM countedArtifact
+    Caches.drain()
+    killAllExecutors() // every persisted memo block is gone; memo entries remain
+    assert(triangles() == triCalm,
+      "graph family diverged after losing its memoized edge blocks")
+    assert(perplexity() == ppxCalm,
+      "ngram_perplexity diverged after losing its memoized LM blocks")
+    Caches.drain()
+  }
+
+  test("dedup artifact memo (reliable mode) survives executor loss between build and consume") {
+    // The dedup pair/label memos hold CHECKPOINT-truncated frames — no
+    // lineage to recompute. In reliable mode the blocks live in the
+    // checkpoint dir, not executor memory, so a consumer reading the memo
+    // AFTER every executor died must still get the identical answer.
+    spark.conf.set(DedupQueries.ReliableCheckpointConf, "true")
+    try {
+      val calm = DedupQueries.dedupComponents(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toSeq.mkString("|")).toSet // builds pairs+labels memos
+      Caches.drain()
+      killAllExecutors()
+      val after = DedupQueries.dedupComponents(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toSeq.mkString("|")).toSet
+      Caches.drain()
+      assert(calm.nonEmpty && after == calm,
+        "reliable-mode dedup memo did not survive total executor loss")
+    } finally {
+      spark.conf.unset(DedupQueries.ReliableCheckpointConf)
+      Memo.evictSession(spark) // drop the reliable-mode entries for later tests
+    }
+  }
+
   test("KvUpsert state survives executor loss between batches") {
     val s = spark
     import s.implicits._

@@ -14,6 +14,26 @@ class StreamingSuite extends SparkSpec {
 
   private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
 
+  /** Providers the stateful family is parametrized over: the on-heap
+    * HDFS-backed default (all state resident — the streaming scale
+    * ceiling) and RocksDB (state spilled off-heap — the 100× backend).
+    * Operators must be provider-agnostic: same emissions, same
+    * watermark/timeout behavior. */
+  private val StateProviders = Seq("hdfs", "rocksdb")
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private def withStateProvider[T](provider: String)(body: => T): T = {
+    val saved = spark.conf.getOption(ProviderKey)
+    if (provider == "rocksdb")
+      spark.conf.set(ProviderKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else spark.conf.unset(ProviderKey)
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
   private val sample = Seq(
     Event(1, ts(0), 1, "click", 1.0),
     Event(2, ts(10), 1, "click", 2.0),
@@ -748,11 +768,15 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful agg survives stop/restart from checkpoint: every window emitted exactly once") {
+  for (provider <- StateProviders)
+  test(s"stateful agg survives stop/restart from checkpoint: every window emitted exactly once [$provider]") {
     // The property that makes a streaming pipeline operable at scale: kill
     // the query mid-stream, restart it from its checkpoint, and the file
     // sink still holds each finalized window EXACTLY once — no re-emission
-    // of pre-restart windows, no loss of in-flight state.
+    // of pre-restart windows, no loss of in-flight state. Parametrized
+    // over the state backend: a RocksDB restart additionally exercises
+    // the provider's own checkpoint upload/download cycle.
+    withStateProvider(provider) {
     import spark.implicits._
 
     val evts = Tables.events(spark, Sf0001)
@@ -805,6 +829,7 @@ class StreamingSuite extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(out.map(_.toSeq).toSet == batch,
       s"restarted stream diverged from batch: only streamed ${out.map(_.toSeq).toSet -- batch}, only batch ${batch -- out.map(_.toSeq).toSet}")
+    }
   }
 
   test("online ANN index: streamed cell assignments equal the batch quantizer assignment") {
@@ -1088,7 +1113,9 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming CEP pattern counts equal the batch regex counts on driver data") {
+  for (provider <- StateProviders)
+  test(s"streaming CEP pattern counts equal the batch regex counts on driver data [$provider]") {
+    withStateProvider(provider) {
     import spark.implicits._
     implicit val sc = spark.sqlContext
 
@@ -1099,7 +1126,7 @@ class StreamingSuite extends SparkSpec {
     // horizon wider than the data span: no user's automaton may be
     // evicted mid-stream (same discipline as the transition parity test)
     val q = StreamingEvents.patternMatchPerUser(input.toDS(), 40L * 86400000L)
-      .writeStream.format("memory").queryName("pattern_stream")
+      .writeStream.format("memory").queryName(s"pattern_stream_$provider")
       .outputMode("update").start()
     try {
       // three event-time-ordered micro-batches: automaton state must carry
@@ -1113,7 +1140,7 @@ class StreamingSuite extends SparkSpec {
       input.addData(evts.filter(_.ts.getTime >= b2): _*)
       q.processAllAvailable()
       // Update mode: the LAST row per user is the final running count
-      val streamed = spark.table("pattern_stream")
+      val streamed = spark.table(s"pattern_stream_$provider")
         .groupBy($"user_id")
         .agg(org.apache.spark.sql.functions.max(
           org.apache.spark.sql.functions.struct($"n_events", $"n_conversion_paths", $"n_view_errors")).as("m"))
@@ -1125,6 +1152,7 @@ class StreamingSuite extends SparkSpec {
       assert(batch.values.map(_._2).sum > 0, "conversion paths exist in the fixture")
       assert(batch.values.map(_._3).sum > 0, "view-error pairs exist in the fixture")
     } finally q.stop()
+    }
   }
 
   test("streaming transition pairs equal the batch Markov transition counts on driver data") {
@@ -1224,7 +1252,9 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming daily quantile sketch meets the GK rank bound under a micro-batch split") {
+  for (provider <- StateProviders)
+  test(s"streaming daily quantile sketch meets the GK rank bound under a micro-batch split [$provider]") {
+    withStateProvider(provider) {
     import spark.implicits._
     implicit val sc = spark.sqlContext
 
@@ -1235,14 +1265,14 @@ class StreamingSuite extends SparkSpec {
 
     val input = MemoryStream[Event]
     val q = StreamingEvents.dailyQuantiles(input.toDF())
-      .writeStream.format("memory").queryName("quantile_stream")
+      .writeStream.format("memory").queryName(s"quantile_stream_$provider")
       .outputMode("complete").start()
     try {
       input.addData(a: _*)
       q.processAllAvailable()
       input.addData(b: _*)
       q.processAllAvailable()
-      val streamed = spark.table("quantile_stream").collect()
+      val streamed = spark.table(s"quantile_stream_$provider").collect()
       assert(streamed.nonEmpty)
       // exact per-(day, type) values from the same driver data
       val byCell = events.groupBy(e =>
@@ -1269,9 +1299,12 @@ class StreamingSuite extends SparkSpec {
       // every (day, type) cell of the input must have emitted
       assert(streamed.length == byCell.size)
     } finally q.stop()
+    }
   }
 
-  test("streaming daily HLL distinct-users is bit-identical to batch and within rsd of exact") {
+  for (provider <- StateProviders)
+  test(s"streaming daily HLL distinct-users is bit-identical to batch and within rsd of exact [$provider]") {
+    withStateProvider(provider) {
     import spark.implicits._
     implicit val sc = spark.sqlContext
 
@@ -1282,7 +1315,7 @@ class StreamingSuite extends SparkSpec {
 
     val input = MemoryStream[Event]
     val q = StreamingEvents.dailyDistinctUsers(input.toDF())
-      .writeStream.format("memory").queryName("hll_stream")
+      .writeStream.format("memory").queryName(s"hll_stream_$provider")
       .outputMode("complete").start()
     try {
       input.addData(a: _*)
@@ -1291,7 +1324,7 @@ class StreamingSuite extends SparkSpec {
       q.processAllAvailable()
       def canon(rows: Array[org.apache.spark.sql.Row]) =
         rows.map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
-      val streamed = canon(spark.table("hll_stream").collect())
+      val streamed = canon(spark.table(s"hll_stream_$provider").collect())
       // max-merge registers: the split must not change a single bit
       val batch = canon(StreamingEvents.dailyDistinctUsers(events.toDF()).collect())
       assert(streamed == batch)
@@ -1305,6 +1338,7 @@ class StreamingSuite extends SparkSpec {
           s"day $day: est $est vs exact $truth")
       }
     } finally q.stop()
+    }
   }
 
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {

@@ -186,6 +186,56 @@ object TrainingPrep {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Window / stride for [[chunkDocuments]] — sized to the synthetic
+    * corpus's ~55-token documents so most docs emit several chunks. */
+  private val RagWindow = 16
+  private val RagStride = 12
+
+  /** RAG-style per-document chunking: overlapping fixed-token windows
+    * (window [[RagWindow]], stride [[RagStride]]) over each document —
+    * the retrieval-corpus preparation step every RAG/embedding pipeline
+    * runs before indexing, and the WITHIN-document complement of
+    * [[seqPack]]'s cross-document packing. One row per chunk:
+    * (doc_id, chunk_idx, start_token, n_tokens, chunk_hash), where
+    * chunk_hash is the engine-portable md5-prefix of the chunk text (the
+    * downstream dedup/index key; the [[DataSelection]] DSIR idiom).
+    *
+    * Chunk rule, total and deterministic: starts at 0, S, 2S, … while
+    * start < n_tokens; the last chunk is the truncated tail. Every
+    * document emits ≥ 1 chunk (an empty-text doc emits one empty chunk).
+    *
+    * Scale shape: ZERO shuffle — a narrow per-row explode of ≤ ⌈n/S⌉
+    * sequence indices, then pure projections; chunking 100 TB is a
+    * map-only pass that parallelizes per input split. The ~W/S token
+    * duplication factor is the standard RAG storage trade, paid in the
+    * OUTPUT, never in an exchange. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("bigint"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(s"sequence(0L, (n - 1) div $RagStride)")).as("chunk_idx"))
+      .withColumn("start_token", col("chunk_idx") * RagStride)
+      .withColumn("n_tokens",
+        least(lit(RagWindow.toLong), col("n") - col("start_token")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_token"), col("n_tokens"),
+        expr(s"cast(conv(substring(md5(array_join(slice(toks, cast(start_token as int) + 1, $RagWindow), ' ')), 1, 15), 16, 10) as bigint)")
+          .as("chunk_hash"))
+
+  def chunkDocumentsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |           FROM documents),
+       |c AS (SELECT doc_id, toks, n, CAST(i AS BIGINT) AS chunk_idx
+       |      FROM t, UNNEST(range(0, (n - 1) // $RagStride + 1)) AS r(i))
+       |SELECT doc_id, chunk_idx,
+       |  chunk_idx * $RagStride AS start_token,
+       |  LEAST($RagWindow, n - chunk_idx * $RagStride) AS n_tokens,
+       |  ('0x' || substr(md5(array_to_string(
+       |     toks[chunk_idx * $RagStride + 1 : chunk_idx * $RagStride + $RagWindow], ' ')), 1, 15))::BIGINT
+       |    AS chunk_hash
+       |FROM c""".stripMargin
+
   def seqPackSql: String =
     s"""SELECT source, CAST((cum - n_tokens) // $ChunkTokens AS BIGINT) AS chunk_id,
        |  count(*) AS n_docs,

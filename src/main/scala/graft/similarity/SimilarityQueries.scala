@@ -326,6 +326,74 @@ object SimilarityQueries {
       .select(col("x.v").as("vec_a"), col("x.n").as("vec_b"), col("x.cosine").as("cosine"))
   }
 
+  /** Neighborhood size for [[marginPairs]]' local-density normalizer. */
+  private val MarginK = 4
+
+  /** Margin-based pair mining (Artetxe & Schwenk 2019, the LASER bitext
+    * margin, applied to intra-corpus alignment): score every candidate
+    * pair by its cosine RELATIVE to both endpoints' local neighborhood
+    * density — `margin(x,y) = 2·cos(x,y) / (avgK(x) + avgK(y))` with
+    * avgK the mean cosine to the K nearest candidates. A raw-cosine
+    * cutoff over-selects pairs in dense regions (hubs score high with
+    * everyone) and under-selects in sparse ones; the margin is the
+    * standard correction, the selector used for mined parallel corpora
+    * and semantic-alignment training pairs. Returns the top-20 pairs by
+    * margin (ties to the smaller pair).
+    *
+    * Exactness: sums of the K neighbor cosines fold in rank order
+    * (array_sort on (rk, cosine) structs, then a strict left fold), so
+    * the double is bit-identical in both engines; the margin is then one
+    * fixed expression tree of IEEE ops over engine-exact inputs, rounded
+    * once for display. Ordering ties break on (vec_a, vec_b).
+    *
+    * Scale shape: candidates and neighborhoods both come from the banded
+    * LSH pair list ([[nearPairs]] — never all-pairs); the per-endpoint
+    * top-K is a WindowGroupLimit over the symmetric pair list; the margin
+    * join attaches the |V|-sized avgK table back to the |pairs|-sized
+    * list on its keys. Everything is pair-list-sized. */
+  def marginPairs(spark: SparkSession, dir: String): DataFrame = {
+    val np = graft.Caches.persisted(nearPairs(spark, dir))
+    val sym = np.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cosine"))
+      .unionByName(np.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cosine")))
+    val avgk = sym
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("v")).orderBy(col("cosine").desc, col("n").asc)))
+      .filter(col("rk") <= MarginK)
+      .groupBy(col("v"))
+      .agg(
+        expr("aggregate(array_sort(collect_list(struct(rk, cosine))), 0D, (a, x) -> a + x.cosine)").as("sk"),
+        count(lit(1)).cast("bigint").as("k"))
+    np
+      .join(avgk.select(col("v").as("vec_a"), col("sk").as("sa"), col("k").as("ka")), "vec_a")
+      .join(avgk.select(col("v").as("vec_b"), col("sk").as("sb"), col("k").as("kb")), "vec_b")
+      .withColumn("margin", expr("2.0D * cosine / (sa / ka + sb / kb)"))
+      .orderBy(col("margin").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(20)
+      .select(col("vec_a"), col("vec_b"),
+        round(col("cosine"), 6).as("cosine"), round(col("margin"), 6).as("margin"))
+  }
+
+  def marginPairsSql: String =
+    s"""WITH np AS (
+       |  ${nearPairsSql.replace("\n", "\n  ")}),
+       |sym AS (SELECT vec_a AS v, vec_b AS n, cosine FROM np
+       |        UNION ALL SELECT vec_b, vec_a, cosine FROM np),
+       |rk AS (SELECT v, n, cosine,
+       |         row_number() OVER (PARTITION BY v ORDER BY cosine DESC, n) AS rk
+       |       FROM sym),
+       |avgk AS (SELECT v,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+       |      list_sort(list(struct_pack(rk := rk, cosine := cosine))), s -> s.cosine)), (a, b) -> a + b) AS sk,
+       |    CAST(count(*) AS BIGINT) AS k
+       |  FROM rk WHERE rk <= $MarginK GROUP BY v)
+       |SELECT vec_a, vec_b, round(cosine, 6) AS cosine,
+       |  round(2.0::DOUBLE * cosine / (a.sk / a.k + b.sk / b.k), 6) AS margin
+       |FROM np
+       |JOIN avgk a ON np.vec_a = a.v
+       |JOIN avgk b ON np.vec_b = b.v
+       |ORDER BY 2.0::DOUBLE * cosine / (a.sk / a.k + b.sk / b.k) DESC, vec_a, vec_b
+       |LIMIT 20""".stripMargin
+
   def mutualNnSql: String =
     s"""WITH np AS (
        |  ${nearPairsSql.replace("\n", "\n  ")}),

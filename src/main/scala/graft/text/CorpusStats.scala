@@ -434,6 +434,106 @@ object CorpusStats {
     * Scale shape: one (source, term) partial-agg shuffle (vocabulary ×
     * sources), a broadcast join of the vocabulary-sized global counts and
     * the |sources|-row totals, then a WindowGroupLimit top-5 per source. */
+  /** Distinct-n diversity (the self-BLEU-adjacent diagnostic run on
+    * generated or scraped corpora before training on them): per
+    * (source, n) for n = 1..3, the total n-gram count, the exact distinct
+    * n-gram count, and their ratio in ppm. A source whose distinct-2/3
+    * ratio collapses is template spam or model-generated loops — the
+    * corpus-level twin of [[graft.events.EventQueries]]' per-doc
+    * repetition scores.
+    *
+    * Scale shape: ONE narrow explode emits all three gram orders tagged
+    * by n; the total is a map-side-combined count per (source, n); the
+    * exact distinct is one dedup shuffle keyed (source, n, gram) — the
+    * honest exact path; a 100 TB corpus would swap `countDistinct` for
+    * the HLL sketch twin (same one [[corpusOverlap]] uses) without
+    * touching the rest of the plan. */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    base
+      .select(col("source"), explode(expr(
+        """flatten(transform(sequence(1, 3), n ->
+          |  filter(transform(sequence(1, size(toks)), i ->
+          |    IF(i <= size(toks) - n + 1,
+          |       named_struct('n', n, 'g', concat_ws(' ', slice(toks, i, n))),
+          |       NULL)),
+          |  x -> x IS NOT NULL)))""".stripMargin)).as("p"))
+      .select(col("source"), col("p.n").cast("bigint").as("n"), col("p.g").as("g"))
+      .groupBy(col("source"), col("n"))
+      .agg(
+        count(lit(1)).cast("bigint").as("total_grams"),
+        countDistinct(col("g")).cast("bigint").as("distinct_grams"))
+      .withColumn("diversity_ppm",
+        expr("distinct_grams * 1000000L div total_grams"))
+  }
+
+  def ngramDiversitySql: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |t2 AS (SELECT source, toks FROM tok WHERE len(toks) >= 1),
+      |g AS (
+      |  SELECT source, CAST(n AS BIGINT) AS n,
+      |    array_to_string(toks[i : i + n - 1], ' ') AS g
+      |  FROM t2, UNNEST(range(1, 4)) AS nn(n), UNNEST(range(1, len(toks) + 1)) AS ii(i)
+      |  WHERE i <= len(toks) - n + 1)
+      |SELECT source, n,
+      |  CAST(count(*) AS BIGINT) AS total_grams,
+      |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+      |  CAST(count(DISTINCT g) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS diversity_ppm
+      |FROM g GROUP BY source, n""".stripMargin
+
+  /** Per-source unigram Shannon entropy in EXACT integer micro-nats — the
+    * vocabulary-diversity health number next to [[ngramDiversity]]'s
+    * distinct ratios (low entropy = a few tokens dominate = boilerplate).
+    * `H = Σ (c/n)·ln(n/c)`; each `ln(n/c)` is an integer-ratio log
+    * quantized to micro-nats ([[graft.pipelines.DataSelection]]'s
+    * policy), so `h_sum = Σ c·ln_micro` is an order-free exact integer
+    * and the emitted double is one final division. h_sum accumulates as
+    * DECIMAL(38,0): at 10¹² tokens the int64 budget wraps (c·ln_micro
+    * sums to ~n·ln(V)·10⁶), the embed_dim_stats width policy.
+    *
+    * Scale shape: one (source, term)-keyed partial agg (the wc shuffle),
+    * a |sources|-row broadcast back, and a |sources|-row result. */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val tot = st.groupBy(col("source"))
+      .agg(sum(col("c")).cast("bigint").as("n"),
+        count(lit(1)).cast("bigint").as("vocab"))
+    st.join(broadcast(tot), "source")
+      .withColumn("ln_micro", expr("cast(round(ln(n / c) * 1000000) as bigint)"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n")).as("n_tokens"),
+        max(col("vocab")).as("vocab"),
+        expr("cast(sum(cast(c * ln_micro as decimal(38,0))) as decimal(38,0))").as("hs"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("hs").cast("double") / (col("n_tokens").cast("double") * lit(1e6)), 6)
+          .as("entropy_nats"))
+  }
+
+  def sourceEntropySql: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      |tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS vocab
+      |       FROM st GROUP BY source),
+      |sc AS (SELECT st.source, c, n, vocab,
+      |         CAST(round(ln(n / c) * 1000000) AS BIGINT) AS ln_micro
+      |       FROM st JOIN tt USING (source))
+      |SELECT source, max(n) AS n_tokens, max(vocab) AS vocab,
+      |  round(CAST(CAST(sum(CAST(c * ln_micro AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE)
+      |        / (CAST(max(n) AS DOUBLE) * 1e6), 6) AS entropy_nats
+      |FROM sc GROUP BY source""".stripMargin
+
   def sourceLogOdds(spark: SparkSession, dir: String): DataFrame = {
     val priorA = 1000.0
     val tok = Tables.documents(spark, dir)

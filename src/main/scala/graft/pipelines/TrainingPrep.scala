@@ -191,50 +191,71 @@ object TrainingPrep {
   private val RagWindow = 16
   private val RagStride = 12
 
-  /** RAG-style per-document chunking: overlapping fixed-token windows
-    * (window [[RagWindow]], stride [[RagStride]]) over each document —
-    * the retrieval-corpus preparation step every RAG/embedding pipeline
-    * runs before indexing, and the WITHIN-document complement of
-    * [[seqPack]]'s cross-document packing. One row per chunk:
-    * (doc_id, chunk_idx, start_token, n_tokens, chunk_hash), where
-    * chunk_hash is the engine-portable md5-prefix of the chunk text (the
-    * downstream dedup/index key; the [[DataSelection]] DSIR idiom).
+  /** Cross-document duplicate-CHUNK rate, per source — the boilerplate
+    * detector a retrieval/RAG indexer runs at CHUNK granularity before
+    * building its index (headers, footers, license blocks repeat as
+    * verbatim fixed windows across documents and poison retrieval; doc-
+    * level dedup misses them, and [[graft.dedup.DedupQueries]]' substring
+    * machinery answers a different question — arbitrary shared SPANS, not
+    * index-unit collisions). Documents are cut into overlapping
+    * [[RagWindow]]-token windows at stride [[RagStride]] (the
+    * [[docChunks]] retrieval shape), each window keyed by the
+    * engine-portable md5-prefix hash of its text; a window is boilerplate
+    * when its hash occurs in ≥ 2 distinct documents. Emits per source:
+    * total chunk instances, instances belonging to cross-document
+    * duplicated hashes, and the rate in ppm.
     *
-    * Chunk rule, total and deterministic: starts at 0, S, 2S, … while
-    * start < n_tokens; the last chunk is the truncated tail. Every
-    * document emits ≥ 1 chunk (an empty-text doc emits one empty chunk).
+    * Exactness trick for the per-source rollup: distinct docs per hash =
+    * Σ over sources of distinct docs per (hash, source) — every doc
+    * belongs to exactly one source — so the cross-doc flag needs only a
+    * hash-keyed window over the (hash, source)-aggregated table, never a
+    * corpus-sized join-back.
     *
-    * Scale shape: ZERO shuffle — a narrow per-row explode of ≤ ⌈n/S⌉
-    * sequence indices, then pure projections; chunking 100 TB is a
-    * map-only pass that parallelizes per input split. The ~W/S token
-    * duplication factor is the standard RAG storage trade, paid in the
-    * OUTPUT, never in an exchange. */
-  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    * Scale shape: one narrow map-only chunk explode, one
+    * (hash, source)-keyed partial agg (the only corpus-sized exchange),
+    * then hash-vocabulary-sized window + rollup. */
+  def chunkDupRate(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("bigint"))
-      .select(col("doc_id"), col("toks"), col("n"),
-        explode(expr(s"sequence(0L, (n - 1) div $RagStride)")).as("chunk_idx"))
-      .withColumn("start_token", col("chunk_idx") * RagStride)
-      .withColumn("n_tokens",
-        least(lit(RagWindow.toLong), col("n") - col("start_token")))
-      .select(col("doc_id"), col("chunk_idx"), col("start_token"), col("n_tokens"),
-        expr(s"cast(conv(substring(md5(array_join(slice(toks, cast(start_token as int) + 1, $RagWindow), ' ')), 1, 15), 16, 10) as bigint)")
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"transform(sequence(0L, (n - 1) div $RagStride)," +
+          s" i -> cast(conv(substring(md5(array_join(slice(toks, cast(i * $RagStride as int) + 1, $RagWindow), ' ')), 1, 15), 16, 10) as bigint))"))
           .as("chunk_hash"))
+    val hs = chunks
+      .groupBy(col("chunk_hash"), col("source"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"),
+        countDistinct(col("doc_id")).cast("bigint").as("nd"))
+    hs
+      .withColumn("total_nd",
+        sum(col("nd")).over(Window.partitionBy(col("chunk_hash"))))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).cast("bigint").as("total_chunks"),
+        sum(when(col("total_nd") >= 2, col("cnt")).otherwise(lit(0L)))
+          .cast("bigint").as("dup_chunks"))
+      .withColumn("dup_ppm", expr("dup_chunks * 1000000L div total_chunks"))
+  }
 
-  def chunkDocumentsSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+  def chunkDupRateSql: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
        |           FROM documents),
-       |c AS (SELECT doc_id, toks, n, CAST(i AS BIGINT) AS chunk_idx
-       |      FROM t, UNNEST(range(0, (n - 1) // $RagStride + 1)) AS r(i))
-       |SELECT doc_id, chunk_idx,
-       |  chunk_idx * $RagStride AS start_token,
-       |  LEAST($RagWindow, n - chunk_idx * $RagStride) AS n_tokens,
-       |  ('0x' || substr(md5(array_to_string(
-       |     toks[chunk_idx * $RagStride + 1 : chunk_idx * $RagStride + $RagWindow], ' ')), 1, 15))::BIGINT
-       |    AS chunk_hash
-       |FROM c""".stripMargin
+       |c AS (SELECT doc_id, source,
+       |        ('0x' || substr(md5(array_to_string(
+       |           toks[i * $RagStride + 1 : i * $RagStride + $RagWindow], ' ')), 1, 15))::BIGINT
+       |          AS chunk_hash
+       |      FROM t, UNNEST(range(0, (n - 1) // $RagStride + 1)) AS r(i)),
+       |hs AS (SELECT chunk_hash, source, CAST(count(*) AS BIGINT) AS cnt,
+       |         CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+       |       FROM c GROUP BY 1, 2),
+       |w AS (SELECT *, sum(nd) OVER (PARTITION BY chunk_hash) AS total_nd FROM hs)
+       |SELECT source,
+       |  CAST(sum(cnt) AS BIGINT) AS total_chunks,
+       |  CAST(sum(CASE WHEN total_nd >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |  CAST(sum(CASE WHEN total_nd >= 2 THEN cnt ELSE 0 END) AS BIGINT) * 1000000
+       |    // CAST(sum(cnt) AS BIGINT) AS dup_ppm
+       |FROM w GROUP BY source""".stripMargin
 
   def seqPackSql: String =
     s"""SELECT source, CAST((cum - n_tokens) // $ChunkTokens AS BIGINT) AS chunk_id,

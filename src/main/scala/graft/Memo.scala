@@ -59,8 +59,12 @@ object Memo {
 
   /** Memoized exact count of a (session, key)-stable deterministic frame —
     * for gates over frames that are already materialized (checkpointed
-    * model tables), where only the repeated count job is waste. */
-  def countOf(spark: SparkSession, key: String)(df: => DataFrame): Long =
+    * model tables) or lazily re-derived per invocation, where the
+    * repeated eager count job is the waste. The frame is a STRICT
+    * parameter on purpose: its construction (which may resolve other
+    * memo artifacts) happens before the computeIfAbsent, so only the
+    * count action — which cannot re-enter this map — runs inside it. */
+  def countOf(spark: SparkSession, key: String, df: DataFrame): Long =
     artifact(spark, s"$key/#count")(java.lang.Long.valueOf(df.count())).longValue()
 
   /** Register a per-module eviction callback, run by [[evictSession]].

@@ -1508,7 +1508,8 @@ object EventQueries {
     val manifest = graft.Caches.persisted(
       ev.filter(col("event_type") === "error")
         .select(col("user_id")).distinct().withColumn("erase", lit(1L)))
-    ev.join(graft.Plans.broadcastIfSmall(manifest, manifest.count()), Seq("user_id"), "left")
+    ev.join(graft.Plans.broadcastIfSmall(manifest,
+        graft.Memo.countOf(spark, s"erasure-manifest/$dir", manifest)), Seq("user_id"), "left")
       .groupBy(col("event_type"))
       .agg(
         sum(when(col("erase").isNull, 1L).otherwise(0L)).as("n_kept"),

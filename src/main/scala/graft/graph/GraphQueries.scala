@@ -381,7 +381,7 @@ object GraphQueries {
     // part table's parquet METADATA count (footer row counts only — no
     // scan, no shuffle), so the gate costs one metadata job and the attach
     // degrades to shuffled-hash once the catalog outgrows broadcast
-    val nParts = Tables.part(spark, dir).count()
+    val nParts = graft.Memo.countOf(spark, s"n-parts/$dir", Tables.part(spark, dir))
     support
       .join(graft.Plans.broadcastIfSmall(
         itemCnt.select(col("part").as("u"), col("cnt").as("cu")), nParts), "u")
@@ -452,7 +452,7 @@ object GraphQueries {
     // but still data-derived — its exact count is one cheap job on the
     // persisted frame, and past the gate the three prune joins degrade to
     // shuffled-hash with the same anti-monotone semantics
-    val nF2 = f2.count()
+    val nF2 = graft.Memo.countOf(spark, s"frequent-pairs/$dir", f2)
     pairsPerOrder
       .join(graft.Plans.broadcastIfSmall(f2, nF2), Seq("u", "v")) // (a,b) frequent
       .join(baskets.select(col("l_orderkey"), explode(col("ps")).as("w")), "l_orderkey")
@@ -622,7 +622,7 @@ object GraphQueries {
     // neighbors must not force a driver-sized broadcast
     val h1 = graft.Caches.persisted(
       adj.join(broadcast(seeds), "v").select(col("v").as("a"), col("n").as("w")))
-    val nH1 = h1.count()
+    val nH1 = graft.Memo.countOf(spark, s"ra-seed-adjacency/$dir", h1)
     val wedges = adj.select(col("v").as("w"), col("n").as("b"))
       .join(graft.Plans.broadcastIfSmall(h1, nH1), "w")
       .filter(col("b") =!= col("a"))

@@ -123,7 +123,7 @@ object BpeTrainer {
     // checkpointed by train; the gate count is memoized with the model);
     // past the gate the encode join shuffle-hashes on `word`
     val syms = train(spark, dir)._2
-    val nSyms = graft.Memo.countOf(spark, s"bpe-syms/$dir")(syms)
+    val nSyms = graft.Memo.countOf(spark, s"bpe-syms/$dir", syms)
     val vocab = syms.select(col("word"), size(col("syms")).as("n_syms"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -204,7 +204,7 @@ object BpeTrainer {
     * pass into a |langs|-row partial agg. */
   def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
     val syms = train(spark, dir)._2
-    val nSyms = graft.Memo.countOf(spark, s"bpe-syms/$dir")(syms)
+    val nSyms = graft.Memo.countOf(spark, s"bpe-syms/$dir", syms)
     val vocab = syms.select(col("word"), size(col("syms")).as("n_syms"))
     Tables.documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("word"))

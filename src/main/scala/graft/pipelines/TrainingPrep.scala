@@ -394,7 +394,8 @@ object TrainingPrep {
         .select(col("doc_id"), col("canonical")))
     val bucket = ((col("rep_id") * lit(1000003L)) % lit(999999937L)) % lit(100L)
     Tables.documents(spark, dir).select(col("doc_id"))
-      .join(graft.Plans.broadcastIfSmall(comp, comp.count()), Seq("doc_id"), "left")
+      .join(graft.Plans.broadcastIfSmall(comp,
+        graft.Memo.countOf(spark, s"split-comp/$dir", comp)), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("canonical"), col("doc_id")).as("rep_id"))
       .withColumn("bucket", bucket)
       .withColumn("split",
@@ -633,7 +634,8 @@ object TrainingPrep {
         .withColumn("hit", lit(1L)))
     val eval = grams.filter(col("split") =!= "train")
       .select(col("split"), col("gram")).distinct()
-    eval.join(graft.Plans.broadcastIfSmall(train, train.count()), Seq("gram"), "left")
+    eval.join(graft.Plans.broadcastIfSmall(train,
+        graft.Memo.countOf(spark, s"split-train-grams/$dir", train)), Seq("gram"), "left")
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))

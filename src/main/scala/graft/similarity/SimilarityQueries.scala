@@ -312,7 +312,7 @@ object SimilarityQueries {
     * mutuality is one (v, n)-keyed equi self-join of the |vectors|-sized
     * best-edge table. Nothing touches the n² pair space. */
   def mutualNn(spark: SparkSession, dir: String): DataFrame = {
-    val np = graft.Caches.persisted(nearPairs(spark, dir))
+    val np = nearPairsMemo(spark, dir)
     val sym = np.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cosine"))
       .unionByName(np.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cosine")))
     val best = sym
@@ -325,6 +325,23 @@ object SimilarityQueries {
         col("x.v") === col("y.n") && col("x.n") === col("y.v") && col("x.v") < col("x.n"))
       .select(col("x.v").as("vec_a"), col("x.n").as("vec_b"), col("x.cosine").as("cosine"))
   }
+
+  /** Session-memoized [[nearPairs]] artifact — the verified embedding-
+    * cosine candidate pair list, truncated ([[graft.dedup.DedupQueries]]'
+    * pair-memo pattern applied to the embedding side): three registered
+    * queries (mutual-NN, margin mining, kNN label eval) derive from the
+    * identical LSH candidate generation + exact-cosine verification, and
+    * each previously re-ran it. The scoped block releases nearPairs'
+    * internal candidate persist once the truncation materializes; the
+    * pairs artifact is deterministic, so a memoized copy is bit-identical
+    * to a rebuild. NOTE: resolved via [[graft.Memo.artifact]] — callers
+    * must not invoke this inside another Memo build (CHM contract). */
+  private def nearPairsMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.artifact(spark, s"embed-near-pairs/$dir") {
+      graft.Caches.scoped {
+        graft.dedup.DedupQueries.truncate(nearPairs(spark, dir))
+      }
+    }
 
   /** Neighborhood size for [[marginPairs]]' local-density normalizer. */
   private val MarginK = 4
@@ -352,7 +369,7 @@ object SimilarityQueries {
     * join attaches the |V|-sized avgK table back to the |pairs|-sized
     * list on its keys. Everything is pair-list-sized. */
   def marginPairs(spark: SparkSession, dir: String): DataFrame = {
-    val np = graft.Caches.persisted(nearPairs(spark, dir))
+    val np = nearPairsMemo(spark, dir)
     val sym = np.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cosine"))
       .unionByName(np.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cosine")))
     val avgk = sym
@@ -428,7 +445,7 @@ object SimilarityQueries {
   def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val np = graft.Caches.persisted(nearPairs(spark, dir))
+    val np = nearPairsMemo(spark, dir)
     val sym = np.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cosine"))
       .unionByName(np.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cosine")))
     val top = sym

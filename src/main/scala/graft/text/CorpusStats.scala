@@ -548,7 +548,8 @@ object CorpusStats {
       // vocabulary-sized global counts: gate by the persisted (source,
       // term) table's exact count (an upper bound on |terms|) — a 100 TB
       // vocabulary degrades this attach to shuffled-hash on `term`
-      .join(graft.Plans.broadcastIfSmall(g, st.count()), "term")
+      .join(graft.Plans.broadcastIfSmall(g,
+        graft.Memo.countOf(spark, s"log-odds-st/$dir", st)), "term")
       .join(broadcast(totals), "source")
       .crossJoin(broadcast(grand))
       .withColumn("a", lit(priorA) * col("gw") / col("gt"))

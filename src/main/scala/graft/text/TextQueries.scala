@@ -537,7 +537,7 @@ object TextQueries {
       pairs.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"))))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val n = deg.count()
+    val n = graft.Memo.countOf(spark, s"textrank-nodes/$dir", deg)
     var rank = graft.dedup.DedupQueries.truncate(
       deg.select(col("src").as("word"), col("deg"), lit(TrScale / n).as("rank")))
     for (_ <- 1 to TrRounds) {

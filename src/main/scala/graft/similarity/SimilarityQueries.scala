@@ -312,7 +312,7 @@ object SimilarityQueries {
     * mutuality is one (v, n)-keyed equi self-join of the |vectors|-sized
     * best-edge table. Nothing touches the n² pair space. */
   def mutualNn(spark: SparkSession, dir: String): DataFrame = {
-    val np = nearPairsMemo(spark, dir)
+    val (np, nNp) = nearPairsMemo(spark, dir)
     val sym = np.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cosine"))
       .unionByName(np.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cosine")))
     val best = sym
@@ -320,8 +320,10 @@ object SimilarityQueries {
         Window.partitionBy(col("v")).orderBy(col("cosine").desc, col("n").asc)))
       .filter(col("rk") === 1)
       .select(col("v"), col("n"), col("cosine"))
+    // best ≤ one row per pair endpoint ≤ 2·|pairs| — gate on the memoized
+    // exact pair count (the checkpointed artifact has no stats of its own)
     best.as("x")
-      .join(best.as("y"),
+      .join(graft.Plans.broadcastIfSmall(best.as("y"), 2 * nNp),
         col("x.v") === col("y.n") && col("x.n") === col("y.v") && col("x.v") < col("x.n"))
       .select(col("x.v").as("vec_a"), col("x.n").as("vec_b"), col("x.cosine").as("cosine"))
   }
@@ -335,11 +337,19 @@ object SimilarityQueries {
     * internal candidate persist once the truncation materializes; the
     * pairs artifact is deterministic, so a memoized copy is bit-identical
     * to a rebuild. NOTE: resolved via [[graft.Memo.artifact]] — callers
-    * must not invoke this inside another Memo build (CHM contract). */
-  private def nearPairsMemo(spark: SparkSession, dir: String): DataFrame =
+    * must not invoke this inside another Memo build (CHM contract).
+    *
+    * The memo carries the EXACT pair count alongside the frame: a
+    * checkpointed RDD exposes no size statistics, so without an explicit
+    * gate every pair-list-derived self-join would plan sort-merge
+    * (regression caught by PlanQualitySuite when the memo landed) —
+    * consumers feed the count to [[graft.Plans.broadcastIfSmall]] exactly
+    * like the graph family's edge memo. */
+  private def nearPairsMemo(spark: SparkSession, dir: String): (DataFrame, Long) =
     graft.Memo.artifact(spark, s"embed-near-pairs/$dir") {
       graft.Caches.scoped {
-        graft.dedup.DedupQueries.truncate(nearPairs(spark, dir))
+        val df = graft.dedup.DedupQueries.truncate(nearPairs(spark, dir))
+        (df, df.count())
       }
     }
 
@@ -369,7 +379,7 @@ object SimilarityQueries {
     * join attaches the |V|-sized avgK table back to the |pairs|-sized
     * list on its keys. Everything is pair-list-sized. */
   def marginPairs(spark: SparkSession, dir: String): DataFrame = {
-    val np = nearPairsMemo(spark, dir)
+    val (np, nNp) = nearPairsMemo(spark, dir)
     val sym = np.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cosine"))
       .unionByName(np.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cosine")))
     val avgk = sym
@@ -381,8 +391,10 @@ object SimilarityQueries {
         expr("aggregate(array_sort(collect_list(struct(rk, cosine))), 0D, (a, x) -> a + x.cosine)").as("sk"),
         count(lit(1)).cast("bigint").as("k"))
     np
-      .join(avgk.select(col("v").as("vec_a"), col("sk").as("sa"), col("k").as("ka")), "vec_a")
-      .join(avgk.select(col("v").as("vec_b"), col("sk").as("sb"), col("k").as("kb")), "vec_b")
+      .join(graft.Plans.broadcastIfSmall(
+        avgk.select(col("v").as("vec_a"), col("sk").as("sa"), col("k").as("ka")), 2 * nNp), "vec_a")
+      .join(graft.Plans.broadcastIfSmall(
+        avgk.select(col("v").as("vec_b"), col("sk").as("sb"), col("k").as("kb")), 2 * nNp), "vec_b")
       .withColumn("margin", expr("2.0D * cosine / (sa / ka + sb / kb)"))
       .orderBy(col("margin").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(20)
@@ -445,7 +457,7 @@ object SimilarityQueries {
   def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val np = nearPairsMemo(spark, dir)
+    val (np, _) = nearPairsMemo(spark, dir)
     val sym = np.select(col("vec_a").as("v"), col("vec_b").as("n"), col("cosine"))
       .unionByName(np.select(col("vec_b").as("v"), col("vec_a").as("n"), col("cosine")))
     val top = sym

@@ -1,0 +1,71 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+/** Contract tests for [[graft.Memo]], the session artifact memo 20+
+  * registered queries now lean on: build-once semantics, counted
+  * artifacts, the strict-frame count memo, and the evictSession release
+  * path (own map entries unpersisted + module hooks invoked). */
+class MemoSuite extends SparkSpec {
+
+  test("artifact builds once per (session, key) and returns the same instance") {
+    val builds = new AtomicInteger(0)
+    def get() = Memo.artifact(spark, "memo-suite/artifact") {
+      builds.incrementAndGet()
+      spark.range(10).toDF("v")
+    }
+    val a = get()
+    val b = get()
+    assert(builds.get() == 1, "second lookup must not rebuild")
+    assert(a eq b, "memo must return the published instance")
+    Memo.evictSession(spark)
+  }
+
+  test("countedArtifact persists, counts once, and the count is exact") {
+    val builds = new AtomicInteger(0)
+    def get() = Memo.countedArtifact(spark, "memo-suite/counted") {
+      builds.incrementAndGet()
+      spark.range(137).toDF("v").filter(col("v") % 2 === 0)
+    }
+    val (df1, n1) = get()
+    val (df2, n2) = get()
+    assert(builds.get() == 1)
+    assert(n1 == 69L && n2 == 69L) // ceil(137/2): 0,2,…,136
+    assert(df1 eq df2)
+    assert(df1.storageLevel.useMemory, "counted artifact must be persisted")
+    Memo.evictSession(spark)
+    assert(!df1.storageLevel.useMemory, "evictSession must unpersist counted frames")
+  }
+
+  test("countOf memoizes the exact count of a deterministic frame") {
+    val df = spark.range(41).toDF("v")
+    assert(Memo.countOf(spark, "memo-suite/count", df) == 41L)
+    // a second call with a DIFFERENT (even wrong-sized) frame must return
+    // the memoized number — proving no job runs again for the key
+    assert(Memo.countOf(spark, "memo-suite/count", spark.range(7).toDF("v")) == 41L)
+    Memo.evictSession(spark)
+    assert(Memo.countOf(spark, "memo-suite/count", spark.range(7).toDF("v")) == 7L,
+      "evictSession must clear count memos")
+    Memo.evictSession(spark)
+  }
+
+  test("evictSession runs registered module hooks for this session only") {
+    val evicted = new AtomicInteger(0)
+    Memo.onEvict { s => if (s eq spark) evicted.incrementAndGet() }
+    Memo.evictSession(spark)
+    assert(evicted.get() == 1)
+  }
+
+  test("a memoized artifact is rebuilt after eviction (fresh, correct copy)") {
+    def get() = Memo.countedArtifact(spark, "memo-suite/rebuild") {
+      spark.range(5).toDF("v")
+    }
+    val (a, _) = get()
+    Memo.evictSession(spark)
+    val (b, n) = get()
+    assert(!(a eq b) && n == 5L)
+    Memo.evictSession(spark)
+  }
+}

@@ -188,8 +188,8 @@ object TrainingPrep {
 
   /** Window / stride for [[chunkDocuments]] — sized to the synthetic
     * corpus's ~55-token documents so most docs emit several chunks. */
-  private val RagWindow = 16
-  private val RagStride = 12
+  private[graft] val RagWindow = 16
+  private[graft] val RagStride = 12
 
   /** Cross-document duplicate-CHUNK rate, per source — the boilerplate
     * detector a retrieval/RAG indexer runs at CHUNK granularity before

@@ -278,4 +278,59 @@ object StreamingCorpus {
       state.update(true)
       Iterator.single((term, rows.map(_._1).min))
     }
+
+  /** Online duplicate-chunk detector — the streaming twin of
+    * [[TrainingPrep.chunkDupRate]]: each arriving document is cut into the
+    * same [[TrainingPrep.RagWindow]]/[[TrainingPrep.RagStride]] retrieval
+    * windows keyed by the portable md5-prefix hash, and a
+    * `(chunk_hash, doc_id)` row is emitted the moment a chunk hash arrives
+    * from a document OTHER than the hash's first-seen one — the live
+    * boilerplate flag an ingest pipeline raises while the batch job only
+    * reports it after the fact.
+    *
+    * State per chunk hash: the ascending list of distinct docs seen — the
+    * hash-index entry the batch operator builds offline. A production
+    * deployment bounds it with a TTL/timeout (boilerplate recurs
+    * continuously, so eviction only re-emits one first-seen row after a
+    * quiet period); the parity suite pins exact agreement with the batch
+    * twin's duplicated-hash set.
+    *
+    * Determinism: within a micro-batch the group's rows are unordered, so
+    * "first seen" is the batch MINIMUM doc_id — a total rule the batch
+    * expectation reproduces when batches arrive in doc order. */
+  def dupChunks(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = TrainingPrep.RagWindow
+    val s = TrainingPrep.RagStride
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("bigint"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0L, (n - 1) div $s),
+           |  i -> cast(conv(substring(md5(array_join(
+           |         slice(toks, cast(i * $s as int) + 1, $w), ' ')), 1, 15), 16, 10) as bigint))"""
+          .stripMargin)).as("chunk_hash"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        updateDupChunks)
+      .toDF("chunk_hash", "doc_id")
+  }
+
+  /** Per-hash update: emit every NEW distinct document except the very
+    * first one ever seen for this hash (batch-min as the in-batch rule). */
+  private def updateDupChunks(
+      hash: Long,
+      rows: Iterator[(Long, Long)],
+      state: GroupState[Seq[Long]]): Iterator[(Long, Long)] = {
+    val seen = state.getOption.getOrElse(Seq.empty)
+    val newDocs = rows.map(_._1).toSeq.distinct.sorted.filterNot(seen.contains)
+    if (newDocs.isEmpty) Iterator.empty
+    else {
+      val emit = if (seen.isEmpty) newDocs.tail else newDocs
+      state.update(seen ++ newDocs)
+      emit.iterator.map(d => (hash, d))
+    }
+  }
 }

@@ -461,10 +461,16 @@ object CorpusStats {
           |       NULL)),
           |  x -> x IS NOT NULL)))""".stripMargin)).as("p"))
       .select(col("source"), col("p.n").cast("bigint").as("n"), col("p.g").as("g"))
+      // two-level aggregate instead of count+countDistinct in one agg:
+      // the mixed form plans an Expand (2× every gram row through the
+      // shuffle); grouping by the gram first costs ONE keyed partial agg
+      // and the distinct count falls out as a count of the groups
+      .groupBy(col("source"), col("n"), col("g"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
       .groupBy(col("source"), col("n"))
       .agg(
-        count(lit(1)).cast("bigint").as("total_grams"),
-        countDistinct(col("g")).cast("bigint").as("distinct_grams"))
+        sum(col("cnt")).cast("bigint").as("total_grams"),
+        count(lit(1)).cast("bigint").as("distinct_grams"))
       .withColumn("diversity_ppm",
         expr("distinct_grams * 1000000L div total_grams"))
   }

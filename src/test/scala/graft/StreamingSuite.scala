@@ -1341,6 +1341,49 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("streaming duplicate-chunk detector equals the batch duplicated-hash set") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCorpus.dupChunks(
+      input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dup_chunks_stream")
+      .outputMode("append").start()
+    try {
+      // three doc-ordered micro-batches: first-seen(hash) = global min doc,
+      // so the batch expectation below reproduces the stream's emissions
+      val thirds = docs.grouped((docs.length + 2) / 3).toSeq
+      thirds.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("dup_chunks_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch expectation: every (hash, doc) pair except each hash's min
+      // doc, over hashes spanning >= 2 distinct docs — the same duplicated
+      // set chunkDupRate aggregates into its per-source rate
+      val w = graft.pipelines.TrainingPrep.RagWindow
+      val s = graft.pipelines.TrainingPrep.RagStride
+      val pairs = Tables.documents(spark, Sf0001)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .withColumn("n", size($"toks").cast("bigint"))
+        .select($"doc_id", explode(expr(
+          s"""transform(sequence(0L, (n - 1) div $s),
+             |  i -> cast(conv(substring(md5(array_join(
+             |         slice(toks, cast(i * $s as int) + 1, $w), ' ')), 1, 15), 16, 10) as bigint))"""
+            .stripMargin)).as("chunk_hash"))
+        .select($"chunk_hash", $"doc_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expected = pairs.groupBy(_._1).filter(_._2.length >= 2).toSeq
+        .flatMap { case (h, ps) =>
+          val ds = ps.map(_._2).sorted
+          ds.tail.map(d => (h, d))
+        }.toSet
+      assert(expected.nonEmpty, "fixture has no cross-doc duplicate chunks — parity proves nothing")
+      assert(streamed == expected,
+        s"only streamed ${streamed -- expected}, only batch ${expected -- streamed}")
+    } finally q.stop()
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path

@@ -133,7 +133,18 @@ object DedupQueries {
     * broadcast-small, but it is proportional to the duplicate rate, and a
     * forced broadcast would hit the 8 GB limit on a pathological corpus
     * where a shuffle join still scales. */
-  private def verifyPairs(docs: DataFrame, cand: DataFrame): DataFrame = {
+  private def verifyPairs(docs: DataFrame, cand: DataFrame): DataFrame =
+    verifyPairsMin(docs, cand, 4, 5)
+
+  /** [[verifyPairs]] at an arbitrary rational threshold `num/den`. The keep
+    * test is the INTEGER form `|∩|·den ≥ |∪|·num` — exactly the rational
+    * `J ≥ num/den`, which coincides with the oracle's double compare
+    * `(|∩|/|∪|) ≥ t`: a divergence would need the true Jaccard within half
+    * an ulp (~5e-17) of the threshold, impossible at granularity 1/|∪| for
+    * any |∪| < 10¹⁵. The reported `jaccard` column stays the int/int double
+    * quotient (IEEE-exact, engine-identical). */
+  private def verifyPairsMin(
+      docs: DataFrame, cand: DataFrame, num: Int, den: Int): DataFrame = {
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -143,10 +154,10 @@ object DedupQueries {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb"))) / size(array_union(col("sa"), col("sb"))))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select(col("doc_a"), col("doc_b"), (col("inter") / col("uni")).as("jaccard"))
   }
 
   /** Brute-force oracle: the exact pair set the LSH path must reproduce.
@@ -208,7 +219,20 @@ object DedupQueries {
     * union size u (~1e-11 at u = 10⁴), the same class of bound as
     * [[dedupNear]]'s 6e-15 band-miss probability, and precision is immune
     * because verification runs on the string shingle sets. */
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsAtLeast(spark, dir, 4, 5)
+
+  /** The PPJoin pipeline of [[dedupJaccard]] at an arbitrary rational
+    * threshold `t = num/den` — complete recall at ANY threshold by the same
+    * prefix-filter theorem (the prefix length `n - ⌈t·n⌉ + 1` and the length
+    * filter `t·max ≤ min` are both functions of t), all threshold arithmetic
+    * integer-exact: `⌈t·n⌉ = (n·num + den − 1) div den`, length filter
+    * `min·den ≥ max·num`. Lower thresholds keep MORE prefix postings (at
+    * t = 1/2, half of each set), so candidate volume grows as t drops —
+    * bounded because postings are 3-gram SHINGLES, whose document frequency
+    * stays near 1 outside true duplicate clusters (unlike word tokens). */
+  private[graft] def jaccardPairsAtLeast(
+      spark: SparkSession, dir: String, num: Int, den: Int): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val toks = docs.select(col("doc_id"),
       explode(expr("transform(shingle_set(text), s -> xxhash64(s))")).as("tok"))
@@ -217,7 +241,7 @@ object DedupQueries {
     val prefixes = toks.join(freq, "tok")
       .withColumn("sz", count(lit(1)).over(wDoc))
       .withColumn("rk", row_number().over(wDoc.orderBy(col("freq"), col("tok"))))
-      .filter(col("rk") <= col("sz") - expr("(sz * 4 + 4) div 5") + 1)
+      .filter(col("rk") <= col("sz") - expr(s"(sz * $num + ${den - 1}) div $den") + 1)
     // One shuffle by token, pairs expanded inside each (rare) multi-doc
     // bucket with the length filter inline — same grouped expansion shape
     // as dedupNear, never an all-pairs product.
@@ -226,22 +250,82 @@ object DedupQueries {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(expr(
-        """flatten(transform(sequence(0, size(ds) - 2),
+        s"""flatten(transform(sequence(0, size(ds) - 2),
           |  i -> filter(
           |    transform(slice(ds, i + 2, size(ds) - i - 1),
           |      b -> struct(ds[i].doc_id AS doc_a, b.doc_id AS doc_b,
           |                  ds[i].sz AS sza, b.sz AS szb)),
-          |    p -> least(p.sza, p.szb) * 5 >= greatest(p.sza, p.szb) * 4)))""".stripMargin)).as("p"))
+          |    p -> least(p.sza, p.szb) * $den >= greatest(p.sza, p.szb) * $num)))""".stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
       // consumed three times by verification; released by the harness drain
       .transform(graft.Caches.persisted)
-    verifyPairs(docs, cand)
+    verifyPairsMin(docs, cand, num, den)
   }
 
   /** Oracle: identical to [[dedupNearSql]] — both operators must reproduce
     * the brute-force pair set exactly; only the candidate strategy differs. */
   def dedupJaccardSql: String = dedupNearSql
+
+  private val CurveThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Dedup threshold sweep — the tuning report behind every deployed
+    * near-dedup threshold choice (MinHashLSH pipelines are routinely run at
+    * 0.7/0.8/0.85; Lee et al. 2022 §4 sweeps exactly this knob): for each
+    * Jaccard threshold t ∈ {0.5 … 0.9}, the number of duplicate pairs and
+    * the number of documents touched by at least one pair. One run of the
+    * EXACT prefix-filter join at the lowest threshold ([[jaccardPairsAtLeast]]
+    * at 1/2 — complete recall for every t ≥ 0.5 a fortiori) yields the full
+    * curve by re-thresholding the verified pair list; the sweep never re-runs
+    * candidate generation per point.
+    *
+    * Scale shape: candidate generation is the linear PPJoin pipeline; the
+    * verified ≥0.5 pair list is duplicate-volume-sized and persisted once;
+    * each curve point is a filter + partial-agg count over that small list
+    * (the distinct-docs count shuffles pair-volume rows, never the corpus).
+    * Threshold compares are double-vs-literal on the IEEE-exact int/int
+    * jaccard quotient — engine-identical (the [[verifyPairsMin]] note). */
+  def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.Caches.persisted(
+      jaccardPairsAtLeast(spark, dir, 1, 2).select(col("doc_a"), col("doc_b"), col("jaccard")))
+    val tagged = graft.Caches.persisted(
+      pairs
+        .withColumn("threshold", explode(lit(CurveThresholds.toArray)))
+        .filter(col("jaccard") >= col("threshold")))
+    val np = tagged.groupBy(col("threshold"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+    val nd = tagged
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("d")).cast("bigint").as("n_dup_docs"))
+    CurveThresholds.toDF("threshold") // every point present even when empty
+      .join(np, Seq("threshold"), "left_outer")
+      .join(nd, Seq("threshold"), "left_outer")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+  }
+
+  /** Oracle: brute-force all-pairs Jaccard (fine in DuckDB at sf0.01),
+    * re-thresholded against the same literal grid. */
+  def dedupThresholdCurveSql: String = {
+    val sh = dedupNearSql.linesIterator.takeWhile(!_.startsWith("SELECT")).mkString("\n")
+    val values = CurveThresholds.map(t => s"(${t}e0)").mkString(", ")
+    s"""$sh,
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |t(threshold) AS (VALUES $values),
+       |hit AS (SELECT threshold, doc_a, doc_b FROM p, t WHERE jaccard >= threshold),
+       |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM hit GROUP BY 1),
+       |nd AS (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_dup_docs
+       |       FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM hit) u GROUP BY 1)
+       |SELECT threshold, COALESCE(n_pairs, 0) AS n_pairs,
+       |  COALESCE(n_dup_docs, 0) AS n_dup_docs
+       |FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)""".stripMargin
+  }
 
   /** Incremental near-dedup: the newest fifth of the corpus (by doc_id) is
     * treated as an arriving delivery and deduplicated against the LSH index

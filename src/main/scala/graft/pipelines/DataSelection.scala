@@ -1013,4 +1013,175 @@ object DataSelection {
        |SELECT round, doc_id, CAST(gain AS BIGINT) AS gain
        |FROM (${(1 to CovK).map(r => s"SELECT * FROM w$r").mkString(" UNION ALL ")})""".stripMargin
   }
+
+  // ------------------------------------------- temperature-scaled mixture
+
+  /** Temperature-scaled sampling weights per source — the multilingual
+    * α-sampling rule (Devlin et al. 2019 §A; Conneau et al. 2020 eq. 1):
+    * `p_i ∝ w_i^α` with w the source's token share, α < 1 flattening the
+    * mixture toward low-resource sources. Reported at α ∈ {1, ½, ¼}.
+    *
+    * Exactness: α is restricted to halving powers so `w^α` is a sqrt
+    * CHAIN — IEEE-754 fully specifies sqrt, so per-source weights are
+    * bit-identical across engines — and each weight is snapped to integer
+    * micro-units BEFORE the normalizing sum (the module's micro-nat
+    * policy), so the denominator is an associative integer sum, not an
+    * order-sensitive float reduction.
+    *
+    * Scale shape: one column-pruned corpus pass into a |sources|-row
+    * partial agg; the α-explode and the normalizing window run on that
+    * 3·|sources|-row table only. */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast("bigint").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("bigint").as("n_tokens"))
+    val byAlpha = per
+      .select(col("source"), col("n_tokens"), explode(array(
+        struct(lit(1.0).as("alpha"),
+          (col("n_tokens") * 1000000L).as("w_micro")),
+        struct(lit(0.5).as("alpha"),
+          expr("cast(round(sqrt(n_tokens) * 1000000) as bigint)").as("w_micro")),
+        struct(lit(0.25).as("alpha"),
+          expr("cast(round(sqrt(sqrt(n_tokens)) * 1000000) as bigint)").as("w_micro"))
+      )).as("x"))
+      .select(col("source"), col("n_tokens"),
+        col("x.alpha").as("alpha"), col("x.w_micro").as("w_micro"))
+    byAlpha
+      .withColumn("tot", sum(col("w_micro")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("alpha"))))
+      .select(col("source"), col("alpha"), col("n_tokens"),
+        round(col("w_micro") / col("tot"), 6).as("p"))
+  }
+
+  def mixtureTemperatureSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |e AS (
+      |  SELECT source, n_tokens, 1.0e0 AS alpha, n_tokens * 1000000 AS w_micro FROM per
+      |  UNION ALL
+      |  SELECT source, n_tokens, 0.5e0,
+      |    CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT) FROM per
+      |  UNION ALL
+      |  SELECT source, n_tokens, 0.25e0,
+      |    CAST(round(sqrt(sqrt(n_tokens)) * 1000000) AS BIGINT) FROM per)
+      |SELECT source, alpha, n_tokens,
+      |  round(w_micro / sum(w_micro) OVER (PARTITION BY alpha), 6) AS p
+      |FROM e""".stripMargin
+
+  // --------------------------------------------- filter rank correlation
+
+  /** Spearman rank correlation between the two independent quality
+    * filters — [[ngramPerplexity]]'s LM score and
+    * [[TrainingPrep.qualityClassifier]]'s hashed-linear score — the
+    * filter-agreement diagnostic a curation pipeline runs before stacking
+    * filters (near-1 ⇒ redundant, near-0 ⇒ complementary, negative ⇒
+    * contradictory; cf. the filter-correlation analyses in Dolma, Soldaini
+    * et al. 2024 §4).
+    *
+    * Exactness: Spearman-with-ties is Pearson over AVERAGE ranks; doubled
+    * average ranks `r2 = 2·(#less) + (#equal) + 1` are integers, and
+    * centering by their exact mean (`Σ r2 = n(n+1)` always, so mean
+    * `n + 1`) makes every moment an exact int64 sum — ρ is then a single
+    * sqrt/divide on exact integers, bit-identical across engines. Centered
+    * cross-moments are bounded by n³, so int64 holds to n ≈ 2·10⁶ docs;
+    * past that the three sums lower to DECIMAL(38,0) (the
+    * [[TrainingPrep.qualityAuc]] note).
+    *
+    * Scale shape: both score passes are the operators' own (histogram-
+    * collapsed model sides); ranks come from per-score HISTOGRAMS (windows
+    * over |distinct scores| rows, never the corpus) joined back by score;
+    * the final reduction is one partial-agg over (r2x, r2y) pairs. */
+  def filterCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val scores = graft.Caches.persisted(
+      ngramPerplexity(spark, dir).select(col("doc_id"), col("avg_nll"))
+        .join(TrainingPrep.qualityClassifier(spark, dir)
+          .select(col("doc_id"), col("raw_score")), "doc_id"))
+    def r2(valueCol: String, rankCol: String): DataFrame = {
+      val hist = scores.groupBy(col(valueCol)).agg(count(lit(1)).as("c"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col(valueCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      hist.withColumn("cum", sum(col("c")).over(wCum))
+        .select(col(valueCol), (col("cum") * 2 - col("c") + 1).as(rankCol))
+    }
+    val n1 = scores.agg((count(lit(1)) + 1L).as("np1")) // exact mean of r2
+    scores
+      .join(r2("avg_nll", "r2x"), "avg_nll")
+      .join(r2("raw_score", "r2y"), "raw_score")
+      .crossJoin(broadcast(n1))
+      .select((col("r2x") - col("np1")).as("cx"), (col("r2y") - col("np1")).as("cy"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cy") * col("cy")).as("syy"))
+      .select(col("n_docs"),
+        round(col("sxy") / (sqrt(col("sxx")) * sqrt(col("syy"))), 6)
+          .as("spearman_rho"))
+  }
+
+  def filterCorrelationSql: String =
+    s"""WITH ppl AS (
+       |  ${ngramPerplexitySql.replace("\n", "\n  ")}),
+       |qc AS (
+       |  ${graft.pipelines.TrainingPrep.qualityClassifierSql.replace("\n", "\n  ")}),
+       |s AS (
+       |  SELECT ppl.doc_id, avg_nll, raw_score
+       |  FROM ppl JOIN qc ON ppl.doc_id = qc.doc_id),
+       |r AS (
+       |  SELECT doc_id,
+       |    2 * rank() OVER (ORDER BY avg_nll) + count(*) OVER (PARTITION BY avg_nll) - 1 AS r2x,
+       |    2 * rank() OVER (ORDER BY raw_score) + count(*) OVER (PARTITION BY raw_score) - 1 AS r2y,
+       |    count(*) OVER () + 1 AS np1
+       |  FROM s)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(CAST(sum((r2x - np1) * (r2y - np1)) AS BIGINT) /
+       |    (sqrt(CAST(sum((r2x - np1) * (r2x - np1)) AS BIGINT)) *
+       |     sqrt(CAST(sum((r2y - np1) * (r2y - np1)) AS BIGINT))), 6) AS spearman_rho
+       |FROM r""".stripMargin
+
+  // ------------------------------------------------ memorization n-grams
+
+  private val HotN = 5
+  private val HotTopK = 50
+
+  /** Memorization-risk hot list: the [[HotN]]-gram word sequences repeated
+    * across the most DISTINCT documents (document frequency, then total
+    * occurrences). Sequences duplicated many times across a corpus are
+    * exactly the ones a model memorizes and regurgitates (Lee et al. 2022;
+    * Carlini et al. 2023) — this is the audit report behind "dedup before
+    * you train", complementing [[graft.pipelines.TrainingPrep.chunkDupRate]]
+    * (which rates chunk-level duplication) with the ranked offender list.
+    *
+    * Scale shape: a narrow n-gram explode into a partial-aggregated
+    * (doc, gram) count — which ALSO makes the df a plain `count(*)` in the
+    * second keyed agg instead of a count-distinct Expand over the corpus —
+    * then top-k by TakeOrderedAndProject, never a global sort. Ordering is
+    * total (df, tf, gram), so the cut is deterministic. */
+  def hotNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), explode(grams(HotN)).as("ngram"))
+      .groupBy(col("doc_id"), col("ngram"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    perDoc.groupBy(col("ngram"))
+      .agg(count(lit(1)).cast("bigint").as("df"),
+        sum(col("c")).cast("bigint").as("tf"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("tf").desc, col("ngram").asc)
+      .limit(HotTopK)
+  }
+
+  def hotNgramsSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |g AS (SELECT doc_id, array_to_string(t[i:i+${HotN - 1}], ' ') AS ngram,
+       |        CAST(count(*) AS BIGINT) AS c
+       |      FROM tok, UNNEST(range(1, len(t) - ${HotN - 2})) AS u(i)
+       |      GROUP BY 1, 2)
+       |SELECT ngram, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS tf
+       |FROM g GROUP BY ngram HAVING count(*) >= 2
+       |ORDER BY df DESC, tf DESC, ngram LIMIT $HotTopK""".stripMargin
 }

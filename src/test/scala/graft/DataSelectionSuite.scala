@@ -259,4 +259,82 @@ class DataSelectionSuite extends SparkSpec {
         "positional n-grams: trigram positions are bigram positions - 1")
     } finally df.unpersist()
   }
+  test("mixture_temperature: each alpha sums to 1 and lower alpha flattens the mix") {
+    val rows = DataSelection.mixtureTemperature(spark, Sf0001).collect()
+    val bySrc = Tables.documents(spark, Sf0001).select(col("source")).distinct().count()
+    assert(rows.length == 3 * bySrc, s"expected 3 rows per source, got ${rows.length}")
+    val byAlpha = rows.groupBy(_.getAs[Double]("alpha"))
+    assert(byAlpha.keySet == Set(1.0, 0.5, 0.25))
+    byAlpha.foreach { case (a, rs) =>
+      val tot = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"alpha=$a probabilities sum to $tot")
+    }
+    // temperature flattening: the largest source's share shrinks and the
+    // smallest source's share grows as alpha drops (strictly, unless the
+    // mix was already uniform)
+    def spread(a: Double) = {
+      val ps = byAlpha(a).map(_.getAs[Double]("p"))
+      ps.max - ps.min
+    }
+    assert(spread(1.0) >= spread(0.5) && spread(0.5) >= spread(0.25),
+      s"flattening violated: spreads ${spread(1.0)}, ${spread(0.5)}, ${spread(0.25)}")
+  }
+
+  test("filter_correlation: matches a driver-side Spearman recomputation") {
+    val row = DataSelection.filterCorrelation(spark, Sf0001).collect().head
+    Caches.drain()
+    val rho = row.getAs[Double]("spearman_rho")
+    assert(rho >= -1.0 && rho <= 1.0, s"rho out of range: $rho")
+    // brute-force recompute on the tiny fixture: average ranks + Pearson
+    val xs = DataSelection.ngramPerplexity(spark, Sf0001)
+      .select(col("doc_id"), col("avg_nll")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ys = graft.pipelines.TrainingPrep.qualityClassifier(spark, Sf0001)
+      .select(col("doc_id"), col("raw_score")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = xs.keySet.intersect(ys.keySet).toSeq
+    assert(row.getAs[Long]("n_docs") == ids.length)
+    def avgRanks[T: Ordering](v: Map[Long, T]): Map[Long, Double] = {
+      val sorted = ids.sortBy(v)
+      val byVal = sorted.zipWithIndex.groupBy(p => v(p._1))
+      byVal.flatMap { case (_, grp) =>
+        val r = grp.map(_._2 + 1.0).sum / grp.size
+        grp.map(p => p._1 -> r)
+      }
+    }
+    val (rx, ry) = (avgRanks(xs), avgRanks(ys))
+    val n = ids.length
+    val mean = (n + 1) / 2.0
+    val sxy = ids.map(i => (rx(i) - mean) * (ry(i) - mean)).sum
+    val sxx = ids.map(i => math.pow(rx(i) - mean, 2)).sum
+    val syy = ids.map(i => math.pow(ry(i) - mean, 2)).sum
+    val expect = sxy / (math.sqrt(sxx) * math.sqrt(syy))
+    assert(math.abs(rho - expect) < 1e-6,
+      s"query rho $rho != driver-side recomputation $expect")
+  }
+
+  test("hot_ngrams: df >= 2, ranked, and the top entry's df recounts exactly") {
+    val rows = DataSelection.hotNgrams(spark, Sf0001).collect()
+    assert(rows.nonEmpty, "fixture corpus has near-duplicate docs sharing 5-grams")
+    assert(rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= 2, s"singleton ngram leaked: $r")
+      assert(r.getAs[Long]("tf") >= r.getAs[Long]("df"), s"tf < df impossible: $r")
+    }
+    val keys = rows.map(r => (r.getAs[Long]("df"), r.getAs[Long]("tf")))
+    assert(keys.zip(keys.tail).forall { case ((d1, t1), (d2, t2)) =>
+      d1 > d2 || (d1 == d2 && t1 >= t2) },
+      "rows must come back ordered by (df desc, tf desc)")
+    // recount the winner with an independent formulation (count distinct)
+    val top = rows.head.getAs[String]("ngram")
+    val recount = Tables.documents(spark, Sf0001)
+      .filter(size(split(col("text"), " ")) >= 5) // sequence(1, 0) would DESCEND
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 4), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))")).as("g"))
+      .filter(col("g") === top)
+      .agg(countDistinct(col("doc_id"))).collect().head.getLong(0)
+    assert(recount == rows.head.getAs[Long]("df"),
+      s"top ngram df ${rows.head.getAs[Long]("df")} != recount $recount")
+  }
 }

@@ -50,4 +50,27 @@ class DedupJaccardSuite extends SparkSpec {
       assert(r.getDouble(2) >= 0.8, s"below-threshold pair survived verification: $r")
     }
   }
+  test("dedup_threshold_curve: monotone in threshold; 0.8 point matches dedup_near") {
+    val curve = DedupQueries.dedupThresholdCurve(spark, Sf0001)
+      .orderBy(col("threshold")).collect()
+    val nearPairs = DedupQueries.dedupNear(spark, Sf0001).count()
+    Caches.drain()
+    assert(curve.length == 5, s"expected 5 curve points, got ${curve.length}")
+    val pairs = curve.map(_.getAs[Long]("n_pairs"))
+    val docs = curve.map(_.getAs[Long]("n_dup_docs"))
+    assert(pairs.zip(pairs.tail).forall { case (lo, hi) => lo >= hi },
+      s"pair count must be non-increasing in threshold: ${pairs.mkString(",")}")
+    assert(docs.zip(docs.tail).forall { case (lo, hi) => lo >= hi },
+      s"dup-doc count must be non-increasing in threshold: ${docs.mkString(",")}")
+    // cross-path consistency: the curve's t=0.8 point re-derives the LSH
+    // operator's verified pair count through a DIFFERENT candidate pipeline
+    val at08 = curve.find(r => r.getAs[Double]("threshold") == 0.8).get
+    assert(at08.getAs[Long]("n_pairs") == nearPairs,
+      s"curve@0.8 = ${at08.getAs[Long]("n_pairs")} but dedup_near found $nearPairs")
+    // every pair touches >= 2 docs, and a doc can pair with many: bounds
+    curve.filter(_.getAs[Long]("n_pairs") > 0).foreach { r =>
+      val (p, d) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dup_docs"))
+      assert(d >= 2 && d <= 2 * p, s"doc count $d impossible for $p pairs")
+    }
+  }
 }

@@ -1574,6 +1574,113 @@ object SimilarityQueries {
        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
        |GROUP BY 1, 2""".stripMargin
 
+  private val PowerRounds = 10
+  private val PowerQ = 1000L // iterate quantization (3 digits of direction)
+
+  /** Dominant direction of the embedding store — [[PowerRounds]] rounds of
+    * power iteration on the [[gramMatrix]], reporting the top eigenvector
+    * (quantized loadings), the top eigenvalue, and the anisotropy ratio
+    * λ₁/trace. Anisotropy is the standard embedding-health diagnostic: a
+    * large common direction degrades cosine retrieval, and removing it is
+    * the "all-but-the-top" post-process (Mu & Viswanath 2018); λ₁/Σλ says
+    * whether that pass is worth scheduling.
+    *
+    * Exactness: the Gram matrix is already integer-exact; each iterate is
+    * renormalized to max-abs = [[PowerQ]] and SNAPPED to integers, so every
+    * mat-vec is an associative int64 sum and the one division per round is
+    * a single IEEE op on exact integers — the whole trajectory (and thus
+    * the quantized fixpoint) replays bit-identically in the oracle's
+    * unrolled CTE chain. λ₁ is reported as the RAYLEIGH quotient of the
+    * final iterate (second-order-accurate in the residual angle, unlike
+    * the max-abs growth ratio, which overshoots before convergence); its
+    * cross term `v·(G·v)` would overflow int64, so each per-dimension
+    * product is snapped at a /4096 scale-down BEFORE the sum — the
+    * module's per-row snapping policy, absolute error ≤ d·2048 on a ~10¹⁹
+    * numerator. Int64 bounds: mat-vec terms ≤ d·ḡ·[[PowerQ]] and snapped
+    * Rayleigh terms ≤ d·ḡ·[[PowerQ]]²/4096, with ḡ ≈ n·[[GramScale]]² —
+    * safe to n ≈ 10⁶ vectors, then the sums lower to DECIMAL(38,0) (the
+    * quality_auc note). [[PowerQ]] bounds direction resolution at ~10⁻³ —
+    * a diagnostic's precision, chosen so the bounds above hold at d = 64.
+    *
+    * Scale shape: the corpus contributes exactly [[gramMatrix]]'s one
+    * partial-aggregated pass (dims²-bounded shuffle); all [[PowerRounds]]
+    * rounds run on the d×d table with 1-row maxima broadcast back, plans
+    * truncated per round (the dedup_components policy) — iteration cost is
+    * independent of corpus size. */
+  def embedTopDirection(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.truncate
+    val upper = gramMatrix(spark, dir).select(col("i"), col("j"), col("g_scaled"))
+    val g = graft.Caches.persisted(upper.union(
+      upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g_scaled"))))
+    val trace = g.filter(col("i") === col("j")).agg(sum(col("g_scaled")).as("tr"))
+    var v = truncate(g.select(col("i")).distinct()
+      .select(col("i"), lit(PowerQ).as("v_q")))
+    def matvec(vec: DataFrame): DataFrame =
+      g.join(vec.select(col("i").as("j"), col("v_q").as("vj")), "j")
+        .groupBy(col("i"))
+        .agg(sum(col("g_scaled") * col("vj")).as("s"))
+    for (_ <- 1 to PowerRounds) {
+      val w = matvec(v)
+      val m = w.agg(max(abs(col("s"))).as("m"))
+      v = truncate(w.crossJoin(broadcast(m))
+        .select(col("i"), expr(
+          s"cast(round((cast(s as double) / cast(m as double)) * $PowerQ) as bigint)")
+          .as("v_q")))
+    }
+    val ray = matvec(v).join(v, "i")
+      .select((col("v_q") * col("v_q")).as("vv"),
+        expr("cast(round((cast(v_q as double) * cast(s as double)) / 4096) as bigint)")
+          .as("t"))
+      .agg(sum(col("t")).as("sum_t"), sum(col("vv")).as("den"))
+    v.crossJoin(broadcast(ray)).crossJoin(broadcast(trace))
+      .select(col("i"), col("v_q"),
+        round(((col("sum_t") * lit(4096.0)) / col("den"))
+          / lit(GramScale.toDouble * GramScale), 6).as("lambda1"),
+        round(((col("sum_t") * lit(4096.0)) / col("den")) / col("tr"), 6)
+          .as("anisotropy"))
+  }
+
+  /** Oracle: the identical quantized trajectory, unrolled. Every chained
+    * CTE is MATERIALIZED — the Gram is referenced by all rounds and each
+    * round by the next, so DuckDB's default single-reference inlining
+    * would otherwise re-expand the d×d build once per unrolled level
+    * (measured: >120 s for a query whose materialized form runs in
+    * under a second). */
+  def embedTopDirectionSql: String = {
+    val rounds = (1 to PowerRounds).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS MATERIALIZED (SELECT gu.i, CAST(sum(gu.g * v.v) AS BIGINT) AS s
+         |        FROM gu JOIN $prev v ON gu.j = v.i GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT max(abs(s)) AS m FROM w$r),
+         |v$r AS MATERIALIZED (SELECT i, CAST(round((s::DOUBLE / m::DOUBLE) * $PowerQ) AS BIGINT) AS v
+         |        FROM w$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(x::DOUBLE * $GramScale + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+       |    k -> {'i': k - 1, 'x': v[k]}), recursive := true)
+       |  FROM sv),
+       |gu AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
+       |       FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |tr AS (SELECT CAST(sum(g) AS BIGINT) AS tr FROM gu WHERE i = j),
+       |v0 AS (SELECT DISTINCT i, CAST($PowerQ AS BIGINT) AS v FROM gu),
+       |$rounds,
+       |wf AS (SELECT gu.i, CAST(sum(gu.g * v.v) AS BIGINT) AS s
+       |       FROM gu JOIN v$PowerRounds v ON gu.j = v.i GROUP BY 1),
+       |ray AS (
+       |  SELECT CAST(sum(CAST(round((v.v::DOUBLE * wf.s::DOUBLE) / 4096) AS BIGINT)) AS BIGINT) AS sum_t,
+       |         CAST(sum(v.v * v.v) AS BIGINT) AS den
+       |  FROM wf JOIN v$PowerRounds v USING (i))
+       |SELECT CAST(i AS BIGINT) AS i, v AS v_q,
+       |  round(((sum_t * 4096.0e0) / den) / ${GramScale * GramScale}.0e0, 6) AS lambda1,
+       |  round(((sum_t * 4096.0e0) / den) / tr, 6) AS anisotropy
+       |FROM v$PowerRounds, ray, tr""".stripMargin
+  }
+
   private val MmrDepth = 20
   private val MmrK = 5
 

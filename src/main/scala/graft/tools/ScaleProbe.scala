@@ -52,7 +52,9 @@ object ScaleProbe {
     "quality_isotonic", "quality_conformal", "filter_funnel",
     "split_gram_leakage", "train_split_grouped", "quality_pr_curve",
     "embed_topk_ivfpq_rerank", "ann_recall_rerank", "embed_dim_stats", "shard_balance",
-    "chunk_dup_rate", "embed_margin_pairs", "ngram_diversity", "source_entropy")
+    "chunk_dup_rate", "embed_margin_pairs", "ngram_diversity", "source_entropy",
+    "dedup_threshold_curve", "mixture_temperature", "filter_correlation", "hot_ngrams",
+    "embed_top_direction")
 
   private[tools] def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

@@ -286,4 +286,39 @@ class SimilaritySuite extends SparkSpec {
     }
     assert(mnn.forall(_._3 >= 0.3))
   }
+  test("embed_top_direction: Rayleigh-consistent eigenpair, anisotropy bounded") {
+    val rows = graft.similarity.SimilarityQueries.embedTopDirection(spark, Sf0001)
+      .collect()
+    Caches.drain()
+    assert(rows.length == 64, s"one row per dimension, got ${rows.length}")
+    val lambda1 = rows.head.getAs[Double]("lambda1")
+    val aniso = rows.head.getAs[Double]("anisotropy")
+    assert(rows.forall(r => r.getAs[Double]("lambda1") == lambda1
+      && r.getAs[Double]("anisotropy") == aniso), "scalar columns must be constant")
+    // PSD Gram: top eigenvalue positive; its share of the trace in (0, 1];
+    // 1/d is the isotropic floor, so a real corpus sits strictly above it
+    assert(lambda1 > 0.0, s"PSD Gram cannot have lambda1 = $lambda1 <= 0")
+    assert(aniso > 1.0 / 64 && aniso <= 1.0 + 1e-6, s"anisotropy $aniso out of range")
+    // the iterate is max-abs-normalized to PowerQ = 1000
+    val vq = rows.sortBy(_.getAs[Long]("i")).map(_.getAs[Long]("v_q"))
+    assert(vq.map(math.abs).max == 1000L, "iterate must be normalized to max-abs 1000")
+    // independent check: the reported lambda1 IS the Rayleigh quotient of
+    // the returned direction — recompute it driver-side from scratch
+    // (tolerance covers only the /4096 per-term snap)
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 10000 + 0.5)).toArray)
+    val d = 64
+    val gram = Array.ofDim[Double](d, d)
+    embs.foreach { e =>
+      var i = 0
+      while (i < d) { var j = 0; while (j < d) { gram(i)(j) += e(i) * e(j); j += 1 }; i += 1 }
+    }
+    val v = vq.map(_.toDouble)
+    val gv = (0 until d).map(i => (0 until d).map(j => gram(i)(j) * v(j)).sum)
+    val rayleigh = (0 until d).map(i => v(i) * gv(i)).sum /
+      (0 until d).map(i => v(i) * v(i)).sum / 1e8
+    assert(math.abs(rayleigh - lambda1) / lambda1 < 1e-5,
+      s"reported lambda1 $lambda1 vs driver Rayleigh $rayleigh")
+  }
 }

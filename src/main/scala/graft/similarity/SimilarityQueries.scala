@@ -1604,30 +1604,33 @@ object SimilarityQueries {
     *
     * Scale shape: the corpus contributes exactly [[gramMatrix]]'s one
     * partial-aggregated pass (dims²-bounded shuffle); all [[PowerRounds]]
-    * rounds run on the d×d table with 1-row maxima broadcast back, plans
-    * truncated per round (the dedup_components policy) — iteration cost is
-    * independent of corpus size. */
+    * rounds run on the persisted d×d table. Each round's renormalizing max
+    * rides a full-frame window over the d-row iterate INSIDE the chain
+    * (single consumer per round), so the whole iteration is ONE lazy
+    * linear plan evaluated in one job — the copurchase_communities lesson:
+    * fixed-round chains with one consumer per round beat per-round
+    * checkpoint barriers ~2× on job overhead alone. The single-partition
+    * window sorts d rows, never data. Iteration cost is independent of
+    * corpus size. */
   def embedTopDirection(spark: SparkSession, dir: String): DataFrame = {
-    import graft.dedup.DedupQueries.truncate
     val upper = gramMatrix(spark, dir).select(col("i"), col("j"), col("g_scaled"))
     val g = graft.Caches.persisted(upper.union(
       upper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("g_scaled"))))
     val trace = g.filter(col("i") === col("j")).agg(sum(col("g_scaled")).as("tr"))
-    var v = truncate(g.select(col("i")).distinct()
-      .select(col("i"), lit(PowerQ).as("v_q")))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    var v = g.select(col("i")).distinct().select(col("i"), lit(PowerQ).as("v_q"))
     def matvec(vec: DataFrame): DataFrame =
       g.join(vec.select(col("i").as("j"), col("v_q").as("vj")), "j")
         .groupBy(col("i"))
         .agg(sum(col("g_scaled") * col("vj")).as("s"))
-    for (_ <- 1 to PowerRounds) {
-      val w = matvec(v)
-      val m = w.agg(max(abs(col("s"))).as("m"))
-      v = truncate(w.crossJoin(broadcast(m))
+    for (_ <- 1 to PowerRounds)
+      v = matvec(v)
+        .withColumn("m", max(abs(col("s"))).over(wAll))
         .select(col("i"), expr(
           s"cast(round((cast(s as double) / cast(m as double)) * $PowerQ) as bigint)")
-          .as("v_q")))
-    }
+          .as("v_q"))
+    v = graft.Caches.persisted(v) // consumed by the mat-vec AND the Rayleigh join
     val ray = matvec(v).join(v, "i")
       .select((col("v_q") * col("v_q")).as("vv"),
         expr("cast(round((cast(v_q as double) * cast(s as double)) / 4096) as bigint)")

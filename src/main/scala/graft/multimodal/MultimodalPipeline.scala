@@ -229,22 +229,98 @@ object MultimodalPipeline {
     * one whole band (4 bands, 3 flipped bits), so banded equi-joins find
     * every such pair exactly, never comparing all pairs. The verify step
     * is one `bit_count(xor)` per candidate. */
-  def nearDupImages(hashes: Dataset[ImageHash], maxHamming: Int = 3): DataFrame = {
-    val banded = hashes.toDF()
-      .select(col("id"), col("ahash"), explode(expr(
+  def nearDupImages(hashes: Dataset[ImageHash], maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(hashes.toDF().select(col("id"), col("ahash").as("h")), maxHamming)
+
+  /** The banded Hamming join shared by [[nearDupImages]] and
+    * [[nearDupAudio]]: 4 bands of 16 bits over any (id, h: long) frame;
+    * pigeonhole guarantees completeness for `maxHamming ≤ 3`. */
+  private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, s"4x16 banding is complete only to Hamming 3, got $maxHamming")
+    val banded = hashed
+      .select(col("id"), col("h"), explode(expr(
         """transform(sequence(0, 3), b ->
-          |  struct(b AS band, shiftright(ahash, b * 16) & 65535 AS key))""".stripMargin)).as("bk"))
-      .select(col("id"), col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
+          |  struct(b AS band, shiftright(h, b * 16) & 65535 AS key))""".stripMargin)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+        col("a.h").as("ha"), col("b.h").as("hb"))
       .distinct()
       .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
       .select(col("id_a"), col("id_b"),
         expr("cast(bit_count(ha ^ hb) as bigint)").as("hamming"))
   }
+
+  /** 64-bit audio fingerprint + sample count. */
+  case class AudioHash(id: Long, afp: Long, n_samples: Long)
+
+  /** Perceptual audio fingerprint — the [[imageAHash]] analog for sound:
+    * the decoded 16-bit PCM stream is split into 65 equal frames, each
+    * frame's EXACT integer energy `Σ s²` accumulated in int64, and bit b
+    * of the fingerprint is `energy(b+1) > energy(b)` — the energy-envelope
+    * delta-sign sketch (the simplest member of the Haitsma–Kalker /
+    * Shazam family, restricted to the time axis since no FFT ships in
+    * this sandbox). Uniform gain multiplies every energy by g² > 0 and
+    * preserves every comparison, so the fingerprint is amplitude-scale
+    * INVARIANT — re-encoded/volume-normalized copies collide, which is
+    * the near-dup property the fingerprint exists for. Streams shorter
+    * than 65 samples (no full frame grid) drop, like undecodable payloads.
+    *
+    * Int64 bound: a frame of f samples sums to ≤ f·2¹⁵·2¹⁵ — safe to
+    * 2²⁸ samples per frame (≈ 5 hours of 48 kHz audio per FRAME; a real
+    * corpus chunks far earlier). Same batched-mapPartitions shape as
+    * [[audioPcmStats]]; payloads never shuffle. */
+  def audioFingerprint(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val frames = 65
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.media))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+              else {
+                val bytes = ais.readAllBytes()
+                val n = bytes.length / 2
+                if (n < frames) None
+                else {
+                  val energy = new Array[Long](frames)
+                  var i = 0
+                  while (i < n) {
+                    val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toLong
+                    // frame index by exact integer proration — the same
+                    // grid for any n, so equal-length copies align
+                    energy(((i.toLong * frames) / n).toInt) += s * s
+                    i += 1
+                  }
+                  var (afp, b) = (0L, 0)
+                  while (b < frames - 1) {
+                    if (energy(b + 1) > energy(b)) afp |= (1L << b)
+                    b += 1
+                  }
+                  Some(AudioHash(r.id, afp, n.toLong))
+                }
+              }
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate audio pairs from [[audioFingerprint]] signatures — the
+    * identical banded pigeonhole join as [[nearDupImages]], shared code. */
+  def nearDupAudio(hashes: Dataset[AudioHash], maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(hashes.toDF().select(col("id"), col("afp").as("h")), maxHamming)
 
   /** Sample-level audio statistics: exact integer absolute mass and peak
     * over the decoded 16-bit PCM stream. */

@@ -238,4 +238,53 @@ class MultimodalSuite extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
+  test("audio fingerprint: gain-invariant, near-dup banded join finds the altered copy") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = 650 // 10 samples per fingerprint frame
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // deterministic pseudo-audio with a varied energy envelope
+    val base = Array.tabulate[Short](n) { i =>
+      val env = 1 + (i / 10) % 7
+      ((math.sin(i * 0.7) * 800 * env).toInt.toShort)
+    }
+    val gained = base.map(v => (v * 2).toShort)      // uniform 2x gain
+    val oneFrameOff = base.clone()                   // strongly perturb ONE frame
+    (100 until 110).foreach(i => oneFrameOff(i) = 30000)
+    val distinct = Array.tabulate[Short](n) { i =>   // unrelated envelope
+      val env = 7 - (i / 10) % 7
+      ((math.cos(i * 1.3) * 900 * env).toInt.toShort)
+    }
+    val media = Seq(
+      MultimodalPipeline.MediaRow(1L, wav(base), "wav"),
+      MultimodalPipeline.MediaRow(2L, wav(gained), "wav"),
+      MultimodalPipeline.MediaRow(3L, wav(oneFrameOff), "wav"),
+      MultimodalPipeline.MediaRow(4L, wav(distinct), "wav"),
+      MultimodalPipeline.MediaRow(5L, Array[Byte](1, 2, 3), "junk")).toDS()
+    val fps = MultimodalPipeline.audioFingerprint(media, batchSize = 2).collect()
+      .map(h => h.id -> h).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L, 4L), "junk dropped, all WAVs fingerprinted")
+    assert(fps(1L).afp == fps(2L).afp, "uniform gain must not change the fingerprint")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // one perturbed frame flips at most its two adjacent energy deltas
+    assert(ham(fps(1L).afp, fps(3L).afp) > 0 && ham(fps(1L).afp, fps(3L).afp) <= 2,
+      s"single-frame perturbation should cost 1-2 bits, got ${ham(fps(1L).afp, fps(3L).afp)}")
+    assert(ham(fps(1L).afp, fps(4L).afp) > 3, "unrelated audio must not be a near-dup")
+    val pairs = MultimodalPipeline.nearDupAudio(
+      MultimodalPipeline.audioFingerprint(media, batchSize = 2), maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected the base/gained/perturbed triangle, got $pairs")
+  }
 }

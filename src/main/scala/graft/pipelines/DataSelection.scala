@@ -1090,9 +1090,14 @@ object DataSelection {
     * [[TrainingPrep.qualityAuc]] note).
     *
     * Scale shape: both score passes are the operators' own (histogram-
-    * collapsed model sides); ranks come from per-score HISTOGRAMS (windows
-    * over |distinct scores| rows, never the corpus) joined back by score;
-    * the final reduction is one partial-agg over (r2x, r2y) pairs. */
+    * collapsed model sides); ranks come from per-score HISTOGRAMS joined
+    * back by score, and the cumulative windows run over those histograms
+    * only — which are RESOLUTION-bounded, not corpus-bounded: `avg_nll`
+    * is snapped to 10⁻⁶ over a ≤ ~20-nat range (≤ 2·10⁷ distinct values
+    * no matter the corpus) and `raw_score` is an integer bounded by the
+    * weight-sum range, so the single-partition window never sees corpus-
+    * proportional rows. The final reduction is one partial-agg over
+    * (r2x, r2y) pairs. */
   def filterCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val scores = graft.Caches.persisted(
       ngramPerplexity(spark, dir).select(col("doc_id"), col("avg_nll"))

@@ -232,8 +232,14 @@ object DedupQueries {
     * bounded because postings are 3-gram SHINGLES, whose document frequency
     * stays near 1 outside true duplicate clusters (unlike word tokens). */
   private[graft] def jaccardPairsAtLeast(
-      spark: SparkSession, dir: String, num: Int, den: Int): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      spark: SparkSession, dir: String, num: Int, den: Int): DataFrame =
+    jaccardPairsAtLeastOn(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), num, den)
+
+  /** [[jaccardPairsAtLeast]] over an arbitrary `(doc_id, text)` frame —
+    * the property-test surface for the threshold generalization. */
+  private[graft] def jaccardPairsAtLeastOn(
+      docs: DataFrame, num: Int, den: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(expr("transform(shingle_set(text), s -> xxhash64(s))")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))

@@ -73,4 +73,45 @@ class DedupJaccardSuite extends SparkSpec {
       assert(d >= 2 && d <= 2 * p, s"doc count $d impossible for $p pairs")
     }
   }
+  test("generalized PPJoin: engine pairs == brute force at 5 thresholds over a seeded corpus") {
+    import spark.implicits._
+    // seeded synthetic corpus engineered for MID-similarity pairs: mutate
+    // random positions of base docs so exact Jaccards spread across (0, 1)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector.tabulate(30)(i => ("word" + ('a' + i % 26).toChar) * (1 + i / 26))
+    def doc(): Array[String] = Array.fill(15 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+    val bases = Vector.fill(12)(doc())
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    bases.foreach { b =>
+      docs += ((id, b.mkString(" "))); id += 1
+      (1 to 2).foreach { _ =>
+        val v = b.clone()
+        val muts = 1 + rnd.nextInt(v.length / 2)
+        (1 to muts).foreach(_ => v(rnd.nextInt(v.length)) = vocab(rnd.nextInt(vocab.size)))
+        docs += ((id, v.mkString(" "))); id += 1
+      }
+    }
+    def shingles(text: String): Set[String] = {
+      val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val sets = docs.map { case (i, t) => i -> shingles(t) }.filter(_._2.nonEmpty).toMap
+    val df = docs.toSeq.toDF("doc_id", "text")
+    for ((num, den) <- Seq((1, 2), (3, 5), (7, 10), (4, 5), (9, 10))) {
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size; uni = (sets(a) | sets(b)).size
+        if inter.toLong * den >= uni.toLong * num
+      } yield (a, b)).toSet
+      val got = DedupQueries.jaccardPairsAtLeastOn(df, num, den)
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Caches.drain()
+      assert(got == expect,
+        s"t=$num/$den: engine ${got.size} pairs vs brute ${expect.size}; " +
+          s"missing=${(expect -- got).take(3)} phantom=${(got -- expect).take(3)}")
+    }
+  }
 }

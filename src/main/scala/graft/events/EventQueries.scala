@@ -2780,4 +2780,74 @@ object EventQueries {
       |  CAST(n_both * 1000000 // (a.n + b.n - n_both) AS BIGINT) AS jaccard_ppm
       |FROM co JOIN sz a ON a.event_type = co.type_a
       |        JOIN sz b ON b.event_type = co.type_b""".stripMargin
+  private val JourneyTopK = 20
+
+  /** Behavioral similarity search: the [[JourneyTopK]] users whose event-type
+    * journeys are most similar to the REFERENCE user's (highest event count,
+    * ties to the smallest user_id), by exact trigram Jaccard over the
+    * ordered event-type sequence — the query-centric trajectory-similarity
+    * shape (find users who behave like this one), the behavioral twin of
+    * `embed_topk`. Journey strings are deterministic: events sort by
+    * (ts, event_id) inside a per-user array, never a window over raw rows
+    * with ambiguous ties.
+    *
+    * Why top-k against a reference and not all-pairs: a |types|-letter
+    * behavioral alphabet saturates its trigram space (|types|³ shingles),
+    * so prefix/banding candidate generation degrades toward all-pairs —
+    * the honest scale shape for dense-vocabulary similarity is the
+    * query-centric search, which stays LINEAR: one per-user shingle pass
+    * against a broadcast 1-row reference set, ending in
+    * TakeOrderedAndProject. Jaccard is the int/int quotient (engine-exact);
+    * ranking ties break on user_id.
+    *
+    * Scale shape: one (user)-keyed shuffle builds the journey arrays (the
+    * events_sessions exchange); the shingle set computes narrowly per
+    * user; the reference row broadcasts; top-k never sorts globally. */
+  def userJourneyTopk(spark: SparkSession, dir: String): DataFrame = {
+    val journeys = Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        size(col("es")).cast("bigint").as("n_events"),
+        expr("shingle_set(array_join(transform(es, x -> x.event_type), ' '))").as("s"))
+      .filter(size(col("s")) > 0)
+      .transform(graft.Caches.persisted) // consumed by the ref pick and the scan
+    val ref = journeys
+      .orderBy(col("n_events").desc, col("user_id").asc).limit(1)
+      .select(col("user_id").as("ref_user"), col("s").as("rs"))
+    journeys
+      .crossJoin(broadcast(ref))
+      .filter(col("user_id") =!= col("ref_user"))
+      .select(col("user_id"),
+        size(array_intersect(col("s"), col("rs"))).cast("bigint").as("n_common"),
+        size(array_union(col("s"), col("rs"))).cast("bigint").as("n_union"))
+      .withColumn("jaccard", col("n_common") / col("n_union"))
+      .orderBy(col("jaccard").desc, col("user_id").asc)
+      .limit(JourneyTopK)
+  }
+
+  def userJourneyTopkSql: String =
+    s"""WITH j AS (
+       |  SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS t,
+       |    CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1),
+       |sh AS (
+       |  SELECT user_id, n_events,
+       |    list_distinct(list_transform(range(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+       |  FROM (SELECT user_id, n_events,
+       |          list_filter(regexp_split_to_array(t, '[^\\p{L}]+'), x -> x <> '') AS tk
+       |        FROM j) q
+       |  WHERE len(tk) >= 3),
+       |ref AS (SELECT user_id AS ref_user, s AS rs FROM sh
+       |        ORDER BY n_events DESC, user_id ASC LIMIT 1)
+       |SELECT user_id, n_common, n_union, n_common / n_union AS jaccard
+       |FROM (
+       |  SELECT sh.user_id,
+       |    CAST(len(list_intersect(s, rs)) AS BIGINT) AS n_common,
+       |    CAST(len(list_distinct(s || rs)) AS BIGINT) AS n_union
+       |  FROM sh, ref WHERE sh.user_id <> ref_user) x
+       |ORDER BY jaccard DESC, user_id ASC LIMIT $JourneyTopK""".stripMargin
 }

@@ -593,4 +593,38 @@ class TemporalOpsSuite extends SparkSpec {
     assert(out.exists(r => r._2 > 0 && r._3 == 0) || out.exists(_._2 > 0))
     assert(out.exists(_._3 > 0))
   }
+  test("user_journey_topk: linear query-centric shape, jaccard consistent with a recount") {
+    val df = EventQueries.userJourneyTopk(spark, Sf0001)
+    val rows = df.collect()
+    Caches.drain()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // ranked best-first, ties by user_id; jaccard == n_common / n_union exactly
+    val js = rows.map(_.getAs[Double]("jaccard"))
+    assert(js.sameElements(js.sorted(Ordering[Double].reverse)), "must come back ranked")
+    rows.foreach { r =>
+      val (c, u, j) = (r.getAs[Long]("n_common"), r.getAs[Long]("n_union"), r.getAs[Double]("jaccard"))
+      assert(c <= u && u > 0 && j == c.toDouble / u, s"inconsistent row $r")
+    }
+    // recount the best match driver-side from raw events
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    def shingles(uid: Long): Set[String] = {
+      val seq = ev.filter(_._1 == uid).sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      if (seq.length < 3) Set.empty
+      else seq.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val counts = ev.groupBy(_._1).map { case (u, es) => u -> es.length }
+    val refUser = counts.toSeq.sortBy { case (u, n) => (-n, u) }.head._1
+    val rs = shingles(refUser)
+    val top = rows.head
+    val ts = shingles(top.getAs[Long]("user_id"))
+    assert(top.getAs[Long]("n_common") == (ts & rs).size, "n_common mismatch vs driver recount")
+    assert(top.getAs[Long]("n_union") == (ts | rs).size, "n_union mismatch vs driver recount")
+    // the plan must stay query-centric: broadcast reference, top-k not a global sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row reference must broadcast:\n$plan")
+  }
 }

@@ -1728,6 +1728,69 @@ object EventQueries {
        |SELECT event_type, pi_ppt, round(pi_ppt / 1.0e12, 6) AS pi FROM pi3""".stripMargin
   }
 
+  /** Per-user journey negative log-likelihood under the corpus's own
+    * first-order transition model — the model-based anomaly score that the
+    * heuristic [[botScore]] approximates: a user whose consecutive-event
+    * transitions are improbable under the corpus chain reads as scripted /
+    * out-of-distribution behavior (and a LOW score as highly stereotyped
+    * flow). The behavioral twin of
+    * [[graft.pipelines.DataSelection.ngramPerplexity]], sharing its
+    * arithmetic policy end to end: add-one smoothing
+    * `P(to|from) = (c(from,to)+1)/(c_from+V)` keeps every `ln` input an
+    * integer ratio, each per-transition cost snaps to micro-nats per ROW,
+    * and the per-user sum is associative int64.
+    *
+    * Scale shape: ONE user-keyed window pass produces the (user, from, to)
+    * pair stream (persisted; the |types|²-row model and its row totals
+    * derive from it with map-side combine and broadcast back), then one
+    * per-user partial agg. Nothing holistic, nothing corpus² — the model
+    * attach is a ≤|types|²-row broadcast join. */
+  def userJourneyNll(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pairs = graft.Caches.persisted(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type").as("from_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("user_id"), col("from_type"), col("to_type")))
+    val t = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val tot = t.groupBy(col("from_type")).agg(sum(col("c")).as("c_from"))
+    val v = Tables.events(spark, dir)
+      .agg(countDistinct(col("event_type")).cast("bigint").as("v"))
+    pairs
+      .join(broadcast(t), Seq("from_type", "to_type"))
+      .join(broadcast(tot), "from_type")
+      .crossJoin(broadcast(v))
+      .withColumn("nll_micro",
+        expr("cast(round(ln((c_from + v) / (c + 1)) * 1000000) as bigint)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_transitions"),
+        sum(col("nll_micro")).as("nll"))
+      .withColumn("avg_nll", round(col("nll") / (col("n_transitions") * 1000000.0), 6))
+  }
+
+  def userJourneyNllSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |pr AS (
+      |  SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      |  FROM e),
+      |pp AS (SELECT user_id, from_type, to_type FROM pr WHERE to_type IS NOT NULL),
+      |t AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c FROM pp GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS c_from FROM t GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS v FROM e),
+      |sc AS (
+      |  SELECT user_id,
+      |    CAST(round(ln((c_from + v) / (c + 1)) * 1000000) AS BIGINT) AS nll_micro
+      |  FROM pp JOIN t USING (from_type, to_type) JOIN tot USING (from_type), v)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+      |  CAST(sum(nll_micro) AS BIGINT) AS nll,
+      |  round(sum(nll_micro) / (count(*) * 1000000.0e0), 6) AS avg_nll
+      |FROM sc GROUP BY user_id""".stripMargin
+
   def transitionsSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

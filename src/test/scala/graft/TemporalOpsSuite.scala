@@ -627,4 +627,30 @@ class TemporalOpsSuite extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"the 1-row reference must broadcast:\n$plan")
   }
+  test("user_journey_nll: matches a driver-side model-and-score recount") {
+    val rows = EventQueries.userJourneyNll(spark, Sf0001).collect()
+    Caches.drain()
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(e => (e._2, e._3)).map(_._4).toSeq
+    }
+    val pairs = byUser.toSeq.flatMap { case (u, seq) =>
+      seq.zip(seq.tail).map { case (a, b) => (u, a, b) }
+    }
+    assert(rows.map(_.getAs[Long]("user_id")).toSet ==
+      byUser.filter(_._2.length >= 2).keySet, "every multi-event user scored")
+    val c = pairs.groupBy(p => (p._2, p._3)).map { case (k, v) => k -> v.size.toLong }
+    val cFrom = pairs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val v = ev.map(_._4).distinct.length.toLong
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val expect = pairs.filter(_._1 == u).map { case (_, a, b) =>
+        math.round(math.log((cFrom(a) + v).toDouble / (c((a, b)) + 1)) * 1000000)
+      }.sum
+      assert(r.getAs[Long]("nll") == expect, s"user $u nll ${r.getAs[Long]("nll")} != $expect")
+      assert(r.getAs[Double]("avg_nll") >= 0.0 && r.getAs[Double]("avg_nll") < 10.0)
+    }
+  }
 }

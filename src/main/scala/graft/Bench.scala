@@ -34,6 +34,21 @@ import graft.plans.GraftSession
   *      how r6's bench manufactured a phantom 8–27 s block out of
   *      sub-second queries even WITH median-of-3.
   *
+  *   3. **Median alone is not decision-grade on a shared box.** Round 11's
+  *      median-of-3 read 2–5× high on several queries (item_cf_recs 7.15 s
+  *      median vs ~3.5 s isolated; ivf_silhouette 2.69 vs ~0.6) because two
+  *      of three reps landed in contention windows — phantom regressions
+  *      that defeat the 2× gate the artifact feeds. So: reps default to 5,
+  *      every query reports its MIN wall alongside the median (min is the
+  *      contention-free estimator — local mode has no cache-warming
+  *      confound across reps since `Caches.drain()` runs between reps and
+  *      the OS page cache is shared by all reps equally), and a query whose
+  *      max/min wall ratio exceeds [[NoisyRatio]] is flagged `noisy`: for
+  *      flagged rows the reader (human or gate) must trust min, not median.
+  *      The compact tail line carries the flagged names with their min
+  *      walls (bounded, like the errors object); the full artifact carries
+  *      min + dispersion for every query.
+  *
   * Failure accounting: a query with zero successful reps reports -1 and is
   * excluded from the total; a query with ANY failed rep counts toward
   * `failed` and appears in an `errors` object (name → failed-rep count,
@@ -42,6 +57,12 @@ import graft.plans.GraftSession
   * explicit ROOT locale — a comma-decimal default locale must not be able
   * to emit invalid JSON. */
 object Bench {
+
+  /** max/min wall ratio beyond which a query's reps are flagged as
+    * contention-noisy (scaladoc point 3). 2.0 matches the driver's own
+    * regression threshold: dispersion that could manufacture a phantom
+    * 2× must be flagged. */
+  private val NoisyRatio = 2.0
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -60,7 +81,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed region, like any JVM benchmark:
@@ -103,6 +124,15 @@ object Bench {
       if (ss.isEmpty) name -> (-1.0, -1.0)
       else { val byWall = ss.sortBy(_._1); name -> byWall(byWall.size / 2) }
     }
+    // Contention-free estimator + dispersion flag (scaladoc point 3).
+    val mins: Map[String, Double] = names.map { name =>
+      val ws = samples(name).map(_._1)
+      name -> (if (ws.isEmpty) -1.0 else ws.min)
+    }.toMap
+    val noisy: Seq[String] = names.filter { name =>
+      val ws = samples(name).map(_._1)
+      ws.size > 1 && ws.min > 0 && ws.max / ws.min > NoisyRatio
+    }
     def obj(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Full per-rep detail first: this line may be (harmlessly) cut from the
@@ -117,6 +147,15 @@ object Bench {
     // failed queries) re-overflows the tail window it exists to survive —
     // list the first 12 by name, fold the rest into a count.
     val trailer =
+      // Flagged-noisy queries with their MIN walls: the rows where the
+      // median must not drive the 2× gate. Bounded like errors — a fully
+      // contended run (every query noisy) must not overflow the tail.
+      (if (noisy.nonEmpty) {
+        val (shown, rest) = noisy.sortBy(n => -mins(n)).splitAt(12)
+        Seq("noisy" -> obj(
+          shown.map(n => n -> fmt(mins(n), 2)) ++
+          (if (rest.nonEmpty) Seq("_more" -> rest.size.toString) else Nil)))
+      } else Nil) ++
       (if (failures.nonEmpty) {
         val sortedF = failures.toSeq.sortBy(_._1)
         val (shown, rest) = sortedF.splitAt(12)
@@ -171,6 +210,8 @@ object Bench {
       "total_sec" -> fmt(total, 3),
       "failed" -> nFailed.toString,
       "medians" -> obj(names.map(n => n -> fmt(medians.toMap.apply(n)._1, 3))),
+      "mins" -> obj(names.map(n => n -> fmt(mins(n), 3))),
+      "noisy" -> noisy.map("\"" + _ + "\"").mkString("[", ",", "]"),
       "reps_wall" -> obj(names.map(n => n -> samples(n).map(s => fmt(s._1, 3)).mkString("[", ",", "]"))),
       "reps_cpu" -> obj(names.map(n => n -> samples(n).map(s => fmt(s._2, 3)).mkString("[", ",", "]"))),
       "errors" -> obj(failures.toSeq.sortBy(_._1).map { case (n, c) => n -> c.toString })))

@@ -100,6 +100,30 @@ object GraphQueries {
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
     }
 
+  /** DIMSUM-style per-customer history cap for the C(k,2) CUSTOMER-basket
+    * pair expansion ([[itemCfRecs]]): `spark.graft.maxBasketSize` truncates
+    * each customer's sorted part array to its first k entries BEFORE the
+    * expansion. Order baskets need no cap (≤ 7 parts by TPC-H construction;
+    * bounded in any basket data), but customer histories are power-law in
+    * real deployments: one 10⁵-part customer expands to 5·10⁹ pairs inside
+    * a single task — the cap bounds that task at C(k,2) (cf. DIMSUM,
+    * Zadeh & Carlsson 2013, which bounds the same blow-up by sampling).
+    * Truncation is by sorted part id — deterministic, so capped results
+    * are reproducible run-to-run. Degrees and co-counts both derive from
+    * the SAME capped table, so the capped cosine stays internally
+    * consistent (a part's degree counts exactly the baskets it survived
+    * in). Unset (the default = Int.MaxValue) the plan is byte-identical
+    * to the uncapped one — the cap is a no-op at TPC-H shape (k ≈ 30)
+    * and exists for the skewed deployment. */
+  private[graft] def cappedCustBaskets(spark: SparkSession, dir: String): DataFrame = {
+    val cap = spark.conf.getOption("spark.graft.maxBasketSize")
+      .map(_.toInt).getOrElse(Int.MaxValue)
+    require(cap >= 2, s"spark.graft.maxBasketSize must be >= 2, got $cap")
+    val b = custBaskets(spark, dir)
+    if (cap == Int.MaxValue) b
+    else b.withColumn("ps", slice(col("ps"), 1, cap))
+  }
+
   /** The bounded C(k,2) in-basket pair expansion shared by every consumer
     * of a basket table (see [[copurchaseEdges]]' design note). */
   private val PairExpandSql =
@@ -838,6 +862,14 @@ object GraphQueries {
   private val CfTopK  = 5
   private val CfMinCo = 2
 
+  /** cos²·ppm in DECIMAL(38,0) — numerator AND denominator promoted before
+    * any multiply so neither can wrap int64 (see [[itemCfRecs]]' exactness
+    * note); the integral divide's quotient (≤ 10⁶) comes back as bigint.
+    * Factored out so OverflowPolicySuite can drive it with above-int64
+    * fixtures that the query path cannot reach at test scale. */
+  private[graft] val Cos2PpmExpr =
+    "cast(co as decimal(38,0)) * co * 1000000 div (cast(di as decimal(38,0)) * dn)"
+
   /** Item-item collaborative filtering (Sarwar et al. 2001 / the Amazon
     * "customers who bought this also bought" shape): for every part, the
     * top-[[CfTopK]] most similar parts by buyer-set cosine — similarity
@@ -847,17 +879,22 @@ object GraphQueries {
     * Exactness: cosine²(u,v) = co² / (deg_u·deg_v) in exact integer ppm —
     * squaring clears the sqrt, and squaring is monotone on [0,1] so the
     * ranking (and the ppm values themselves) are engine-identical with no
-    * transcendentals. `co²·10⁶` stays inside int64 up to co ≈ 3·10⁶
-    * co-buyers per pair; past that promote the numerator to decimal(38,0)
-    * BEFORE multiplying — noted because silent overflow would flip signs,
-    * not error (the [[graft.text.TextQueries]] word_pmi policy).
+    * transcendentals. The numerator co²·10⁶ and denominator di·dn both
+    * carry in DECIMAL(38,0) ([[Cos2PpmExpr]]): an int64 numerator would
+    * wrap (sign-flipping, not erroring, outside ANSI) past co ≈ 3·10⁶
+    * co-buyers — a threshold real co-purchase data crosses. The decimal
+    * form is exact to co ≈ 10¹⁶ and ERRORS loudly past 38 digits;
+    * OverflowPolicySuite pins the above-int64 region against BigInt
+    * ground truth. The integral divide's output (≤ 10⁶) is a plain
+    * bigint either way, so results are value-identical in range.
     *
     * Scale shape: the co-buyer counts come from ONE grouped pass over the
     * per-customer sorted part array (the [[copurchaseEdges]] expansion —
     * C(k,2) pairs per customer generated inside a codegen'd projection,
-    * never a fact-table self-join); real deployments cap per-user history
-    * (DIMSUM-style) to bound k — at TPC-H shape k ≈ 30 so the cap is
-    * omitted rather than dead-coded. Degrees are a |parts|-sized table
+    * never a fact-table self-join); per-user history is cappable
+    * DIMSUM-style via `spark.graft.maxBasketSize`
+    * ([[cappedCustBaskets]]) — a no-op at TPC-H shape (k ≈ 30), a
+    * single-task-blow-up bound at power-law scale. Degrees are a |parts|-sized table
     * attached by equi-join (item-keyed, AQE-broadcastable at dimension
     * scale), and the per-item top-k plans a WindowGroupLimit below the
     * exchange — per-partition top-k before any shuffle. */
@@ -868,7 +905,7 @@ object GraphQueries {
     // Everything downstream (degrees, pairs) runs on the collapsed
     // |customers|-sized basket table. Measured on the r9 bench: 8.9 s →
     // the copurchase-family baseline with the distinct prepass removed.
-    val baskets = custBaskets(spark, dir)
+    val baskets = cappedCustBaskets(spark, dir)
     val deg = baskets.select(explode(col("ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
     // persisted: the symmetrizing union below consumes `co` TWICE — left
@@ -893,7 +930,7 @@ object GraphQueries {
       .join(deg.select(col("p").as("item"), col("deg").as("di")), "item")
       .join(deg.select(col("p").as("other"), col("deg").as("dn")), "other")
       .select(col("item"), col("other"), col("co"),
-        expr("co * co * 1000000L div (di * dn)").as("cos2_ppm"))
+        expr(Cos2PpmExpr).as("cos2_ppm"))
     val w = Window.partitionBy(col("item"))
       .orderBy(col("cos2_ppm").desc, col("other").asc)
     scored.withColumn("rk", row_number().over(w))

@@ -263,9 +263,19 @@ object MultimodalPipeline {
     * delta-sign sketch (the simplest member of the Haitsma–Kalker /
     * Shazam family, restricted to the time axis since no FFT ships in
     * this sandbox). Uniform gain multiplies every energy by g² > 0 and
-    * preserves every comparison, so the fingerprint is amplitude-scale
-    * INVARIANT — re-encoded/volume-normalized copies collide, which is
-    * the near-dup property the fingerprint exists for. Streams shorter
+    * preserves every comparison, so ABSENT CLIPPING the fingerprint is
+    * amplitude-scale invariant — re-encoded/volume-normalized copies
+    * collide, which is the near-dup property the fingerprint exists for.
+    * Gain that saturates the 16-bit range clips samples, which scales
+    * frames unevenly and can flip comparisons: clipped-hot copies are
+    * NEAR duplicates (few flipped bits, inside the banded join's Hamming
+    * radius for mild clipping), not guaranteed exact collisions.
+    * Multi-channel 16-bit LE streams pass the format gate deliberately
+    * and are fingerprinted over the INTERLEAVED stream: per-frame energy
+    * sums all channels (a frame boundary cuts mid-sample-frame at worst
+    * once per frame — error of order 1/f), so a stereo file and its
+    * re-gained stereo copy collide, while a mono DOWNMIX is a different
+    * signal and is not expected to. Streams shorter
     * than 65 samples (no full frame grid) drop, like undecodable payloads.
     *
     * Int64 bound: a frame of f samples sums to ≤ f·2¹⁵·2¹⁵ — safe to

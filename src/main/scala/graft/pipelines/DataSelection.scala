@@ -1026,7 +1026,12 @@ object DataSelection {
     * bit-identical across engines — and each weight is snapped to integer
     * micro-units BEFORE the normalizing sum (the module's micro-nat
     * policy), so the denominator is an associative integer sum, not an
-    * order-sensitive float reduction.
+    * order-sensitive float reduction. The α=1 weight `n_tokens·10⁶` and
+    * the normalizing sum carry in DECIMAL(38,0) (the [[CorpusStats]]
+    * source_entropy lowering): an int64 w_micro would wrap past
+    * ≈ 9.2·10¹² tokens — i.e. at exactly the multi-trillion-token corpora
+    * this operator exists for. The weights remain exact integers, so the
+    * one cast-to-double at the final normalized division is unchanged.
     *
     * Scale shape: one column-pruned corpus pass into a |sources|-row
     * partial agg; the α-explode and the normalizing window run on that
@@ -1039,11 +1044,11 @@ object DataSelection {
     val byAlpha = per
       .select(col("source"), col("n_tokens"), explode(array(
         struct(lit(1.0).as("alpha"),
-          (col("n_tokens") * 1000000L).as("w_micro")),
+          (col("n_tokens").cast("decimal(38,0)") * 1000000L).cast("decimal(38,0)").as("w_micro")),
         struct(lit(0.5).as("alpha"),
-          expr("cast(round(sqrt(n_tokens) * 1000000) as bigint)").as("w_micro")),
+          expr("cast(round(sqrt(n_tokens) * 1000000) as decimal(38,0))").as("w_micro")),
         struct(lit(0.25).as("alpha"),
-          expr("cast(round(sqrt(sqrt(n_tokens)) * 1000000) as bigint)").as("w_micro"))
+          expr("cast(round(sqrt(sqrt(n_tokens)) * 1000000) as decimal(38,0))").as("w_micro"))
       )).as("x"))
       .select(col("source"), col("n_tokens"),
         col("x.alpha").as("alpha"), col("x.w_micro").as("w_micro"))
@@ -1051,7 +1056,7 @@ object DataSelection {
       .withColumn("tot", sum(col("w_micro")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("alpha"))))
       .select(col("source"), col("alpha"), col("n_tokens"),
-        round(col("w_micro") / col("tot"), 6).as("p"))
+        round(col("w_micro").cast("double") / col("tot").cast("double"), 6).as("p"))
   }
 
   def mixtureTemperatureSql: String =
@@ -1059,15 +1064,17 @@ object DataSelection {
       |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY 1),
       |e AS (
-      |  SELECT source, n_tokens, 1.0e0 AS alpha, n_tokens * 1000000 AS w_micro FROM per
+      |  SELECT source, n_tokens, 1.0e0 AS alpha,
+      |    CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0)) AS w_micro FROM per
       |  UNION ALL
       |  SELECT source, n_tokens, 0.5e0,
-      |    CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT) FROM per
+      |    CAST(round(sqrt(n_tokens) * 1000000) AS DECIMAL(38,0)) FROM per
       |  UNION ALL
       |  SELECT source, n_tokens, 0.25e0,
-      |    CAST(round(sqrt(sqrt(n_tokens)) * 1000000) AS BIGINT) FROM per)
+      |    CAST(round(sqrt(sqrt(n_tokens)) * 1000000) AS DECIMAL(38,0)) FROM per)
       |SELECT source, alpha, n_tokens,
-      |  round(w_micro / sum(w_micro) OVER (PARTITION BY alpha), 6) AS p
+      |  round(CAST(w_micro AS DOUBLE) /
+      |    CAST(sum(w_micro) OVER (PARTITION BY alpha) AS DOUBLE), 6) AS p
       |FROM e""".stripMargin
 
   // --------------------------------------------- filter rank correlation
@@ -1085,9 +1092,15 @@ object DataSelection {
     * centering by their exact mean (`Σ r2 = n(n+1)` always, so mean
     * `n + 1`) makes every moment an exact int64 sum — ρ is then a single
     * sqrt/divide on exact integers, bit-identical across engines. Centered
-    * cross-moments are bounded by n³, so int64 holds to n ≈ 2·10⁶ docs;
-    * past that the three sums lower to DECIMAL(38,0) (the
-    * [[TrainingPrep.qualityAuc]] note).
+    * SUMS of cross-moments are bounded by n³, so an int64 accumulator
+    * would wrap past n ≈ 2·10⁶ docs; the three sums therefore accumulate
+    * in DECIMAL(38,0). The remaining int64 term is the per-pair product
+    * (≤ 4n², safe to n ≈ 1.5·10⁹ docs), and under the session's default
+    * ANSI mode both that product and any decimal overflow ERROR loudly
+    * instead of wrapping — the module's ceiling-enforcement convention.
+    * Degenerate corpora where one filter's scores are all tied (sxx or
+    * syy = 0) yield ρ = NULL explicitly — an unguarded 0/0 is
+    * engine-dependent (Spark yields null, DuckDB double division NaNs).
     *
     * Scale shape: both score passes are the operators' own (histogram-
     * collapsed model sides); ranks come from per-score HISTOGRAMS joined
@@ -1120,11 +1133,14 @@ object DataSelection {
       .select((col("r2x") - col("np1")).as("cx"), (col("r2y") - col("np1")).as("cy"))
       .agg(
         count(lit(1)).cast("bigint").as("n_docs"),
-        sum(col("cx") * col("cy")).as("sxy"),
-        sum(col("cx") * col("cx")).as("sxx"),
-        sum(col("cy") * col("cy")).as("syy"))
+        sum((col("cx") * col("cy")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("cx") * col("cx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("cy") * col("cy")).cast("decimal(38,0)")).as("syy"))
       .select(col("n_docs"),
-        round(col("sxy") / (sqrt(col("sxx")) * sqrt(col("syy"))), 6)
+        when(col("sxx") > 0 && col("syy") > 0,
+          round(col("sxy").cast("double") /
+            (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))), 6))
+          .otherwise(lit(null).cast("double"))
           .as("spearman_rho"))
   }
 
@@ -1141,12 +1157,19 @@ object DataSelection {
        |    2 * rank() OVER (ORDER BY avg_nll) + count(*) OVER (PARTITION BY avg_nll) - 1 AS r2x,
        |    2 * rank() OVER (ORDER BY raw_score) + count(*) OVER (PARTITION BY raw_score) - 1 AS r2y,
        |    count(*) OVER () + 1 AS np1
-       |  FROM s)
-       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       |  round(CAST(sum((r2x - np1) * (r2y - np1)) AS BIGINT) /
-       |    (sqrt(CAST(sum((r2x - np1) * (r2x - np1)) AS BIGINT)) *
-       |     sqrt(CAST(sum((r2y - np1) * (r2y - np1)) AS BIGINT))), 6) AS spearman_rho
-       |FROM r""".stripMargin
+       |  FROM s),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CAST((r2x - np1) * (r2y - np1) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+       |    CAST(sum(CAST((r2x - np1) * (r2x - np1) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+       |    CAST(sum(CAST((r2y - np1) * (r2y - np1) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+       |  FROM r)
+       |SELECT n_docs,
+       |  CASE WHEN sxx > 0 AND syy > 0
+       |    THEN round(CAST(sxy AS DOUBLE) /
+       |      (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))), 6)
+       |    ELSE NULL END AS spearman_rho
+       |FROM m""".stripMargin
 
   // ------------------------------------------------ memorization n-grams
 

@@ -1001,12 +1001,16 @@ object TrainingPrep {
     *
     * Exactness: AUC = (#concordant + ½·#tied) / (n_pos·n_neg) over all
     * pos×neg pairs. Doubling clears the half: `2U = Σ_scores
-    * c_pos·(2·neg_below + c_neg_same)`, all int64, so
+    * c_pos·(2·neg_below + c_neg_same)`, so
     * `auc_ppm = 10⁶·2U div (2·n_pos·n_neg)` is engine-exact with zero
-    * float ranks. 2U ≤ 2·n_pos·n_neg, so int64 holds to n ≈ 2·10⁹ docs;
-    * past that promote the pair products to decimal(38,0) BEFORE
-    * multiplying (the [[graft.graph.GraphQueries]] item_cf_recs note —
-    * overflow here would wrap, not error, outside ANSI mode).
+    * float ranks. The pair products and their sum carry in DECIMAL(38,0)
+    * ([[AucPpmExpr]] + the decimal-promoted u2 term): an int64 pipeline
+    * wraps first at the 10⁶ scale-up (u2·10⁶ past n ≈ 4·10⁶ docs!) and
+    * then at 2U itself past n ≈ 2·10⁹ — both sign-flipping silently
+    * outside ANSI. The decimal form is exact to n ≈ 10¹⁶ docs and ERRORS
+    * loudly past 38 digits; OverflowPolicySuite pins the above-int64
+    * region against BigInt ground truth. The quotient (≤ 10⁶) is bigint
+    * either way, so results are value-identical in range.
     *
     * Scale shape: the corpus collapses to a SCORE HISTOGRAM carrying
     * per-score (c_pos, c_neg) — one doc_id-keyed label join + one
@@ -1014,6 +1018,13 @@ object TrainingPrep {
     * window and the final 1-row reduction run over that histogram only,
     * so the single-partition window is |distinct scores|-sized by
     * construction (the [[curriculumPhases]] pattern). */
+  /** `10⁶·2U div (2·n_pos·n_neg)` with every operand promoted to
+    * DECIMAL(38,0) before its first multiply (see [[qualityAuc]]'s
+    * exactness note); quotient ≤ 10⁶ returns as bigint. Factored out for
+    * OverflowPolicySuite's above-int64 fixtures. */
+  private[graft] val AucPpmExpr =
+    "cast(u2 as decimal(38,0)) * 1000000 div (2 * cast(n_pos as decimal(38,0)) * n_neg)"
+
   def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
     val scores = qualityClassifier(spark, dir).select(col("doc_id"), col("raw_score"))
     val labels = Tables.documents(spark, dir)
@@ -1029,9 +1040,10 @@ object TrainingPrep {
       .agg(
         sum(col("c_pos")).as("n_pos"),
         sum(col("c_neg")).as("n_neg"),
-        sum(col("c_pos") * (lit(2L) * col("neg_below") + col("c_neg"))).as("u2"))
+        sum(col("c_pos").cast("decimal(38,0)")
+          * (lit(2L) * col("neg_below") + col("c_neg"))).as("u2"))
       .select(col("n_pos"), col("n_neg"),
-        expr("u2 * 1000000L div (2L * n_pos * n_neg)").as("auc_ppm"))
+        expr(AucPpmExpr).as("auc_ppm"))
   }
 
   def qualityAucSql: String =

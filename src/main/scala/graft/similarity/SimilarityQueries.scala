@@ -1596,11 +1596,14 @@ object SimilarityQueries {
     * cross term `v·(G·v)` would overflow int64, so each per-dimension
     * product is snapped at a /4096 scale-down BEFORE the sum — the
     * module's per-row snapping policy, absolute error ≤ d·2048 on a ~10¹⁹
-    * numerator. Int64 bounds: mat-vec terms ≤ d·ḡ·[[PowerQ]] and snapped
-    * Rayleigh terms ≤ d·ḡ·[[PowerQ]]²/4096, with ḡ ≈ n·[[GramScale]]² —
-    * safe to n ≈ 10⁶ vectors, then the sums lower to DECIMAL(38,0) (the
-    * quality_auc note). [[PowerQ]] bounds direction resolution at ~10⁻³ —
-    * a diagnostic's precision, chosen so the bounds above hold at d = 64.
+    * numerator. Overflow policy: the mat-vec, trace, and Rayleigh SUMS
+    * accumulate in DECIMAL(38,0) (so the d-fold accumulation can never
+    * wrap; it errors loudly past 38 digits — OverflowPolicySuite pins the
+    * above-int64 region against BigInt ground truth). The residual int64
+    * ceiling is the per-TERM product `g·v_q ≤ ḡ·[[PowerQ]]` with
+    * ḡ ≈ n·[[GramScale]]², safe to n ≈ 9·10⁹ vectors and ANSI-erroring,
+    * never wrapping, past that. [[PowerQ]] bounds direction resolution at
+    * ~10⁻³ — a diagnostic's precision, chosen for the term bound at d = 64.
     *
     * Scale shape: the corpus contributes exactly [[gramMatrix]]'s one
     * partial-aggregated pass (dims²-bounded shuffle); all [[PowerRounds]]
@@ -1612,18 +1615,26 @@ object SimilarityQueries {
     * checkpoint barriers ~2× on job overhead alone. The single-partition
     * window sorts d rows, never data. Iteration cost is independent of
     * corpus size. */
+  /** The mat-vec row sum `Σ g_scaled·vj` accumulated in DECIMAL(38,0) —
+    * the int64-safe per-term product (bound in [[embedTopDirection]]'s
+    * note) promoted before the d-fold accumulation can wrap. Factored out
+    * for OverflowPolicySuite's above-int64 fixtures. */
+  private[graft] def matvecSum: Column =
+    sum((col("g_scaled") * col("vj")).cast("decimal(38,0)"))
+
   def embedTopDirection(spark: SparkSession, dir: String): DataFrame = {
     val upper = gramMatrix(spark, dir).select(col("i"), col("j"), col("g_scaled"))
     val g = graft.Caches.persisted(upper.union(
       upper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("g_scaled"))))
-    val trace = g.filter(col("i") === col("j")).agg(sum(col("g_scaled")).as("tr"))
+    val trace = g.filter(col("i") === col("j"))
+      .agg(sum(col("g_scaled").cast("decimal(38,0)")).as("tr"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     var v = g.select(col("i")).distinct().select(col("i"), lit(PowerQ).as("v_q"))
     def matvec(vec: DataFrame): DataFrame =
       g.join(vec.select(col("i").as("j"), col("v_q").as("vj")), "j")
         .groupBy(col("i"))
-        .agg(sum(col("g_scaled") * col("vj")).as("s"))
+        .agg(matvecSum.as("s"))
     for (_ <- 1 to PowerRounds)
       v = matvec(v)
         .withColumn("m", max(abs(col("s"))).over(wAll))
@@ -1635,7 +1646,7 @@ object SimilarityQueries {
       .select((col("v_q") * col("v_q")).as("vv"),
         expr("cast(round((cast(v_q as double) * cast(s as double)) / 4096) as bigint)")
           .as("t"))
-      .agg(sum(col("t")).as("sum_t"), sum(col("vv")).as("den"))
+      .agg(sum(col("t").cast("decimal(38,0)")).as("sum_t"), sum(col("vv")).as("den"))
     v.crossJoin(broadcast(ray)).crossJoin(broadcast(trace))
       .select(col("i"), col("v_q"),
         round(((col("sum_t") * lit(4096.0)) / col("den"))

@@ -90,4 +90,48 @@ class SkewSuite extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("spark.graft.maxBasketSize bounds the per-customer pair expansion (DIMSUM-style cap)") {
+    import graft.graph.GraphQueries
+    // sf0.001 orders/lineitem plus ONE synthetic power-law customer whose
+    // basket holds 500 distinct parts: uncapped that single customer
+    // expands to C(500,2) = 124,750 pairs inside one task — the exact
+    // single-task blow-up the cap exists to bound.
+    val out = java.nio.file.Files.createTempDirectory("graft-basketcap").toString
+    val bigCust = 999999L
+    val bigOrder = 900000000L
+    val orderRow = Tables.orders(spark, Sf0001).limit(1)
+      .withColumn("o_orderkey", lit(bigOrder))
+      .withColumn("o_custkey", lit(bigCust))
+    Tables.orders(spark, Sf0001).unionByName(orderRow)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val lineRows = Tables.lineitem(spark, Sf0001).limit(1)
+      .crossJoin(spark.range(1, 501).select(col("id").as("pk")))
+      .withColumn("l_orderkey", lit(bigOrder))
+      .withColumn("l_partkey", col("pk")).drop("pk")
+    Tables.lineitem(spark, Sf0001).unionByName(lineRows)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    def maxBasket(): Int = GraphQueries.cappedCustBaskets(spark, out)
+      .agg(max(size(col("ps")))).head().getInt(0)
+    try {
+      // default path: conf unset ⇒ the capped accessor IS the raw basket
+      // table (no slice in the plan), and the power-law basket is intact
+      assert(maxBasket() == 500, "uncapped basket should hold all 500 parts")
+      // cap above the max basket size: a no-op — identical baskets
+      spark.conf.set("spark.graft.maxBasketSize", "10000")
+      assert(maxBasket() == 500, "cap above max basket must be a no-op")
+      // binding cap: every basket (hence every pair-expansion task) is
+      // bounded at C(40,2) = 780 pairs instead of 124,750
+      spark.conf.set("spark.graft.maxBasketSize", "40")
+      assert(maxBasket() == 40, "cap must truncate the power-law basket")
+      // the capped query still runs end-to-end and only loses pairs that
+      // involve the truncated tail: recs among low part ids survive
+      val recs = GraphQueries.itemCfRecs(spark, out)
+      assert(recs.count() > 0)
+      // determinism: truncation is by sorted part id, so two runs agree
+      val again = GraphQueries.itemCfRecs(spark, out)
+      assert(recs.exceptAll(again).isEmpty && again.exceptAll(recs).isEmpty,
+        "capped results must be deterministic")
+    } finally spark.conf.unset("spark.graft.maxBasketSize")
+  }
 }

@@ -445,14 +445,16 @@ object CorpusStats {
     * Scale shape: ONE narrow explode emits all three gram orders tagged
     * by n; the total is a map-side-combined count per (source, n); the
     * exact distinct is one dedup shuffle keyed (source, n, gram) — the
-    * honest exact path; a 100 TB corpus would swap `countDistinct` for
-    * the HLL sketch twin (same one [[corpusOverlap]] uses) without
-    * touching the rest of the plan. */
-  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+    * honest exact path, and the heaviest shuffle of the family at 100 TB.
+    * [[ngramDiversityApprox]] IS the documented swap: the Datasketches
+    * HLL twin whose shuffle carries |sources|·3 sketches instead of
+    * every distinct gram. */
+  /** The tagged 1/2/3-gram rows both diversity variants aggregate: ONE
+    * narrow explode per document emitting (source, n, gram). */
+  private def gramRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("source"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
-    base
       .select(col("source"), explode(expr(
         """flatten(transform(sequence(1, 3), n ->
           |  filter(transform(sequence(1, size(toks)), i ->
@@ -461,6 +463,9 @@ object CorpusStats {
           |       NULL)),
           |  x -> x IS NOT NULL)))""".stripMargin)).as("p"))
       .select(col("source"), col("p.n").cast("bigint").as("n"), col("p.g").as("g"))
+
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    gramRows(spark, dir)
       // two-level aggregate instead of count+countDistinct in one agg:
       // the mixed form plans an Expand (2× every gram row through the
       // shuffle); grouping by the gram first costs ONE keyed partial agg
@@ -490,6 +495,68 @@ object CorpusStats {
       |  CAST(count(*) AS BIGINT) AS total_grams,
       |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
       |  CAST(count(DISTINCT g) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS diversity_ppm
+      |FROM g GROUP BY source, n""".stripMargin
+
+  /** HLL error budget for [[ngramDiversityApprox]]: lgConfigK = 12 gives
+    * rsd ≈ 1.04/√2¹² ≈ 1.6%; the 5% acceptance bound is ≈ 3σ — the
+    * [[graft.events.EventQueries.userHll]] decidable-flag convention. */
+  private val DivHllLgK = 12
+
+  /** The 100 TB path for [[ngramDiversity]]: distinct n-grams per
+    * (source, n) by Datasketches HLL (`hll_sketch_agg`, the same sketch
+    * family [[graft.events.EventQueries]]' events_hll_rollup re-aggregates)
+    * instead of the exact gram-keyed dedup shuffle. The sketch merges
+    * map-side, so the distinct estimate's shuffle payload is
+    * |sources|·3·2^[[DivHllLgK]] registers — corpus-size-INDEPENDENT —
+    * versus the exact path shuffling every distinct gram string. At a
+    * 10¹³-gram corpus that is the difference between a kilobyte-scale
+    * exchange and the heaviest shuffle in the family.
+    *
+    * Output contract (the [[graft.events.EventQueries.userHll]] pattern):
+    * a sketch estimate is engine-specific, so the registered row carries
+    * the EXACT totals plus the decidable `hll_within_5pct` flag — the
+    * oracle reproduces the exact side and asserts TRUE; the 5% bound is
+    * ≈ 3σ of the configured rsd, so a sketch regression fails the hash
+    * compare deterministically-in-practice. The inline exact join is the
+    * contract harness, not the production shape — a deployment reads the
+    * estimate column alone (the scaladoc's one-pass plan), which
+    * CorpusStatsSuite's contract test exercises against the exact twin. */
+  /** The production one-pass shape: totals + HLL distinct estimate in a
+    * single (source, n)-keyed aggregate — the frame a 100 TB deployment
+    * reads directly. Package-visible so the suite can pin its plan
+    * (exactly one exchange, no gram-keyed dedup) and its accuracy. */
+  private[graft] def ngramDiversityEstimate(spark: SparkSession, dir: String): DataFrame =
+    gramRows(spark, dir)
+      .groupBy(col("source"), col("n"))
+      .agg(
+        count(lit(1)).cast("bigint").as("total_grams"),
+        hll_sketch_estimate(hll_sketch_agg(col("g"), lit(DivHllLgK))).as("n_hll"))
+
+  def ngramDiversityApprox(spark: SparkSession, dir: String): DataFrame = {
+    val approx = ngramDiversityEstimate(spark, dir)
+    val exact = ngramDiversity(spark, dir)
+      .select(col("source"), col("n"), col("distinct_grams"))
+    approx.join(exact, Seq("source", "n"))
+      .select(col("source"), col("n"), col("total_grams"), col("distinct_grams"),
+        (abs(col("n_hll") - col("distinct_grams")).cast("double")
+          / col("distinct_grams").cast("double") < 0.05).as("hll_within_5pct"))
+  }
+
+  def ngramDiversityApproxSql: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |t2 AS (SELECT source, toks FROM tok WHERE len(toks) >= 1),
+      |g AS (
+      |  SELECT source, CAST(n AS BIGINT) AS n,
+      |    array_to_string(toks[i : i + n - 1], ' ') AS g
+      |  FROM t2, UNNEST(range(1, 4)) AS nn(n), UNNEST(range(1, len(toks) + 1)) AS ii(i)
+      |  WHERE i <= len(toks) - n + 1)
+      |SELECT source, n,
+      |  CAST(count(*) AS BIGINT) AS total_grams,
+      |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+      |  TRUE AS hll_within_5pct
       |FROM g GROUP BY source, n""".stripMargin
 
   /** Per-source unigram Shannon entropy in EXACT integer micro-nats — the

@@ -20,18 +20,27 @@ import graft.plans.GraftSession
   * the posture a 100 TB warehouse deployment would run. This tool proves
   * the mode on the real registry: per query it prints both walls, both
   * join-leaf orders, whether the order changed, and a fingerprint
-  * equality check (the reorder must be invisible in the bytes).
+  * equality check (the reorder must be invisible in the bytes) — and
+  * writes the whole record as one JSON artifact (BENCH_CBO.json by
+  * default) so the benched posture is a committed number, not a log line.
   *
-  * `runMain graft.tools.CboBench [sfDir] [queries]`
+  * `runMain graft.tools.CboBench [sfDir] [queries] [artifactPath]`
   */
 object CboBench {
 
-  /** The registry's join-heaviest shapes — dimension chains the CBO can
-    * legitimately re-sequence. */
-  private val Probes = Seq(
-    "q2_min_cost_supplier", "q3_shipping", "q5_nation_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q10_returned_ranking", "q21_waiting_suppliers")
+  /** Probe selection is evidence-based, not a hand list: the candidate
+    * pool is the relational + events registry families (the catalog-table
+    * consumers — the memoizing dedup/graph/similarity families build
+    * session artifacts whose walls don't re-plan per mode), and a
+    * candidate graduates to probe when its RAW optimized plan carries
+    * ≥ 3 join leaves — the shapes `CostBasedJoinReorder` can legitimately
+    * re-sequence. New registry queries that follow the family naming are
+    * picked up automatically. */
+  private val CandidatePool = java.util.regex.Pattern.compile(
+    "^(q\\d+_.*|orders_.*|lineitem_.*|customer.*|nation_.*|region_.*|part_.*|" +
+      "brand_.*|supplier_.*|top_customers|union_order_status|distinct_segments|" +
+      "median_price|price_.*|shipping_lag|pricing_incremental|table_digest|" +
+      "fk_orphan_audit|events_.*|user_journey_.*)$")
 
   private val TableNames = Seq("lineitem", "orders", "customer", "supplier",
     "part", "nation", "region", "events", "documents", "embeddings")
@@ -62,12 +71,23 @@ object CboBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val artifact = args.lift(2).getOrElse("BENCH_CBO.json")
+    val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val probes = args.lift(1)
       .map(_.split(',').toSeq.map(_.trim).filter(SparkEntry.queries.contains))
       .filter(_.nonEmpty)
-      .getOrElse(Probes)
-    val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+      .getOrElse {
+        SparkEntry.queries.keys.toSeq.sorted
+          .filter(n => CandidatePool.matcher(n).matches())
+          .filter { n =>
+            try leafOrder(SparkEntry.queries(n)(spark, sfDir)).size >= 3
+            catch { case e: Throwable =>
+              System.err.println(s"[cbobench] skip $n (plan failed: ${e.getMessage})"); false
+            }
+          }
+      }
+    System.err.println(s"[cbobench] ${probes.size} multi-join probes: ${probes.mkString(", ")}")
     // raw-mode pass first (the confs route loaders per-dir, so order matters)
     val raw = probes.map { name =>
       val fn = SparkEntry.queries(name)
@@ -83,7 +103,7 @@ object CboBench {
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     var mismatches = 0
     var reordered = 0
-    raw.foreach { case (name, rawOrder, rawFp, rawSec) =>
+    val records = raw.map { case (name, rawOrder, rawFp, rawSec) =>
       val fn = SparkEntry.queries(name)
       val cboOrder = leafOrder(fn(spark, sfDir))
       val t0 = System.nanoTime()
@@ -98,8 +118,20 @@ object CboBench {
         f"${if (moved) "REORDERED" else "same-order"} ${if (ok) "MATCH" else "MISMATCH"}")
       if (moved)
         println(s"[cbobench]   raw: ${rawOrder.mkString(" > ")}\n[cbobench]   cbo: ${cboOrder.mkString(" > ")}")
+      (name, rawSec, cboSec, moved, ok)
     }
     println(s"[cbobench] done: ${raw.size} queries, $reordered reordered, $mismatches mismatches")
+    def f2(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val json = records.map { case (n, r, c, m, ok) =>
+      s""""$n":{"raw_sec":${f2(r)},"cbo_sec":${f2(c)},"reordered":$m,"match":$ok}"""
+    }.mkString(
+      s"""{"metric":"cbo_bench","sf":"$sfDir","n_probes":${records.size},""" +
+        s""""reordered":$reordered,"mismatches":$mismatches,""" +
+        s""""raw_total_sec":${f2(records.map(_._2).sum)},""" +
+        s""""cbo_total_sec":${f2(records.map(_._3).sum)},"queries":{""",
+      ",", "}}\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json)
+    catch { case e: Throwable => System.err.println(s"[cbobench] artifact write failed: ${e.getMessage}") }
     spark.sql("DROP DATABASE IF EXISTS graft_bench CASCADE")
     spark.stop()
     if (mismatches > 0) sys.exit(1)

@@ -445,4 +445,34 @@ class CorpusStatsSuite extends SparkSpec {
       assert(all.size == 6 && all.toMap.get("zeta").contains(3L))
     } finally q.stop()
   }
+
+  test("ngram_diversity_approx: HLL estimate within the rsd contract; one-exchange plan") {
+    import graft.text.CorpusStats
+    // accuracy contract: lgK=12 ⇒ rsd ≈ 1.6%; assert every (source, n)
+    // estimate within 5% (≈3σ) of the exact distinct count — the same
+    // bound the registered row's hll_within_5pct flag encodes
+    val exact = CorpusStats.ngramDiversity(spark, Sf0001)
+      .select(col("source"), col("n"), col("distinct_grams"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val est = CorpusStats.ngramDiversityEstimate(spark, Sf0001)
+    val rows = est.collect()
+    assert(rows.length == exact.size, "estimate must cover every (source, n) group")
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val e = exact(key).toDouble
+      val h = r.getLong(3).toDouble
+      assert(math.abs(h - e) / e < 0.05,
+        s"$key: HLL estimate $h vs exact $e breaks the 5% (≈3σ of rsd=1.6%) contract")
+    }
+    // scale contract: the production one-pass frame shuffles ONCE, keyed
+    // (source, n) — sketches merge map-side; a gram-keyed dedup exchange
+    // or an Expand here would mean the approx path silently regressed to
+    // exact-shuffle cost
+    // AdaptiveSparkPlan's toString prints Final AND Initial sections —
+    // count exchanges in the final one only
+    val plan = est.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val nExchanges = "Exchange".r.findAllIn(plan).length
+    assert(nExchanges == 1, s"expected exactly one exchange, got $nExchanges:\n$plan")
+    assert(!plan.contains("Expand"), s"approx path must not Expand:\n$plan")
+  }
 }

@@ -54,7 +54,8 @@ object ScaleProbe {
     "embed_topk_ivfpq_rerank", "ann_recall_rerank", "embed_dim_stats", "shard_balance",
     "chunk_dup_rate", "embed_margin_pairs", "ngram_diversity", "source_entropy",
     "dedup_threshold_curve", "mixture_temperature", "filter_correlation", "hot_ngrams",
-    "embed_top_direction", "user_journey_topk", "user_journey_nll")
+    "embed_top_direction", "user_journey_topk", "user_journey_nll",
+    "ngram_diversity_approx")
 
   private[tools] def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     // the replica tag is a single letter: beyond 26 replicas the tag would

@@ -1624,9 +1624,19 @@ object SimilarityQueries {
 
   def embedTopDirection(spark: SparkSession, dir: String): DataFrame = {
     val upper = gramMatrix(spark, dir).select(col("i"), col("j"), col("g_scaled"))
+    // the iterate table is dims²-bounded (4096 rows at d=64, 1M at
+    // d=1024) — collapse it to ONE partition before the rounds: the
+    // corpus-side gram build keeps its full parallelism, but 10 rounds of
+    // 32-way shuffles over a table this small cost pure task-scheduling
+    // overhead (measured: 1548 tasks, Σ executorRunTime ≈ 0.5 s of a
+    // ~3 s wall). With a 1-partition parent every round's map side is one
+    // task and AQE coalesces the reduce sides to match: 2.97 → ~1.2 s,
+    // and the single-partition windows the rounds already used stop being
+    // a repartitioning step
     val g = graft.Caches.persisted(upper.union(
       upper.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("g_scaled"))))
+        .select(col("j").as("i"), col("i").as("j"), col("g_scaled")))
+      .repartition(1))
     val trace = g.filter(col("i") === col("j"))
       .agg(sum(col("g_scaled").cast("decimal(38,0)")).as("tr"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

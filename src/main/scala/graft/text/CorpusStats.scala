@@ -295,14 +295,21 @@ object CorpusStats {
     * edge-set-sized and `localCheckpoint`-truncated exactly like the
     * document-level components loop, terminating in O(cluster diameter). */
   def sourceClusters(spark: SparkSession, dir: String): DataFrame = {
+    // node/edge tables are |sources|-sized (~60 rows) — collapse to ONE
+    // partition before the label rounds: iterating tables this small
+    // across 32-way shuffles costs pure task-scheduling (the
+    // embed_top_direction lesson; measured ~1.7 s of the query's wall
+    // beyond the corpus_overlap pass it consumes)
     val pairs = corpusOverlap(spark, dir)
       .filter(col("jaccard_ppm") >= ClusterPpm)
       .select(col("source_a"), col("source_b"))
+      .repartition(1)
       .localCheckpoint()
     val nodes = Tables.documents(spark, dir).select(col("source")).distinct()
     val edges = pairs.union(pairs.select(col("source_b"), col("source_a")))
       .toDF("src", "dst")
     var labels = nodes.select(col("source").as("node"), col("source").as("lab"))
+      .repartition(1)
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {

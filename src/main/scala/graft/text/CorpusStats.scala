@@ -521,13 +521,20 @@ object CorpusStats {
     *
     * Output contract (the [[graft.events.EventQueries.userHll]] pattern):
     * a sketch estimate is engine-specific, so the registered row carries
-    * the EXACT totals plus the decidable `hll_within_5pct` flag — the
-    * oracle reproduces the exact side and asserts TRUE; the 5% bound is
-    * ≈ 3σ of the configured rsd, so a sketch regression fails the hash
-    * compare deterministically-in-practice. The inline exact join is the
+    * the EXACT totals plus the decidable `hll_within_10pct` flag — the
+    * oracle reproduces the exact side and asserts TRUE. The flag's bound
+    * is deliberately WIDER than the suite's: 10% ≈ 6σ of the configured
+    * 1.6% rsd (userHll's exact convention), so a healthy sketch can never
+    * flip the oracle hash on a testdata regeneration (at ≈ 3σ, one of the
+    * ~180 (source, n) groups across verified scales would eventually land
+    * outside by chance and misattribute data luck as a code bug), while a
+    * BROKEN sketch — wrong register merge, wrong lgK — is off by far more
+    * than 10% and still fails deterministically. The tighter ≈ 3σ (5%)
+    * accuracy assertion lives in CorpusStatsSuite's contract test, where
+    * a failure reads as what it is. The inline exact join is the
     * contract harness, not the production shape — a deployment reads the
     * estimate column alone (the scaladoc's one-pass plan), which
-    * CorpusStatsSuite's contract test exercises against the exact twin. */
+    * CorpusStatsSuite exercises against the exact twin. */
   /** The production one-pass shape: totals + HLL distinct estimate in a
     * single (source, n)-keyed aggregate — the frame a 100 TB deployment
     * reads directly. Package-visible so the suite can pin its plan
@@ -546,7 +553,7 @@ object CorpusStats {
     approx.join(exact, Seq("source", "n"))
       .select(col("source"), col("n"), col("total_grams"), col("distinct_grams"),
         (abs(col("n_hll") - col("distinct_grams")).cast("double")
-          / col("distinct_grams").cast("double") < 0.05).as("hll_within_5pct"))
+          / col("distinct_grams").cast("double") < 0.10).as("hll_within_10pct"))
   }
 
   def ngramDiversityApproxSql: String =
@@ -563,7 +570,7 @@ object CorpusStats {
       |SELECT source, n,
       |  CAST(count(*) AS BIGINT) AS total_grams,
       |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
-      |  TRUE AS hll_within_5pct
+      |  TRUE AS hll_within_10pct
       |FROM g GROUP BY source, n""".stripMargin
 
   /** Per-source unigram Shannon entropy in EXACT integer micro-nats — the

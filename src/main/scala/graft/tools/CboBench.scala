@@ -33,9 +33,12 @@ object CboBench {
     * consumers — the memoizing dedup/graph/similarity families build
     * session artifacts whose walls don't re-plan per mode), and a
     * candidate graduates to probe when its RAW optimized plan carries
-    * ≥ 3 join leaves — the shapes `CostBasedJoinReorder` can legitimately
-    * re-sequence. New registry queries that follow the family naming are
-    * picked up automatically. */
+    * ≥ 2 Join operators (≥ 3 join participants) — the shapes
+    * `CostBasedJoinReorder` can legitimately re-sequence. Counting JOIN
+    * nodes, not scan leaves: a 3-way UNION also has 3 leaves but nothing
+    * to reorder, and admitting it would pad the artifact's totals with
+    * structurally non-reorderable rows. New registry queries that follow
+    * the family naming are picked up automatically. */
   private val CandidatePool = java.util.regex.Pattern.compile(
     "^(q\\d+_.*|orders_.*|lineitem_.*|customer.*|nation_.*|region_.*|part_.*|" +
       "brand_.*|supplier_.*|top_customers|union_order_status|distinct_segments|" +
@@ -60,14 +63,10 @@ object CboBench {
         case (p, t) if c.startsWith(p) => t
       }.getOrElse("?"))
 
-  private def fingerprint(df: DataFrame): (Long, Long) = {
-    val rowStr = concat_ws("|",
-      df.columns.sorted.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
-    val r = df.select(crc32(rowStr).as("h"))
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("s"))
-      .head()
-    (r.getLong(0), r.getLong(1))
-  }
+  private def joinCount(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -81,7 +80,7 @@ object CboBench {
         SparkEntry.queries.keys.toSeq.sorted
           .filter(n => CandidatePool.matcher(n).matches())
           .filter { n =>
-            try leafOrder(SparkEntry.queries(n)(spark, sfDir)).size >= 3
+            try joinCount(SparkEntry.queries(n)(spark, sfDir)) >= 2
             catch { case e: Throwable =>
               System.err.println(s"[cbobench] skip $n (plan failed: ${e.getMessage})"); false
             }
@@ -93,7 +92,7 @@ object CboBench {
       val fn = SparkEntry.queries(name)
       val order = leafOrder(fn(spark, sfDir))
       val t0 = System.nanoTime()
-      val fp = fingerprint(fn(spark, sfDir))
+      val fp = RowFingerprint(fn(spark, sfDir))
       val sec = (System.nanoTime() - t0) / 1e9
       Caches.drain()
       (name, order, fp, sec)
@@ -107,7 +106,7 @@ object CboBench {
       val fn = SparkEntry.queries(name)
       val cboOrder = leafOrder(fn(spark, sfDir))
       val t0 = System.nanoTime()
-      val cboFp = fingerprint(fn(spark, sfDir))
+      val cboFp = RowFingerprint(fn(spark, sfDir))
       val cboSec = (System.nanoTime() - t0) / 1e9
       Caches.drain()
       val ok = cboFp == rawFp

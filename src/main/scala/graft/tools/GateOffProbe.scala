@@ -84,15 +84,6 @@ object GateOffProbe {
     }
   }
 
-  private def fingerprint(df: DataFrame): (Long, Long) = {
-    val rowStr = concat_ws("|",
-      df.columns.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
-    val r = df.select(crc32(rowStr).as("h"))
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("s"))
-      .head()
-    (r.getLong(0), r.getLong(1))
-  }
-
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(8)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
@@ -113,14 +104,14 @@ object GateOffProbe {
       // (trained models, edge memos), which both passes share; the probe
       // measures the JOIN STRATEGY delta, not artifact build cost
       val t0 = System.nanoTime()
-      val fpOn = fingerprint(fn(spark, dir))
+      val fpOn = RowFingerprint(fn(spark, dir))
       val onSec = (System.nanoTime() - t0) / 1e9
       Caches.drain()
       spark.conf.set(Plans.BroadcastRowLimitKey, "0")
       spark.conf.set(Plans.BroadcastByteLimitKey, "0")
       try {
         val t1 = System.nanoTime()
-        val fpOff = fingerprint(fn(spark, dir))
+        val fpOff = RowFingerprint(fn(spark, dir))
         val offSec = (System.nanoTime() - t1) / 1e9
         val ok = fpOn == fpOff
         if (!ok) mismatches += 1

@@ -450,7 +450,8 @@ class CorpusStatsSuite extends SparkSpec {
     import graft.text.CorpusStats
     // accuracy contract: lgK=12 ⇒ rsd ≈ 1.6%; assert every (source, n)
     // estimate within 5% (≈3σ) of the exact distinct count — the same
-    // bound the registered row's hll_within_5pct flag encodes
+    // bound; the registered row's hll_within_10pct oracle flag is 10%
+    // (~6 sigma, the userHll convention) so a data regeneration cannot flip it
     val exact = CorpusStats.ngramDiversity(spark, Sf0001)
       .select(col("source"), col("n"), col("distinct_grams"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap

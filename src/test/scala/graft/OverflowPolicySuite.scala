@@ -24,7 +24,7 @@ class OverflowPolicySuite extends SparkSpec {
 
   test("item_cf_recs cos2_ppm: exact above the old co ≈ 3e6 int64 ceiling") {
     import spark.implicits._
-    // co²·10⁶ = 1.6e31 — 12 orders of magnitude past int64
+    // co² = 1.6e19, ·10⁶ = 1.6e25 — six orders of magnitude past int64
     val co = 4000000000L; val di = 5000000000L; val dn = 6400000000L
     val row = Seq((co, di, dn)).toDF("co", "di", "dn")
     val got = row.select(expr(graft.graph.GraphQueries.Cos2PpmExpr).as("ppm"))
@@ -73,14 +73,31 @@ class OverflowPolicySuite extends SparkSpec {
   }
 
   test("lowered accumulators really are decimal (ANSI decimal semantics apply)") {
-    // dtype pins: a regression back to bigint would re-open the silent-wrap
-    // window on pre-ANSI sessions and flip these assertions immediately
+    // dtype pins on the INTERNAL accumulators — the outputs are cast to
+    // double/bigint either way, so output-schema checks could not detect
+    // a regression back to bigint sums. The analyzed plan's aggregate
+    // expressions carry the accumulator types: a revert of any site's
+    // decimal(38,0) promotion removes every decimal cast from that
+    // query's plan (neither source table has a decimal column, so any
+    // decimal in the plan IS the lowering).
     val fc = graft.pipelines.DataSelection.filterCorrelation(spark, Sf0001)
     assert(fc.schema("spearman_rho").dataType.typeName == "double")
+    val fcPlan = fc.queryExecution.analyzed.toString
+    assert(fcPlan.contains("decimal(38,0)"),
+      "filter_correlation's moment sums lost their DECIMAL(38,0) accumulators")
     val mt = graft.pipelines.DataSelection.mixtureTemperature(spark, Sf0001)
     assert(mt.schema("p").dataType.typeName == "double")
-    // the internal accumulators: check via the analyzed plans of the
-    // factored expressions on probe frames
+    val mtPlan = mt.queryExecution.analyzed.toString
+    assert(mtPlan.contains("decimal(38,0)"),
+      "mixture_temperature's w_micro/tot lost their DECIMAL(38,0) carriers")
+    val auc = graft.pipelines.TrainingPrep.qualityAuc(spark, Sf0001)
+    assert(auc.queryExecution.analyzed.toString.contains("decimal(38,0)"),
+      "quality_auc's u2 sum lost its DECIMAL(38,0) accumulator")
+    val etd = graft.similarity.SimilarityQueries.embedTopDirection(spark, Sf0001)
+    assert(etd.queryExecution.analyzed.toString.contains("decimal(38,0)"),
+      "embed_top_direction's sums lost their DECIMAL(38,0) accumulators")
+    graft.Caches.drain()
+    // the factored mat-vec accumulator, pinned at the dtype level directly
     import spark.implicits._
     val probe = Seq((1L, 2L)).toDF("g_scaled", "vj")
       .agg(graft.similarity.SimilarityQueries.matvecSum.as("s"))

@@ -1153,6 +1153,14 @@ object TrainingPrep {
     * `p·10⁶ div n` snap. Score cardinality bounds everything: the DP table,
     * the windows, the recursion — all saturate with the score RANGE, not
     * the corpus. */
+  /** The final `p·10⁶ div n` snap over a pooled block's positive count:
+    * fp is an int64 count whose 10⁶ scale-up costs the same 20 bits the
+    * round-12 ceiling policy removed from [[AucPpmExpr]], so the multiply
+    * is promoted to DECIMAL(38,0) (`div` lowers back to bigint; output
+    * schema unchanged). Factored out for OverflowPolicySuite's
+    * above-int64 fixture. */
+  private[graft] val IsoPpmExpr = "cast(fp as decimal(38,0)) * 1000000 div fn"
+
   def qualityIsotonic(spark: SparkSession, dir: String): DataFrame = {
     val scores = qualityClassifier(spark, dir).select(col("doc_id"), col("raw_score"))
     val labels = Tables.documents(spark, dir)
@@ -1227,7 +1235,7 @@ object TrainingPrep {
       .withColumn("fp", last(col("sfp"), ignoreNulls = true).over(wFill))
       .withColumn("fn", last(col("sfn"), ignoreNulls = true).over(wFill))
       .select(col("raw_score"), col("n"), col("p"),
-        expr("fp * 1000000 div fn").as("iso_ppm"))
+        expr(IsoPpmExpr).as("iso_ppm"))
   }
 
   /** Oracle: sequential PAV as a single-path recursive CTE — the stack of

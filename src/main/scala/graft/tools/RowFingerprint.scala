@@ -10,16 +10,23 @@ import org.apache.spark.sql.functions._
   * execute the same final projection, so identical values imply identical
   * formatting.
   *
-  * NULL renders as the NUL (u0000) sentinel: a raw NUL cannot appear in a
-  * column's string form, so NULL can never collide with a real value. (An
-  * earlier CboBench copy used a single space — under which a NULL on one
-  * side and a literal " " on the other fingerprint identically, masking
+  * NULL is disambiguated STRUCTURALLY, not by a sentinel value: the
+  * canonical row string leads with a per-column null bitmap (isnull as
+  * 0/1 over the sorted columns) before the coalesced values. Rows that
+  * differ only in NULL-vs-some-literal — including a literal NUL, which
+  * a payload-derived string column CAN legitimately contain — differ in
+  * the bitmap, so no sentinel choice can collide. (An earlier CboBench
+  * copy coalesced NULL to a bare " " — under which a NULL on one side
+  * and a literal " " on the other fingerprint identically, masking
   * exactly the plan-change-induced result drift the probe exists to
-  * catch. One shared helper, one sentinel.) */
+  * catch; a NUL sentinel narrowed but did not close that hole. One
+  * shared helper, zero sentinel assumptions.) */
 object RowFingerprint {
   def apply(df: DataFrame): (Long, Long) = {
+    val cols = df.columns.sorted
+    val bitmap = concat(cols.map(c => isnull(col(c)).cast("int").cast("string")): _*)
     val rowStr = concat_ws("|",
-      df.columns.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+      bitmap +: cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
     val r = df.select(crc32(rowStr).as("h"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("s"))
       .head()

@@ -59,6 +59,23 @@ class OverflowPolicySuite extends SparkSpec {
     assert(u2want > BigInt(Long.MaxValue), "fixture must exceed int64 to prove the point")
   }
 
+  test("quality_isotonic iso_ppm: exact above the old fp ≈ 9.2e12 ceiling") {
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    // fp = 2e13 block positives: fp·10⁶ = 2e19, past int64 — the r12
+    // ADVICE residual. Ground truth via BigInt; dtype must stay bigint.
+    val fp = 20000000000000L; val fn = 30000000000000L
+    val row = Seq((fp, fn)).toDF("fp", "fn")
+      .select(expr(graft.pipelines.TrainingPrep.IsoPpmExpr).as("iso_ppm"))
+    assert(row.schema("iso_ppm").dataType == LongType,
+      s"iso_ppm must stay bigint, got ${row.schema("iso_ppm").dataType}")
+    val got = row.head().getLong(0)
+    val want = (BigInt(fp) * 1000000 / BigInt(fn)).toLong
+    assert(got == want, s"iso_ppm $got != BigInt ground truth $want")
+    assert(BigInt(fp) * 1000000 > BigInt(Long.MaxValue),
+      "fixture must exceed int64 to prove the point")
+  }
+
   test("embed_top_direction mat-vec sum: exact when the accumulation passes int64") {
     import spark.implicits._
     // two per-term products of 8e18 each (inside int64) summing to 1.6e19

@@ -11,6 +11,17 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_MANAGED=1: run the WHOLE registry in managed-catalog CBO
+    // mode (ANALYZEd tables + cost-based optimizer + join-reorder, the
+    // gates standing down via Plans.statsTrusted) — the correctness half
+    // of the CBO posture: the dump this produces must oracle-match
+    // registry-wide, not just on CboBench's multi-join probe subset.
+    if (sys.env.get("SPARK_GRAFT_MANAGED").contains("1")) {
+      Tables.materializeCatalog(spark, sfDir, "graft_verify")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      System.err.println("[verify] managed-catalog CBO mode ON (graft_verify)")
+    }
     new java.io.File(outDir).mkdirs()
     // Capture every failure as data, not just a log line: a query that
     // throws at analysis time produces no parquet dir, and a dump-dir-driven
@@ -47,6 +58,8 @@ object Verify {
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     System.err.println(
       s"[verify-summary] ${SparkEntry.queries.size - errors.size}/${SparkEntry.queries.size} dumped, ${errors.size} failed")
+    if (sys.env.get("SPARK_GRAFT_MANAGED").contains("1"))
+      spark.sql("DROP DATABASE IF EXISTS graft_verify CASCADE")
     spark.stop()
   }
 }

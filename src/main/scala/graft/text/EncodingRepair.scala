@@ -1,0 +1,160 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Encoding repair / mojibake detection — the ftfy-shaped pass CCNet-class
+  * pipelines run before any other text processing: web-crawled corpora are
+  * full of UTF-8 text that was decoded as Windows-1252 somewhere upstream
+  * ("é" → "Ã©", "’" → "â€™") plus U+FFFD replacement characters from hard
+  * decode failures. Reference scope: no analog in the reference engine;
+  * part of the LLM-pipeline extension mandated alongside SURVEY.md §2.
+  *
+  * The repair rule set is DERIVED, not hand-typed: for each curated target
+  * character, its mojibake signature is `new String(utf8Bytes(c),
+  * "windows-1252")` — the exact string a cp1252 mis-decode produces.
+  * Characters whose UTF-8 bytes hit cp1252's five undefined slots (which
+  * decode to C1 controls) or NBSP are filtered out programmatically, so
+  * every signature is a printable, SQL-literal-safe string. Repair is a
+  * chain of LITERAL `replace` calls (3-byte signatures before 2-byte; the
+  * two alphabets share no characters, so the chain order within a length
+  * class is immaterial and no replacement can manufacture or destroy
+  * another signature — EncodingRepairSuite pins the round-trip). The same
+  * generated expression string runs verbatim in Spark and DuckDB, so
+  * oracle parity is by construction.
+  *
+  * Scale: per-row narrow projections of codegen'd string built-ins — zero
+  * shuffles, column pruning reaches the scan; the rule table is a plan
+  * constant, not a join.
+  *
+  * Fixture note: the synthetic corpus is clean ASCII, so the registered
+  * queries compose the operators with [[withMojibake]] — a deterministic
+  * doc_id-keyed corruption stage (single-pass per-char forward map, so
+  * corrupting cannot cascade) expressed identically in both engines via
+  * interpolated constants. The operators themselves take any text column. */
+object EncodingRepair {
+
+  /** Curated repair targets: Latin-1/Latin-Extended letters and the
+    * Windows punctuation block commonly seen double-encoded. '”' (U+201D)
+    * is intentionally absent — its UTF-8 tail byte 0x9D is undefined in
+    * cp1252, so real-world mis-decodes of it lose information and are not
+    * literal-reversible. */
+  private val TargetChars = "éèêëîïôöûüçñáíóú’‘“–—…"
+
+  /** (signature, clean) pairs, longest signature first. Derived from
+    * [[TargetChars]]; filtered so no signature carries a C1 control
+    * (cp1252-undefined byte) or NBSP. */
+  val Signatures: Seq[(String, String)] = TargetChars.map { c =>
+    (new String(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      "windows-1252"), c.toString)
+  }.filter { case (sig, _) =>
+    // U+0080-U+009F: cp1252-undefined bytes decode to C1 controls;
+    // U+00A0: NBSP - both unfit for SQL literals / CSV round-trips.
+    sig.forall(ch => ch < 0x0080 || ch > 0x00a0)
+  }.sortBy(-_._1.length)
+
+  private val SigOf: Map[Char, String] =
+    Signatures.map { case (sig, clean) => clean.head -> sig }.toMap
+
+  /** Clean fixture tail: every repairable character once, space-separated
+    * (the spaces also rule out any cross-signature junction ambiguity in
+    * the corrupted form). */
+  val CleanTail: String =
+    " fixture: " + Signatures.map(_._2).mkString(" ") + " end."
+
+  /** [[CleanTail]] through the forward (corrupting) map — one pass over
+    * characters, so a produced signature can never be re-corrupted by a
+    * later rule. */
+  val CorruptTail: String =
+    CleanTail.map(c => SigOf.getOrElse(c, c.toString)).mkString
+
+  /** The chained literal-replace repair over SQL expression `inner` — the
+    * SAME string parses in Spark and DuckDB. */
+  def repairExpr(inner: String): String =
+    Signatures.foldLeft(inner) { case (acc, (sig, clean)) =>
+      s"replace($acc, '$sig', '$clean')"
+    }
+
+  /** Total signature occurrences in `t` via length arithmetic
+    * (`divOp` = "div" for Spark, "//" for DuckDB). Each term is exact:
+    * removal shrinks the string by occurrences × |sig| characters. */
+  def sigCountExpr(t: String, divOp: String): String =
+    Signatures.map { case (sig, _) =>
+      s"((length($t) - length(replace($t, '$sig', ''))) $divOp ${sig.length})"
+    }.mkString("(", " + ", ")")
+
+  /** Characters covered by signatures (for density scoring). */
+  private def sigCharsExpr(t: String): String =
+    Signatures.map { case (sig, _) =>
+      s"(length($t) - length(replace($t, '$sig', '')))"
+    }.mkString("(", " + ", ")")
+
+  private val Fffd = "�"
+
+  /** Deterministic corruption over the clean synthetic corpus: mojibake
+    * tail on the 4-residue stream, U+FFFD damage on the 17-residue
+    * stream, and an ALREADY-CLEAN unicode tail on the 9-residue stream
+    * (which the scorer must not flag and the repair must not touch). */
+  def withMojibake(docs: DataFrame): DataFrame = docs.withColumn("text",
+    concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit(CorruptTail)).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit(CleanTail)).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0, lit(s" data $Fffd$Fffd lost.")).otherwise(lit(""))))
+
+  /** The same corruption in DuckDB SQL. */
+  def fixtureSql: String =
+    // NOTE: no line here may START with '|' — the consumer SQL builders
+    // run stripMargin AFTER interpolating this block, which would eat one
+    // pipe of a leading '||'.
+    s"""SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 4 = 0 THEN '$CorruptTail' ELSE '' END ||
+       |  CASE WHEN doc_id % 9 = 0 THEN '$CleanTail' ELSE '' END ||
+       |  CASE WHEN doc_id % 17 = 0 THEN ' data $Fffd$Fffd lost.' ELSE '' END
+       |  AS text
+       |FROM documents""".stripMargin
+
+  /** Per-document mojibake diagnosis: signature occurrence count,
+    * replacement-character count, affected-character density in ppm, and
+    * the boolean verdict. All per-row int64 arithmetic (a single document
+    * would need > 9·10¹² characters to stress the ppm multiply). */
+  def mojibakeScore(spark: SparkSession, dir: String): DataFrame =
+    withMojibake(Tables.documents(spark, dir)).select(
+      col("doc_id"),
+      expr(sigCountExpr("text", "div")).as("n_sig"),
+      expr(s"length(text) - length(replace(text, '$Fffd', ''))")
+        .cast("bigint").as("n_repl"),
+      // Spark length() is int32 — widen to bigint BEFORE the 10⁶ multiply
+      // (DuckDB's length() is already BIGINT on its side).
+      expr(s"cast(${sigCharsExpr("text")} + length(text)" +
+        s" - length(replace(text, '$Fffd', '')) as bigint) * 1000000 div length(text)")
+        .as("mojibake_ppm"))
+      .withColumn("is_mojibake", col("n_sig") + col("n_repl") > 0)
+
+  def mojibakeScoreSql: String =
+    s"""SELECT doc_id,
+       |  ${sigCountExpr("text", "//")} AS n_sig,
+       |  length(text) - length(replace(text, '$Fffd', '')) AS n_repl,
+       |  (${sigCharsExpr("text")} + length(text)
+       |     - length(replace(text, '$Fffd', ''))) * 1000000 // length(text) AS mojibake_ppm,
+       |  (${sigCountExpr("text", "//")}
+       |     + length(text) - length(replace(text, '$Fffd', ''))) > 0 AS is_mojibake
+       |FROM (${fixtureSql.replace("\n", "\n  ")}) f""".stripMargin
+
+  /** Repaired-text twin: every signature reversed to its character,
+    * U+FFFD left in place (a hard decode failure is unrecoverable — a
+    * repair pass must not pretend otherwise), all other bytes conserved. */
+  def encodingRepair(spark: SparkSession, dir: String): DataFrame =
+    withMojibake(Tables.documents(spark, dir)).select(
+      col("doc_id"),
+      expr(repairExpr("text")).as("repaired"),
+      expr(sigCountExpr("text", "div")).as("n_fixed"))
+      .withColumn("changed", col("n_fixed") > 0)
+
+  def encodingRepairSql: String =
+    s"""SELECT doc_id, ${repairExpr("text")} AS repaired,
+       |  ${sigCountExpr("text", "//")} AS n_fixed,
+       |  ${sigCountExpr("text", "//")} > 0 AS changed
+       |FROM (${fixtureSql.replace("\n", "\n  ")}) f""".stripMargin
+}

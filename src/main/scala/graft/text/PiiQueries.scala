@@ -1,0 +1,220 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Span-level PII detection and redaction — the scrub pass every
+  * production training-data pipeline runs before anything is tokenized
+  * (the C4 / Gopher / RefinedWeb lineage: emails, phone numbers, IP
+  * addresses, and ID-shaped digit runs are removed or masked before
+  * training). Reference scope: the reference engine has no PII surface;
+  * this family is part of the LLM-pipeline extension mandated alongside
+  * SURVEY.md §2 (dedup/similarity/text-analysis).
+  *
+  * Design: every operator is a per-row narrow projection of codegen'd
+  * built-ins (`regexp_count` / `regexp_replace` — native Catalyst
+  * expressions, no UDFs), so the scan and the redaction parallelize
+  * embarrassingly at any scale: zero shuffles for [[piiScan]] and
+  * [[piiRedact]], exactly one partial-agg exchange for [[piiAudit]].
+  * Column pruning reaches the parquet scan (only doc_id/source/text are
+  * read).
+  *
+  * The pattern set is deliberately regex-class (no checksum validation,
+  * no ML NER): deterministic, engine-portable (every pattern below runs
+  * identically under Java regex and DuckDB's RE2 — no backreferences, no
+  * lookaround, ASCII word boundaries only), and exactly oracle-checkable.
+  *
+  * Fixture note: the synthetic corpus is clean word-salad, so the
+  * registered queries compose the operators with [[withPiiFixture]] — a
+  * deterministic doc_id-keyed injection stage expressed identically in
+  * both engines. The OPERATORS ([[scanColumns]], [[redactColumn]]) take
+  * any text column; the fixture exists only because the test corpus
+  * carries no PII to find. */
+object PiiQueries {
+
+  /** PII classes in REDACTION ORDER: (name, pattern, mask token). Order is
+    * semantic, not cosmetic — an email's local part may contain a ≥9-digit
+    * run and an IP literal contains short digit runs, so the more specific
+    * classes must consume their spans before the bare digit-run class
+    * scans what remains. Scanning (per-class counts) is order-independent
+    * because counts are taken per class on the ORIGINAL text. */
+  val Classes: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv6", "\\b([0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\\b", "[IPV6]"),
+    ("ipv4", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "[IPV4]"),
+    ("phone", "\\+\\d{1,2}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+    ("id", "\\b\\d{9,}\\b", "[ID]"))
+
+  /** Deterministic PII injection over the clean synthetic corpus: each
+    * class lands on its own doc_id residue stream (3/5/7/11/13 — coprime,
+    * so every subset combination occurs), with span VALUES derived from
+    * doc_id so no two docs carry the same span. Expressed as the exact
+    * same arithmetic in [[fixtureSql]]. */
+  def withPiiFixture(docs: DataFrame): DataFrame = docs.withColumn("text",
+    concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" Reach user"), col("doc_id"), lit("@example.com anytime.")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" Call +1-555-"), lpad(col("doc_id") % 10000, 4, "0"), lit(" now.")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" Logged from 10."), col("doc_id") % 256, lit("."),
+          expr("(doc_id div 3) % 256"), lit("."), col("doc_id") % 200 + 1, lit(".")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" Node 2001:0db8:"), lpad(lower(hex(col("doc_id") % 65536)), 4, "0"),
+          lit(":0000:0000:8a2e:0370:7334 up.")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" Case ref "), lpad(col("doc_id"), 9, "0"), lit(" pending.")))
+        .otherwise(lit(""))))
+
+  /** The same injection in DuckDB SQL (`//` is DuckDB integer division;
+    * `to_hex`/`lpad` mirror Spark's `hex`/`lpad`). */
+  def fixtureSql: String =
+    // NOTE: no line here may START with '|' — the consumer SQL builders
+    // run stripMargin AFTER interpolating this block, which would eat one
+    // pipe of a leading '||'.
+    """SELECT doc_id, source, text ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN ' Reach user' || doc_id || '@example.com anytime.' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN ' Call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now.' ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN ' Logged from 10.' || (doc_id % 256) || '.' || ((doc_id // 3) % 256) ||
+      |            '.' || (doc_id % 200 + 1) || '.' ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0
+      |       THEN ' Node 2001:0db8:' || lpad(lower(to_hex(doc_id % 65536)), 4, '0') ||
+      |            ':0000:0000:8a2e:0370:7334 up.' ELSE '' END ||
+      |  CASE WHEN doc_id % 13 = 0
+      |       THEN ' Case ref ' || lpad(doc_id::VARCHAR, 9, '0') || ' pending.' ELSE '' END
+      |  AS text
+      |FROM documents""".stripMargin
+
+  /** Per-class span counts of `text` — the reusable scan operator. */
+  def scanColumns(text: Column): Seq[Column] =
+    Classes.map { case (name, pat, _) =>
+      regexp_count(text, lit(pat)).cast("bigint").as(s"n_$name")
+    }
+
+  /** Chained class-ordered masking of `text` — the reusable redaction
+    * operator. Non-PII bytes pass through untouched (regexp_replace
+    * rewrites matched spans only; PiiSuite pins conservation). */
+  def redactColumn(text: Column): Column =
+    Classes.foldLeft(text) { case (acc, (_, pat, mask)) =>
+      regexp_replace(acc, pat, mask)
+    }
+
+  private def redactSqlExpr(inner: String): String =
+    Classes.foldLeft(inner) { case (acc, (_, pat, mask)) =>
+      s"regexp_replace($acc, '$pat', '$mask', 'g')"
+    }
+
+  /** Per-document span counts by PII class + a has_pii flag. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    val scanned = withPiiFixture(Tables.documents(spark, dir))
+      .select(col("doc_id") +: scanColumns(col("text")): _*)
+    val total = Classes.map(c => col(s"n_${c._1}")).reduce(_ + _)
+    scanned.withColumn("has_pii", total > 0)
+  }
+
+  def piiScanSql: String = {
+    val counts = Classes.map { case (name, pat, _) =>
+      s"len(regexp_extract_all(text, '$pat')) AS n_$name"
+    }.mkString(",\n  ")
+    val total = Classes.map(c => s"n_${c._1}").mkString(" + ")
+    s"""SELECT doc_id, ${Classes.map(c => s"n_${c._1}").mkString(", ")},
+       |  ($total) > 0 AS has_pii
+       |FROM (
+       |  SELECT doc_id,
+       |  $counts
+       |  FROM (${fixtureSql.replace("\n", "\n  ")}) f) s""".stripMargin
+  }
+
+  /** Per-document redacted text twin: every PII span masked with its
+    * class token, all other bytes conserved. n_spans is the total masked
+    * span count (counted pre-redaction, so the classes don't steal each
+    * other's counts). */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = withPiiFixture(Tables.documents(spark, dir))
+    val total = Classes.map(c => col(s"n_${c._1}")).reduce(_ + _)
+    fixture
+      .select(col("doc_id") +: col("text").as("orig") +: scanColumns(col("text")): _*)
+      .select(col("doc_id"),
+        redactColumn(col("orig")).as("redacted"),
+        total.as("n_spans"))
+  }
+
+  def piiRedactSql: String = {
+    val counts = Classes.map { case (name, pat, _) =>
+      s"len(regexp_extract_all(text, '$pat')) AS n_$name"
+    }.mkString(",\n  ")
+    val total = Classes.map(c => s"n_${c._1}").mkString(" + ")
+    s"""SELECT doc_id, ${redactSqlExpr("text")} AS redacted,
+       |  ($total) AS n_spans
+       |FROM (
+       |  SELECT doc_id, text,
+       |  $counts
+       |  FROM (${fixtureSql.replace("\n", "\n  ")}) f) s""".stripMargin
+  }
+
+  /** Governance audit row per source — the filter_funnel-style rollup a
+    * pipeline publishes next to the scrub: how many documents carried
+    * PII, per-class span totals, and how many characters the redaction
+    * masked (chars of matched spans, BEFORE mask tokens are inserted —
+    * i.e. what left the corpus). One partial-agg exchange keyed by
+    * source; everything upstream is the narrow per-row scan. */
+  def piiAudit(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = withPiiFixture(Tables.documents(spark, dir))
+    val stripped = Classes.foldLeft(col("text")) { case (acc, (_, pat, _)) =>
+      regexp_replace(acc, pat, "")
+    }
+    val total = Classes.map(c => col(s"n_${c._1}")).reduce(_ + _)
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_docs") +:
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("docs_with_pii") +:
+        (Classes.map(c => sum(col(s"n_${c._1}")).as(s"n_${c._1}")) :+
+          sum(col("masked_chars")).as("masked_chars") :+
+          sum(col("chars")).as("total_chars"))
+    fixture
+      .select(col("source") +: col("doc_id") +:
+        (length(col("text")) - length(stripped)).cast("bigint").as("masked_chars") +:
+        length(col("text")).cast("bigint").as("chars") +:
+        scanColumns(col("text")): _*)
+      .withColumn("has_pii", total > 0)
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      // masked_chars ≤ total corpus chars, so at 100 TB the 10⁶ ppm
+      // scale-up passes int64 — DECIMAL(38,0) per the module-wide ceiling
+      // policy; `div` lowers back to bigint (DuckDB's HUGEINT sum has the
+      // same headroom and casts back on its side).
+      .withColumn("masked_ppm",
+        expr("cast(masked_chars as decimal(38,0)) * 1000000 div total_chars"))
+  }
+
+  def piiAuditSql: String = {
+    val counts = Classes.map { case (name, pat, _) =>
+      s"len(regexp_extract_all(text, '$pat')) AS n_$name"
+    }.mkString(",\n  ")
+    val stripped = Classes.foldLeft("text") { case (acc, (_, pat, _)) =>
+      s"regexp_replace($acc, '$pat', '', 'g')"
+    }
+    val total = Classes.map(c => s"n_${c._1}").mkString(" + ")
+    s"""SELECT source, count(*) AS n_docs,
+       |  sum(CASE WHEN $total > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+       |  ${Classes.map(c => s"sum(n_${c._1})::BIGINT AS n_${c._1}").mkString(", ")},
+       |  sum(masked_chars)::BIGINT AS masked_chars,
+       |  sum(chars)::BIGINT AS total_chars,
+       |  (sum(masked_chars) * 1000000 // sum(chars))::BIGINT AS masked_ppm
+       |FROM (
+       |  SELECT source, doc_id,
+       |    length(text) - length($stripped) AS masked_chars,
+       |    length(text) AS chars,
+       |  $counts
+       |  FROM (${fixtureSql.replace("\n", "\n  ")}) f) s
+       |GROUP BY source""".stripMargin
+  }
+}

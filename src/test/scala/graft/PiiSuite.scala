@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.PiiQueries
+
+/** Span-level contracts of the PII scrub family that the hash-match oracle
+  * can't express directly: per-class span determinism on fixed fixtures,
+  * and that redaction is byte-conserving outside the matched spans. */
+class PiiSuite extends SparkSpec {
+
+  import spark.implicits._
+
+  private val fixtures = Seq(
+    // (text, n_email, n_ipv6, n_ipv4, n_phone, n_id)
+    ("plain text with no pii at all", 0, 0, 0, 0, 0),
+    ("mail a.b_c%d+e@sub.example.org today", 1, 0, 0, 0, 0),
+    ("two mails x@y.io and z@w.co", 2, 0, 0, 0, 0),
+    ("from 192.168.0.1 and 10.0.0.255", 0, 0, 2, 0, 0),
+    ("node 2001:0db8:85a3:0000:0000:8a2e:0370:7334 up", 0, 1, 0, 0, 0),
+    ("call +1-555-0142 or +44-201-9999", 0, 0, 0, 2, 0),
+    ("ssn-ish 123456789 and id 98765432101", 0, 0, 0, 0, 2),
+    // 8-digit run: below the ≥9 id threshold, must NOT match
+    ("order 12345678 shipped", 0, 0, 0, 0, 0),
+    // scan counts are per-class on the ORIGINAL text: the email's 9-digit
+    // local part is counted by BOTH the email and the id class (redaction
+    // order, tested below, is what disambiguates the masking)
+    ("reach 123456789@example.com", 1, 0, 0, 0, 1))
+
+  test("pii_scan: deterministic per-class span counts on fixed fixtures") {
+    val df = fixtures.map(_._1).toDF("text")
+      .select(col("text") +: PiiQueries.scanColumns(col("text")): _*)
+    val got = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // scanColumns emits Classes order: email, ipv6, ipv4, phone, id
+    fixtures.foreach { case (t, e, v6, v4, p, i) =>
+      assert(got(t) == ((e.toLong, v6.toLong, v4.toLong, p.toLong, i.toLong)),
+        s"span counts for <$t>: ${got(t)}")
+    }
+  }
+
+  test("pii_redact: masks spans with class tokens, conserves non-PII bytes") {
+    val in = Seq(
+      "mail x@y.io from 10.0.0.1 call +1-555-0142 ref 123456789 done")
+      .toDF("text")
+    val out = in.select(PiiQueries.redactColumn(col("text")).as("r"))
+      .as[String].head()
+    assert(out == "mail [EMAIL] from [IPV4] call [PHONE] ref [ID] done")
+    // no-PII text passes through bit-identically
+    val clean = "nothing sensitive here, just words and 1234 numbers"
+    val same = Seq(clean).toDF("text")
+      .select(PiiQueries.redactColumn(col("text")).as("r")).as[String].head()
+    assert(same == clean)
+  }
+
+  test("pii_redact: class order protects digit runs inside richer spans") {
+    // the email local part and the IP octets contain digit runs; the id
+    // class must only see what the earlier classes left behind
+    val out = Seq("reach 123456789@example.com via 203.0.113.7")
+      .toDF("text")
+      .select(PiiQueries.redactColumn(col("text")).as("r")).as[String].head()
+    assert(out == "reach [EMAIL] via [IPV4]", out)
+  }
+
+  test("registered queries are deterministic across invocations") {
+    val a = PiiQueries.piiScan(spark, Sf0001).orderBy("doc_id").collect().toSeq
+    val b = PiiQueries.piiScan(spark, Sf0001).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    val r1 = PiiQueries.piiRedact(spark, Sf0001).orderBy("doc_id").collect().toSeq
+    val r2 = PiiQueries.piiRedact(spark, Sf0001).orderBy("doc_id").collect().toSeq
+    assert(r1 == r2)
+  }
+
+  test("pii_audit reconciles with pii_scan totals") {
+    val audit = PiiQueries.piiAudit(spark, Sf0001)
+      .agg(sum("docs_with_pii"), sum("n_email"), sum("n_id")).head()
+    val scan = PiiQueries.piiScan(spark, Sf0001)
+      .agg(sum(when(col("has_pii"), 1L).otherwise(0L)), sum("n_email"), sum("n_id")).head()
+    assert(audit == scan, s"audit $audit != scan rollup $scan")
+  }
+}

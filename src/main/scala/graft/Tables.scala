@@ -31,8 +31,23 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     managedDb(spark, dir) match {
       case Some(db) => spark.table(s"$db.$name")
-      case None => spark.read.parquet(s"$dir/$name.parquet")
+      case None =>
+        // Schema memo: a bare `spark.read.parquet(path)` runs a footer-
+        // inference JOB on every call — one tiny job per table load, paid
+        // by every construction of every query (q5 alone loads 4 tables).
+        // The testdata files are immutable within a session, so infer once
+        // per (session, path) and pass the schema explicitly; this also
+        // lets tools distinguish real artifact-build jobs from plumbing
+        // (CboBench's probe classifier counts construction jobs).
+        val path = s"$dir/$name.parquet"
+        schemaCache.keySet.removeIf(_._1.sparkContext.isStopped)
+        val schema = schemaCache.computeIfAbsent((spark, path),
+          _ => spark.read.parquet(path).schema)
+        spark.read.schema(schema).parquet(path)
     }
+
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]
 
   /** One-time setup for managed-catalog mode: copy every testdata table
     * into `db` as a managed table, compute table-level statistics for all

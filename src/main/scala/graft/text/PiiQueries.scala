@@ -113,6 +113,77 @@ object PiiQueries {
       s"regexp_replace($acc, '$pat', '$mask', 'g')"
     }
 
+  /** Adversarial hard negatives appended to EVERY document by the eval
+    * twin: each is one character away from a class pattern and must fire
+    * nothing — a version-ish dotted quad with no leading word boundary, an
+    * 8-digit run (below the ≥9 ID floor), a 3-digit phone tail, and a
+    * TLD-less mail-shaped token. */
+  val HardNegativeTail =
+    " v1.2.3.4 order 12345678 ping +1-555-123 mail user@localhost done"
+
+  /** Eval twin: per-class precision/recall of [[scanColumns]] against the
+    * fixture's KNOWN injected spans (the doc_id residue streams are the
+    * ground truth), with [[HardNegativeTail]] appended to every document
+    * so the detector is also scored against near-miss text it must NOT
+    * match. Per (doc, class): TP = min(detected, injected),
+    * FP = detected − TP, FN = injected − TP; ppm ratios over the class
+    * totals. A 10⁶ ppm on every row is the operator's exactness proof —
+    * any regex drift in either engine breaks this row before it breaks a
+    * production scrub. Same shape as `dedup_eval`/`ann_recall`: every
+    * approximate-or-pattern operator ships its eval. */
+  def piiEval(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = withPiiFixture(Tables.documents(spark, dir))
+      .withColumn("text", concat(col("text"), lit(HardNegativeTail)))
+    val residues = Map("email" -> 3, "phone" -> 5, "ipv4" -> 7,
+      "ipv6" -> 11, "id" -> 13)
+    val perDoc = fixture.select(col("doc_id") +: scanColumns(col("text")): _*)
+    val stacked = Classes.map { case (name, _, _) =>
+      perDoc.select(
+        lit(name).as("class"),
+        col(s"n_$name").as("det"),
+        when(col("doc_id") % residues(name) === 0, 1L).otherwise(0L).as("exp"))
+    }.reduce(_ union _)
+    stacked
+      .select(col("class"), col("det"), col("exp"),
+        least(col("det"), col("exp")).as("tp"))
+      .groupBy(col("class"))
+      .agg(sum(col("tp")).as("tp"),
+        sum(col("det") - col("tp")).as("fp"),
+        sum(col("exp") - col("tp")).as("fn"),
+        sum(col("det")).as("detected"),
+        sum(col("exp")).as("injected"))
+      // tp is a corpus-sized span count: the 10⁶ multiply runs in
+      // DECIMAL(38,0) per the module ceiling policy (div → bigint)
+      .withColumn("precision_ppm", when(col("detected") > 0,
+        expr("cast(tp as decimal(38,0)) * 1000000 div detected")).otherwise(lit(null)))
+      .withColumn("recall_ppm", when(col("injected") > 0,
+        expr("cast(tp as decimal(38,0)) * 1000000 div injected")).otherwise(lit(null)))
+  }
+
+  def piiEvalSql: String = {
+    val residues = Map("email" -> 3, "phone" -> 5, "ipv4" -> 7,
+      "ipv6" -> 11, "id" -> 13)
+    val arms = Classes.map { case (name, pat, _) =>
+      s"""SELECT '$name' AS class,
+         |  len(regexp_extract_all(text, '$pat')) AS det,
+         |  CASE WHEN doc_id % ${residues(name)} = 0 THEN 1 ELSE 0 END AS exp
+         |FROM f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (
+       |  SELECT doc_id, text || '$HardNegativeTail' AS text
+       |  FROM (${fixtureSql.replace("\n", "\n  ")}) raw),
+       |stacked AS (
+       |${arms.replace("\n", "\n")}),
+       |scored AS (
+       |  SELECT class, det, exp, least(det, exp) AS tp FROM stacked)
+       |SELECT class, sum(tp)::BIGINT AS tp, sum(det - tp)::BIGINT AS fp,
+       |  sum(exp - tp)::BIGINT AS fn, sum(det)::BIGINT AS detected,
+       |  sum(exp)::BIGINT AS injected,
+       |  CASE WHEN sum(det) > 0 THEN (sum(tp) * 1000000 // sum(det))::BIGINT END AS precision_ppm,
+       |  CASE WHEN sum(exp) > 0 THEN (sum(tp) * 1000000 // sum(exp))::BIGINT END AS recall_ppm
+       |FROM scored GROUP BY class""".stripMargin
+  }
+
   /** Per-document span counts by PII class + a has_pii flag. */
   def piiScan(spark: SparkSession, dir: String): DataFrame = {
     val scanned = withPiiFixture(Tables.documents(spark, dir))

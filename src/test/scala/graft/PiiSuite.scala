@@ -72,6 +72,20 @@ class PiiSuite extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("hard-negative tail fires nothing in any class") {
+    val counts = Seq(PiiQueries.HardNegativeTail).toDF("text")
+      .select(PiiQueries.scanColumns(col("text")): _*)
+      .collect().head
+    (0 until counts.length).foreach(i =>
+      assert(counts.getLong(i) == 0L,
+        s"hard negative fired class ${PiiQueries.Classes(i)._1}"))
+    // and the eval twin reads perfect on the fixture corpus
+    val ev = PiiQueries.piiEval(spark, Sf0001)
+      .agg(sum("fp"), sum("fn"), min("precision_ppm"), min("recall_ppm")).head()
+    assert(ev.getLong(0) == 0 && ev.getLong(1) == 0)
+    assert(ev.getLong(2) == 1000000L && ev.getLong(3) == 1000000L)
+  }
+
   test("pii_audit reconciles with pii_scan totals") {
     val audit = PiiQueries.piiAudit(spark, Sf0001)
       .agg(sum("docs_with_pii"), sum("n_email"), sum("n_id")).head()

@@ -184,6 +184,85 @@ object PiiQueries {
        |FROM scored GROUP BY class""".stripMargin
   }
 
+  /** Card-number candidate pattern: contiguous 13–19 digit runs (PAN
+    * lengths per ISO/IEC 7812). Deliberately narrower than validation —
+    * the Luhn check below is what separates a real PAN from a random
+    * digit run. */
+  val CcnumPattern = "\\b\\d{13,19}\\b"
+
+  /** The Luhn mod-10 verdict over every [[CcnumPattern]] candidate in
+    * `t`, as ONE generated SQL expression built from higher-order array
+    * functions (transform/aggregate — codegen'd Catalyst expressions, no
+    * UDF): for each candidate, digits are weighted from the RIGHT
+    * (odd offsets doubled, 9-subtracted past 9) and summed; valid ⇔
+    * sum % 10 = 0. `fold` abstracts the two engines' spellings
+    * (Spark `aggregate(seq, 0, (acc, i) -> …)` vs DuckDB
+    * `list_sum(list_transform(range, i -> …))`). */
+  private def luhnVerdicts(t: String, spark: Boolean): String = {
+    def digit(pos: String) = s"(ascii(substr(c, $pos, 1)) - 48)"
+    val d = digit(if (spark) s"length(c) - i" else s"(length(c) - i)::INT")
+    val term = s"CASE WHEN i % 2 = 0 THEN $d" +
+      s" WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END"
+    // Spark's SQL parser processes backslash escapes inside string
+    // literals ('\d' collapses to 'd'), DuckDB's does not — the same
+    // regex needs per-engine spelling inside a generated expression
+    if (spark)
+      s"transform(regexp_extract_all($t, '${CcnumPattern.replace("\\", "\\\\")}', 0), c -> " +
+        s"aggregate(sequence(0, length(c) - 1), 0, (acc, i) -> acc + ($term)) % 10 = 0)"
+    else
+      s"list_transform(regexp_extract_all($t, '$CcnumPattern'), c -> " +
+        s"list_sum(list_transform(range(0, length(c)), i -> ($term))) % 10 = 0)"
+  }
+
+  /** Deterministic PAN injection for the Luhn family: a Luhn-VALID
+    * 16-digit test PAN, a one-digit-off INVALID twin, and a 13-digit
+    * valid PAN, on coprime residue streams (19/23/29). All are the
+    * industry's published test numbers — no real account numbers. */
+  private val LuhnFixtureArms = Seq(
+    (19, " card 4111111111111111 on file."),
+    (23, " card 4111111111111112 rejected."),
+    (29, " legacy pan 4222222222222 archived."))
+
+  def withLuhnFixture(docs: DataFrame): DataFrame = docs.withColumn("text",
+    concat(col("text") +: LuhnFixtureArms.map { case (m, s) =>
+      when(col("doc_id") % m === 0, lit(s)).otherwise(lit(""))
+    }: _*))
+
+  def luhnFixtureSql: String =
+    "SELECT doc_id, text" + LuhnFixtureArms.map { case (m, s) =>
+      s" ||\n  CASE WHEN doc_id % $m = 0 THEN '$s' ELSE '' END"
+    }.mkString + "\n  AS text\nFROM documents"
+
+  /** The Spark-side verdict expression over a column named `text`,
+    * exposed for PiiSuite's reference-Luhn comparison. */
+  private[graft] def luhnVerdictsForTest: String = luhnVerdicts("text", spark = true)
+
+  /** Per-document PAN detection with checksum validation: candidate
+    * digit runs, how many pass Luhn, and the boolean verdict. The whole
+    * check runs inside whole-stage codegen (higher-order functions over
+    * the extracted candidate array) — per-row narrow, zero shuffles,
+    * scan pruned to (doc_id, text). The id-class digit-run scan flags
+    * these same runs as generic IDs; this operator is the
+    * payment-specific refinement a scrub pipeline applies when deciding
+    * mask class and audit severity. */
+  def piiLuhn(spark: SparkSession, dir: String): DataFrame = {
+    val verdicts = luhnVerdicts("text", spark = true)
+    withLuhnFixture(Tables.documents(spark, dir)).select(
+      col("doc_id"),
+      expr(s"size($verdicts)").cast("bigint").as("n_ccnum"),
+      expr(s"size(filter($verdicts, v -> v))").cast("bigint").as("n_luhn_valid"))
+      .withColumn("has_valid_cc", col("n_luhn_valid") > 0)
+  }
+
+  def piiLuhnSql: String = {
+    val verdicts = luhnVerdicts("text", spark = false)
+    s"""SELECT doc_id,
+       |  len($verdicts) AS n_ccnum,
+       |  len(list_filter($verdicts, v -> v)) AS n_luhn_valid,
+       |  len(list_filter($verdicts, v -> v)) > 0 AS has_valid_cc
+       |FROM (${luhnFixtureSql.replace("\n", "\n  ")}) f""".stripMargin
+  }
+
   /** Per-document span counts by PII class + a has_pii flag. */
   def piiScan(spark: SparkSession, dir: String): DataFrame = {
     val scanned = withPiiFixture(Tables.documents(spark, dir))

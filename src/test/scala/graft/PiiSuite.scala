@@ -86,6 +86,32 @@ class PiiSuite extends SparkSpec {
     assert(ev.getLong(2) == 1000000L && ev.getLong(3) == 1000000L)
   }
 
+  test("pii_luhn: in-plan Luhn verdict matches a driver-side reference") {
+    def luhnRef(s: String): Boolean = {
+      val sum = s.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+      }.sum
+      sum % 10 == 0
+    }
+    val pans = Seq("4111111111111111", "4111111111111112", "4222222222222",
+      "5500005555555559", "1234567890123", "79927398713")
+    // 79927398713 is the canonical Luhn example but only 11 digits — the
+    // 13..19 candidate gate must drop it regardless of validity
+    val texts = pans.map(p => s"pay $p now")
+    val rows = texts.toDF("text")
+      .select(col("text"),
+        expr("size(" + graft.text.PiiQueries.luhnVerdictsForTest + ")").as("n"),
+        expr("size(filter(" + graft.text.PiiQueries.luhnVerdictsForTest + ", v -> v))").as("v"))
+      .collect()
+    pans.zip(rows).foreach { case (p, r) =>
+      val inGate = p.length >= 13 && p.length <= 19
+      assert(r.getInt(1) == (if (inGate) 1 else 0), s"$p candidate gate")
+      assert(r.getInt(2) == (if (inGate && luhnRef(p)) 1 else 0),
+        s"$p: plan verdict != reference Luhn")
+    }
+  }
+
   test("pii_audit reconciles with pii_scan totals") {
     val audit = PiiQueries.piiAudit(spark, Sf0001)
       .agg(sum("docs_with_pii"), sum("n_email"), sum("n_id")).head()

@@ -136,13 +136,18 @@ object PiiQueries {
       .withColumn("text", concat(col("text"), lit(HardNegativeTail)))
     val residues = Map("email" -> 3, "phone" -> 5, "ipv4" -> 7,
       "ipv6" -> 11, "id" -> 13)
-    val perDoc = fixture.select(col("doc_id") +: scanColumns(col("text")): _*)
-    val stacked = Classes.map { case (name, _, _) =>
-      perDoc.select(
-        lit(name).as("class"),
-        col(s"n_$name").as("det"),
-        when(col("doc_id") % residues(name) === 0, 1L).otherwise(0L).as("exp"))
-    }.reduce(_ union _)
+    // ONE scan computes every class's (detected, expected) pair, then a
+    // stack() unpivot emits the per-class rows — a 5-arm union would
+    // re-scan (and re-regex) the corpus once per class
+    val perDoc = fixture.select(col("doc_id") +:
+      (scanColumns(col("text")) ++ Classes.map { case (name, _, _) =>
+        when(col("doc_id") % residues(name) === 0, 1L).otherwise(0L).as(s"e_$name")
+      }): _*)
+    val stackArgs = Classes.map { case (name, _, _) =>
+      s"'$name', n_$name, e_$name"
+    }.mkString(", ")
+    val stacked = perDoc.selectExpr(
+      s"stack(${Classes.size}, $stackArgs) AS (class, det, exp)")
     stacked
       .select(col("class"), col("det"), col("exp"),
         least(col("det"), col("exp")).as("tp"))

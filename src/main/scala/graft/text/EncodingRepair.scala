@@ -142,6 +142,44 @@ object EncodingRepair {
        |     + length(text) - length(replace(text, '$Fffd', ''))) > 0 AS is_mojibake
        |FROM (${fixtureSql.replace("\n", "\n  ")}) f""".stripMargin
 
+  /** Eval twin (the pii_eval pattern): the scorer's per-document verdict
+    * against the fixture's residue-stream ground truth — a doc is
+    * truly-corrupt iff it sits on the 4-residue (signatures) or
+    * 17-residue (U+FFFD damage) stream. TP/FP/FN + exact-ppm
+    * precision/recall in one scan + one 1-row aggregate; the clean-unicode
+    * 9-residue stream is the hard negative the scorer must not flag. */
+  def mojibakeEval(spark: SparkSession, dir: String): DataFrame =
+    withMojibake(Tables.documents(spark, dir)).select(
+      ((expr(sigCountExpr("text", "div")) +
+        expr(s"length(text) - length(replace(text, '$Fffd', ''))")) > 0).as("det"),
+      (col("doc_id") % 4 === 0 || col("doc_id") % 17 === 0).as("exp"))
+      .agg(
+        sum(when(col("det") && col("exp"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("det") && !col("exp"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("det") && col("exp"), 1L).otherwise(0L)).as("fn"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("precision_ppm",
+        expr("cast(tp as decimal(38,0)) * 1000000 div (tp + fp)"))
+      .withColumn("recall_ppm",
+        expr("cast(tp as decimal(38,0)) * 1000000 div (tp + fn)"))
+
+  def mojibakeEvalSql: String =
+    s"""SELECT sum(CASE WHEN det AND exp THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |  sum(CASE WHEN det AND NOT exp THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |  sum(CASE WHEN NOT det AND exp THEN 1 ELSE 0 END)::BIGINT AS fn,
+       |  count(*) AS n_docs,
+       |  (sum(CASE WHEN det AND exp THEN 1 ELSE 0 END) * 1000000
+       |     // (sum(CASE WHEN det AND exp THEN 1 ELSE 0 END)
+       |        + sum(CASE WHEN det AND NOT exp THEN 1 ELSE 0 END)))::BIGINT AS precision_ppm,
+       |  (sum(CASE WHEN det AND exp THEN 1 ELSE 0 END) * 1000000
+       |     // (sum(CASE WHEN det AND exp THEN 1 ELSE 0 END)
+       |        + sum(CASE WHEN NOT det AND exp THEN 1 ELSE 0 END)))::BIGINT AS recall_ppm
+       |FROM (
+       |  SELECT (${sigCountExpr("text", "//")}
+       |      + length(text) - length(replace(text, '$Fffd', ''))) > 0 AS det,
+       |    (doc_id % 4 = 0 OR doc_id % 17 = 0) AS exp
+       |  FROM (${fixtureSql.replace("\n", "\n  ")}) f) s""".stripMargin
+
   /** Repaired-text twin: every signature reversed to its character,
     * U+FFFD left in place (a hard decode failure is unrecoverable — a
     * repair pass must not pretend otherwise), all other bytes conserved. */

@@ -68,4 +68,41 @@ class MemoSuite extends SparkSpec {
     assert(!(a eq b) && n == 5L)
     Memo.evictSession(spark)
   }
+
+  test("Tables schema memo: repeat raw-path loads run zero Spark jobs") {
+    // the contract CboBench's probe classifier leans on: after the first
+    // footer inference per (session, path), constructing a table (and
+    // therefore any pure-planning query) launches no jobs at all
+    val counter = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    def flush(): Unit = {
+      // a tagged sentinel job flushes the async bus: its JobStart is
+      // processed after every earlier one (FIFO)
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while ({ val c = counter.get(); val done = c == last; last = c; !done } &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+    }
+    // first constructions may infer schemas (one footer job per path) —
+    // warm every table q5 touches before measuring
+    graft.relational.RelationalQueries.q5NationRevenue(spark, Sf0001)
+    Tables.orders(spark, Sf0001)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      flush()
+      val before = counter.get()
+      Tables.lineitem(spark, Sf0001)
+      Tables.orders(spark, Sf0001)
+      graft.relational.RelationalQueries.q5NationRevenue(spark, Sf0001)
+      flush()
+      // only the closing flush sentinel may have started a job
+      assert(counter.get() - before == 1,
+        s"raw-path constructions ran ${counter.get() - before - 1} unexpected job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -35,19 +35,40 @@ object Tables {
         // Schema memo: a bare `spark.read.parquet(path)` runs a footer-
         // inference JOB on every call — one tiny job per table load, paid
         // by every construction of every query (q5 alone loads 4 tables).
-        // The testdata files are immutable within a session, so infer once
-        // per (session, path) and pass the schema explicitly; this also
-        // lets tools distinguish real artifact-build jobs from plumbing
-        // (CboBench's probe classifier counts construction jobs).
+        // Infer once per (session, path, freshness token) and pass the
+        // schema explicitly; this also lets tools distinguish real
+        // artifact-build jobs from plumbing (CboBench's probe classifier
+        // counts construction jobs). The freshness token (mtime + size of
+        // the path and its immediate children — a driver-side stat, never
+        // a Spark job) invalidates the memo if a tool rewrites a testdata
+        // file mid-session (regeneration, schema evolution): a stale entry
+        // would otherwise silently read with the old schema.
         val path = s"$dir/$name.parquet"
-        schemaCache.keySet.removeIf(_._1.sparkContext.isStopped)
-        val schema = schemaCache.computeIfAbsent((spark, path),
+        val token = freshnessToken(path)
+        schemaCache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
+          (k._1 == spark && k._2 == path && k._3 != token))
+        val schema = schemaCache.computeIfAbsent((spark, path, token),
           _ => spark.read.parquet(path).schema)
         spark.read.schema(schema).parquet(path)
     }
 
+  /** Cheap change detector for a local parquet path (file or directory of
+    * part files): folds name/size/mtime of the path and its direct
+    * children. Non-local or missing paths degrade to a constant token —
+    * the memo then behaves as the plain (session, path) memo did. */
+  private def freshnessToken(path: String): Long = {
+    val f = new java.io.File(path)
+    if (!f.exists()) 0L
+    else if (f.isFile) 31L * f.lastModified + f.length
+    else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .sortBy(_.getName)
+      .foldLeft(f.lastModified) { (acc, k) =>
+        31L * (31L * (31L * acc + k.getName.hashCode) + k.length) + k.lastModified
+      }
+  }
+
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.sql.types.StructType]
+    (SparkSession, String, Long), org.apache.spark.sql.types.StructType]
 
   /** One-time setup for managed-catalog mode: copy every testdata table
     * into `db` as a managed table, compute table-level statistics for all

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -18,12 +18,24 @@ import graft.Tables
   * Characters whose UTF-8 bytes hit cp1252's five undefined slots (which
   * decode to C1 controls) or NBSP are filtered out programmatically, so
   * every signature is a printable, SQL-literal-safe string. Repair is a
-  * chain of LITERAL `replace` calls (3-byte signatures before 2-byte; the
-  * two alphabets share no characters, so the chain order within a length
-  * class is immaterial and no replacement can manufacture or destroy
-  * another signature — EncodingRepairSuite pins the round-trip). The same
-  * generated expression string runs verbatim in Spark and DuckDB, so
-  * oracle parity is by construction.
+  * chain of LITERAL `replace` calls ordered to be CASCADE-SAFE: longest
+  * signatures first, and within a length class any rule whose signature
+  * contains another rule's clean char runs BEFORE the rule producing
+  * that char. The alphabets are NOT fully disjoint — sig('–') = "â€“"
+  * ends in the clean char '“' (cp1252 0x93) — so ordering is load-
+  * bearing: were the '“' rule to run first on a dangling "â€" fragment
+  * followed by a corrupted '“', it would manufacture sig('–') and a
+  * later '–' rule would destroy the just-recovered char. With the
+  * constraint ('–' before '“') the manufactured occurrence survives to
+  * the output, which IS the correct repair (junk fragment conserved,
+  * '“' recovered). One ambiguity is inherent, not fixable by ordering:
+  * a raw "â€" fragment immediately followed by a GENUINE clean '“' is
+  * byte-identical to a mis-decoded '–', and the chain reads it as the
+  * mis-decode — the overwhelmingly more likely event in crawled text.
+  * EncodingRepairSuite pins the ordering constraint, the cascade
+  * regression case, and the round-trip. The same generated expression
+  * string runs verbatim in Spark and DuckDB, so oracle parity is by
+  * construction.
   *
   * Scale: per-row narrow projections of codegen'd string built-ins — zero
   * shuffles, column pruning reaches the scan; the rule table is a plan
@@ -43,17 +55,30 @@ object EncodingRepair {
     * literal-reversible. */
   private val TargetChars = "éèêëîïôöûüçñáíóú’‘“–—…"
 
-  /** (signature, clean) pairs, longest signature first. Derived from
-    * [[TargetChars]]; filtered so no signature carries a C1 control
-    * (cp1252-undefined byte) or NBSP. */
-  val Signatures: Seq[(String, String)] = TargetChars.map { c =>
-    (new String(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      "windows-1252"), c.toString)
-  }.filter { case (sig, _) =>
-    // U+0080-U+009F: cp1252-undefined bytes decode to C1 controls;
-    // U+00A0: NBSP - both unfit for SQL literals / CSV round-trips.
-    sig.forall(ch => ch < 0x0080 || ch > 0x00a0)
-  }.sortBy(-_._1.length)
+  /** (signature, clean) pairs in REPAIR ORDER: longest signature first,
+    * and within a length class, rules whose signature contains another
+    * rule's clean char run first (the cascade-safety constraint — see the
+    * object doc; today the only such containment is '“' at sig('–')[2]).
+    * Derived from [[TargetChars]]; filtered so no signature carries a C1
+    * control (cp1252-undefined byte) or NBSP. */
+  val Signatures: Seq[(String, String)] = {
+    val derived = TargetChars.map { c =>
+      (new String(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "windows-1252"), c.toString)
+    }.filter { case (sig, _) =>
+      // U+0080-U+009F: cp1252-undefined bytes decode to C1 controls;
+      // U+00A0: NBSP - both unfit for SQL literals / CSV round-trips.
+      sig.forall(ch => ch < 0x0080 || ch > 0x00a0)
+    }
+    val cleans = derived.map(_._2.head).toSet
+    // sortBy is stable: within (length, constraint-class) the TargetChars
+    // order is preserved. Rules whose signature embeds a clean char sort
+    // ahead of their length class so they consume their span before any
+    // rule can produce that char next to a dangling fragment.
+    derived.sortBy { case (sig, clean) =>
+      (-sig.length, if (sig.exists(ch => ch != clean.head && cleans.contains(ch))) 0 else 1)
+    }
+  }
 
   private val SigOf: Map[Char, String] =
     Signatures.map { case (sig, clean) => clean.head -> sig }.toMap
@@ -115,21 +140,28 @@ object EncodingRepair {
        |  AS text
        |FROM documents""".stripMargin
 
-  /** Per-document mojibake diagnosis: signature occurrence count,
-    * replacement-character count, affected-character density in ppm, and
-    * the boolean verdict. All per-row int64 arithmetic (a single document
-    * would need > 9·10¹² characters to stress the ppm multiply). */
+  /** The per-row diagnosis columns over a text column named `t` —
+    * shared by the batch query and the streaming twin
+    * ([[graft.streaming.StreamingCorpus.mojibakeScore]]), so parity is
+    * by construction: signature occurrence count, replacement-character
+    * count, affected-character density in ppm. All per-row int64
+    * arithmetic (a single document would need > 9·10¹² characters to
+    * stress the ppm multiply). */
+  def scoreColumns(t: String): Seq[Column] = Seq(
+    expr(sigCountExpr(t, "div")).as("n_sig"),
+    expr(s"length($t) - length(replace($t, '$Fffd', ''))")
+      .cast("bigint").as("n_repl"),
+    // Spark length() is int32 — widen to bigint BEFORE the 10⁶ multiply
+    // (DuckDB's length() is already BIGINT on its side).
+    expr(s"cast(${sigCharsExpr(t)} + length($t)" +
+      s" - length(replace($t, '$Fffd', '')) as bigint) * 1000000 div length($t)")
+      .as("mojibake_ppm"))
+
+  /** Per-document mojibake diagnosis over the fixture corpus, plus the
+    * boolean verdict. */
   def mojibakeScore(spark: SparkSession, dir: String): DataFrame =
-    withMojibake(Tables.documents(spark, dir)).select(
-      col("doc_id"),
-      expr(sigCountExpr("text", "div")).as("n_sig"),
-      expr(s"length(text) - length(replace(text, '$Fffd', ''))")
-        .cast("bigint").as("n_repl"),
-      // Spark length() is int32 — widen to bigint BEFORE the 10⁶ multiply
-      // (DuckDB's length() is already BIGINT on its side).
-      expr(s"cast(${sigCharsExpr("text")} + length(text)" +
-        s" - length(replace(text, '$Fffd', '')) as bigint) * 1000000 div length(text)")
-        .as("mojibake_ppm"))
+    withMojibake(Tables.documents(spark, dir))
+      .select(col("doc_id") +: scoreColumns("text"): _*)
       .withColumn("is_mojibake", col("n_sig") + col("n_repl") > 0)
 
   def mojibakeScoreSql: String =

@@ -165,6 +165,12 @@ object CboBench {
         Seq("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
           .foreach(t => Tables.table(spark, warmDir, t))
+        // SESSION-OWNERSHIP CONTRACT: this classifier (and the timed
+        // passes below) evicts session memos and drains the cache registry
+        // per candidate — other tools' memoized state does NOT survive it.
+        // CboBench must OWN its SparkSession for the whole run; never point
+        // it at a session shared with Verify/Bench/a live shell, or their
+        // memo-dependent invariants (and walls) silently break.
         val admitted = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
           // evict memos so classification is order-independent: a memo
           // HIT would make an artifact consumer look construction-clean

@@ -27,11 +27,45 @@ class EncodingRepairSuite extends SparkSpec {
     // longest-first ordering (3-byte before 2-byte signatures)
     val lens = EncodingRepair.Signatures.map(_._1.length)
     assert(lens == lens.sorted.reverse)
-    // the two alphabets are disjoint: no clean char appears in any
-    // signature's FIRST position (which is what replace anchors on)
-    val sigHeads = EncodingRepair.Signatures.map(_._1.head).toSet
-    val cleans = EncodingRepair.Signatures.map(_._2.head).toSet
-    assert(sigHeads.intersect(cleans).isEmpty)
+    // cascade-safety ordering: wherever a signature contains ANOTHER
+    // rule's clean char at ANY position (full containment scan, not just
+    // the anchor char — sig('–') embeds '“' at position 2), the
+    // containing rule must run BEFORE the rule producing that char, so a
+    // manufactured occurrence can never be destroyed by a later rule.
+    val sigs = EncodingRepair.Signatures
+    val idxOfClean = sigs.map(_._2.head).zipWithIndex.toMap
+    val containments = for {
+      ((sig, clean), i) <- sigs.zipWithIndex
+      ch <- sig.toSet if ch != clean.head && idxOfClean.contains(ch)
+    } yield (i, idxOfClean(ch), clean, ch)
+    containments.foreach { case (i, j, clean, ch) =>
+      assert(i < j, s"rule <$clean> (sig contains clean <$ch>) must run before rule <$ch>")
+    }
+    // the constraint is exercised, not vacuous: the '–'/'“' containment
+    // the ordering exists for is present in the derived table
+    assert(containments.exists { case (_, _, c, ch) => c == "–" && ch == '“' })
+  }
+
+  test("cascade regression: dangling fragment + corrupted '“' repairs without destroying the recovered char") {
+    val sigQuote = EncodingRepair.Signatures.collectFirst { case (s, "“") => s }.get
+    val sigDash = EncodingRepair.Signatures.collectFirst { case (s, "–") => s }.get
+    // a '”' (or any 0x9D-tailed char) mis-decode drops its last byte,
+    // leaving the dangling 2-char fragment that prefixes the 3-byte sigs
+    val fragment = sigDash.take(2) // "â€"
+    val input = fragment + sigQuote
+    val out = Seq(input).toDF("text")
+      .select(expr(EncodingRepair.repairExpr("text")).as("r"))
+      .as[String].head()
+    // correct repair: fragment conserved, '“' recovered. The output is
+    // byte-identical to sig('–') — the inherent ambiguity the object doc
+    // records — but here it MUST be produced by the '“' rule AFTER the
+    // '–' rule already ran, i.e. it must survive to the output.
+    assert(out == fragment + "“", s"cascade destroyed the recovered char: <$out>")
+    // and a genuine mis-decoded '–' still repairs to '–'
+    val dash = Seq(sigDash).toDF("text")
+      .select(expr(EncodingRepair.repairExpr("text")).as("r"))
+      .as[String].head()
+    assert(dash == "–")
   }
 
   test("known mojibake strings round-trip to clean text through the repair") {

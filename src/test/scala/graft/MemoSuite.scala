@@ -73,20 +73,35 @@ class MemoSuite extends SparkSpec {
     // the contract CboBench's probe classifier leans on: after the first
     // footer inference per (session, path), constructing a table (and
     // therefore any pure-planning query) launches no jobs at all
-    val counter = new AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
+    // the CboBench.syncedJobs barrier pattern: each flush submits a
+    // job-group-TAGGED sentinel and waits until the listener has SEEN that
+    // tag — the bus is FIFO, so every earlier JobStart is counted by then.
+    // (An earlier quiescence-poll here could exit before the bus delivered
+    // the sentinel under load — a deterministic barrier, not a timing bet.)
+    class TaggedCounter extends org.apache.spark.scheduler.SparkListener {
+      val starts = new AtomicInteger(0)
+      @volatile var lastGroup: String = ""
       override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        counter.incrementAndGet()
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        starts.incrementAndGet()
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null) lastGroup = g
+      }
     }
+    val listener = new TaggedCounter
+    val counter = listener.starts
+    var syncN = 0
     def flush(): Unit = {
-      // a tagged sentinel job flushes the async bus: its JobStart is
-      // processed after every earlier one (FIFO)
-      spark.sparkContext.parallelize(Seq(1), 1).count()
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var last = -1
-      while ({ val c = counter.get(); val done = c == last; last = c; !done } &&
-        System.nanoTime() < deadline) Thread.sleep(20)
+      syncN += 1
+      val tag = s"memo-suite-sync-$syncN"
+      spark.sparkContext.setJobGroup(tag, tag)
+      try spark.sparkContext.parallelize(Seq(1), 1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (listener.lastGroup != tag && System.nanoTime() < deadline)
+        Thread.sleep(2)
+      assert(listener.lastGroup == tag, s"listener bus did not flush $tag in 30 s")
     }
     // first constructions may infer schemas (one footer job per path) —
     // warm every table q5 touches before measuring

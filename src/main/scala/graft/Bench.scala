@@ -97,6 +97,22 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
       finally Caches.drain()
     }
+    // SPARK_GRAFT_MANAGED=1: bench the managed-catalog CBO posture over
+    // the FULL registry (same Verify plumbing and artifact format —
+    // BENCH_CBO covers the multi-join probes with plan diffs; this gives
+    // the registry-wide wall-clock number for the same posture).
+    // Materialized AFTER the raw-path warmup: the one-time ANALYZE cost
+    // stays outside the timed region, and warmDir loads keep routing raw
+    // (the managed confs are per-dir), which is fine — they only exist to
+    // warm janino/JIT. The compact line carries mode:"managed" so the two
+    // artifact families can never be confused in a diff.
+    val managed = sys.env.get("SPARK_GRAFT_MANAGED").contains("1")
+    if (managed) {
+      Tables.materializeCatalog(spark, sfDir, "graft_bench_managed")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      System.err.println("[bench] managed-catalog CBO mode: catalog materialized + ANALYZEd")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
     // samples(name): (wall, cpu) of each successful rep; failures(name):
     // count of reps that threw. Reps run round-robin across queries (see
@@ -163,6 +179,7 @@ object Bench {
           shown.map { case (n, c) => n -> c.toString } ++
           (if (rest.nonEmpty) Seq("_more" -> rest.size.toString) else Nil)))
       } else Nil) ++
+      (if (managed) Seq("mode" -> "\"managed\"") else Nil) ++
       Seq("sf" -> ("\"" + sfDir + "\""))
     // Slowest first (failed queries sort as slowest: they must never fall
     // into the bucket); ties broken by name for a stable line.
@@ -205,6 +222,7 @@ object Bench {
     // head of the query set were unrecoverable from the truncated tail).
     val full = obj(Seq(
       "metric" -> "\"bench_full\"",
+      "mode" -> (if (managed) "\"managed\"" else "\"raw\""),
       "sf" -> ("\"" + sfDir + "\""),
       "reps" -> reps.toString,
       "total_sec" -> fmt(total, 3),
@@ -215,8 +233,11 @@ object Bench {
       "reps_wall" -> obj(names.map(n => n -> samples(n).map(s => fmt(s._1, 3)).mkString("[", ",", "]"))),
       "reps_cpu" -> obj(names.map(n => n -> samples(n).map(s => fmt(s._2, 3)).mkString("[", ",", "]"))),
       "errors" -> obj(failures.toSeq.sortBy(_._1).map { case (n, c) => n -> c.toString })))
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    // managed runs get their own artifact: the raw BENCH_FULL.json is the
+    // driver's diff baseline and must never be clobbered by a posture run
+    val fullPath = if (managed) "BENCH_FULL_MANAGED.json" else "BENCH_FULL.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] $fullPath write failed: ${e.getMessage}") }
     println(line)
     spark.stop()
   }

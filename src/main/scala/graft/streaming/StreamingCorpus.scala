@@ -333,4 +333,46 @@ object StreamingCorpus {
       emit.iterator.map(d => (hash, d))
     }
   }
+
+  // ── Stateless scrub twins ─────────────────────────────────────────────
+  // The pre-tokenization passes (PII redaction, mojibake scoring, HTML
+  // extraction, code detection) are per-row narrow projections of
+  // codegen'd built-ins, so their streaming face is a STATELESS map: no
+  // watermark, no state store, any output mode, identical cost model to
+  // the batch scan. Each twin reuses the batch family's public Column
+  // builders verbatim, so batch/stream parity is by construction —
+  // StreamingSuite pins it against the registered batch queries. Input:
+  // any streaming (or static) DataFrame with `doc_id` and `text`.
+
+  /** Streaming twin of [[graft.text.PiiQueries.piiRedact]]: masked text +
+    * total span count (counted pre-redaction, as in batch). */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val classes = graft.text.PiiQueries.Classes
+    val total = classes.map(c => col(s"n_${c._1}")).reduce(_ + _)
+    docs
+      .select(col("doc_id") +: col("text").as("orig") +:
+        graft.text.PiiQueries.scanColumns(col("text")): _*)
+      .select(col("doc_id"),
+        graft.text.PiiQueries.redactColumn(col("orig")).as("redacted"),
+        total.as("n_spans"))
+  }
+
+  /** Streaming twin of [[graft.text.EncodingRepair.mojibakeScore]]. */
+  def mojibakeScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: graft.text.EncodingRepair.scoreColumns("text"): _*)
+      .withColumn("is_mojibake", col("n_sig") + col("n_repl") > 0)
+
+  /** Streaming twin of [[graft.text.HtmlQueries.htmlExtract]]. */
+  def htmlExtract(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.text.HtmlQueries.extractColumn(col("text")).as("extracted"),
+      length(col("text")).cast("bigint").as("n_chars_html"))
+      .withColumn("n_chars_text", length(col("extracted")).cast("bigint"))
+
+  /** Streaming twin of [[graft.text.CodeDetect.codeDetect]]. */
+  def codeDetect(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: length(col("text")).cast("bigint").as("n_chars") +:
+      graft.text.CodeDetect.signalColumns(col("text")): _*)
+      .withColumn("score_ppm", graft.text.CodeDetect.scoreColumn)
+      .withColumn("is_code", col("score_ppm") >= graft.text.CodeDetect.ThresholdPpm)
 }

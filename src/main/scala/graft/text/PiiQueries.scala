@@ -271,6 +271,96 @@ object PiiQueries {
        |FROM (${luhnFixtureSql.replace("\n", "\n  ")}) f""".stripMargin
   }
 
+  /** IBAN candidate pattern: 2 uppercase country letters, 2 check digits,
+    * then 11–30 alphanumerics (total 15–34 per ISO 13616). Candidacy is
+    * deliberately wider than validity — the mod-97 check below is what
+    * separates a real IBAN from an ID-shaped token. */
+  val IbanPattern = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+
+  /** 10^k mod 97 for k = 0..67 — the position-weight table that turns the
+    * ISO 13616 big-integer mod into a SUM of per-digit terms (Σ dᵢ·10^k ≡
+    * Σ dᵢ·(10^k mod 97) (mod 97); terms ≤ 9·96, sums ≤ 68·9·96 ≈ 59k —
+    * int32-safe). 68 entries: a 34-char all-letter-tail IBAN expands to at
+    * most 68 digits. PiiSuite pins the table against BigInteger. */
+  private[graft] val Pow97: Seq[Int] =
+    Iterator.iterate(1)(p => p * 10 % 97).take(68).toSeq
+
+  /** ISO 13616 letter expansion (A→10 … Z→35) as a chained literal
+    * replace over the REARRANGED candidate (first 4 chars moved to the
+    * end). Replacement introduces only digits and digits are never
+    * replaced, so the chain cannot cascade and its order is immaterial. */
+  private def ibanExpand(c: String): String =
+    ('A' to 'Z').foldLeft(s"(substr($c, 5) || substr($c, 1, 4))") { (acc, ch) =>
+      s"replace($acc, '$ch', '${ch - 'A' + 10}')"
+    }
+
+  /** The mod-97 verdict over every [[IbanPattern]] candidate in `t`, as
+    * ONE generated expression of higher-order array functions (the Luhn
+    * trick from [[luhnVerdicts]], generalized to a positional fold:
+    * letters expand to two digits FIRST, then the weighted digit sum runs
+    * against the [[Pow97]] table — valid ⇔ sum ≡ 1 (mod 97)). The
+    * two-level transform keeps the 26-deep expansion expression evaluated
+    * ONCE per candidate; the inner lambda references only its own `e`. */
+  private def ibanVerdicts(t: String, spark: Boolean): String = {
+    val pow = Pow97.mkString(if (spark) "array(" else "[", ", ", if (spark) ")" else "]")
+    if (spark) {
+      val term = s"(ascii(substr(e, i, 1)) - 48) * element_at($pow, length(e) - i + 1)"
+      s"transform(transform(regexp_extract_all($t, '${IbanPattern.replace("\\", "\\\\")}', 0), " +
+        s"c -> ${ibanExpand("c")}), e -> " +
+        s"aggregate(sequence(1, length(e)), 0, (acc, i) -> acc + $term) % 97 = 1)"
+    } else {
+      val term = s"(ascii(substr(e, i::INT, 1)) - 48) * ($pow)[(length(e) - i + 1)::INT]"
+      s"list_transform(list_transform(regexp_extract_all($t, '$IbanPattern'), " +
+        s"c -> ${ibanExpand("c")}), e -> " +
+        s"list_sum(list_transform(range(1, length(e) + 1), i -> $term)) % 97 = 1)"
+    }
+  }
+
+  /** The Spark-side verdict expression over a column named `text`,
+    * exposed for PiiSuite's BigInteger-reference comparison. */
+  private[graft] def ibanVerdictsForTest: String = ibanVerdicts("text", spark = true)
+
+  /** Deterministic IBAN injection: the two canonical published example
+    * IBANs (GB/DE — test values, not accounts) and a one-digit-off
+    * INVALID twin of the GB one, on coprime residue streams (31/37/41). */
+  private val IbanFixtureArms = Seq(
+    (31, " iban GB82WEST12345698765432 on record."),
+    (37, " sepa DE89370400440532013000 cleared."),
+    (41, " iban GB82WEST12345698765433 rejected."))
+
+  def withIbanFixture(docs: DataFrame): DataFrame = docs.withColumn("text",
+    concat(col("text") +: IbanFixtureArms.map { case (m, s) =>
+      when(col("doc_id") % m === 0, lit(s)).otherwise(lit(""))
+    }: _*))
+
+  def ibanFixtureSql: String =
+    "SELECT doc_id, text" + IbanFixtureArms.map { case (m, s) =>
+      s" ||\n  CASE WHEN doc_id % $m = 0 THEN '$s' ELSE '' END"
+    }.mkString + "\n  AS text\nFROM documents"
+
+  /** Per-document IBAN detection with checksum validation — the
+    * payment-class sibling of [[piiLuhn]]: candidate tokens, how many
+    * pass ISO 13616 mod-97, and the boolean verdict. Whole-stage codegen
+    * end to end (higher-order functions over the extracted candidate
+    * array, no UDF); per-row narrow, zero shuffles. */
+  def piiIban(spark: SparkSession, dir: String): DataFrame = {
+    val verdicts = ibanVerdicts("text", spark = true)
+    withIbanFixture(Tables.documents(spark, dir)).select(
+      col("doc_id"),
+      expr(s"size($verdicts)").cast("bigint").as("n_iban"),
+      expr(s"size(filter($verdicts, v -> v))").cast("bigint").as("n_iban_valid"))
+      .withColumn("has_valid_iban", col("n_iban_valid") > 0)
+  }
+
+  def piiIbanSql: String = {
+    val verdicts = ibanVerdicts("text", spark = false)
+    s"""SELECT doc_id,
+       |  len($verdicts) AS n_iban,
+       |  len(list_filter($verdicts, v -> v)) AS n_iban_valid,
+       |  len(list_filter($verdicts, v -> v)) > 0 AS has_valid_iban
+       |FROM (${ibanFixtureSql.replace("\n", "\n  ")}) f""".stripMargin
+  }
+
   /** Per-document span counts by PII class + a has_pii flag. */
   def piiScan(spark: SparkSession, dir: String): DataFrame = {
     val scanned = withPiiFixture(Tables.documents(spark, dir))

@@ -112,6 +112,50 @@ class PiiSuite extends SparkSpec {
     }
   }
 
+  test("pii_iban: in-plan mod-97 verdict matches a BigInteger reference") {
+    def ibanRef(s: String): Boolean = {
+      val rearranged = s.drop(4) + s.take(4)
+      val digits = rearranged.flatMap(c =>
+        if (c.isLetter) (c - 'A' + 10).toString else c.toString)
+      new java.math.BigInteger(digits)
+        .mod(java.math.BigInteger.valueOf(97)) == java.math.BigInteger.ONE
+    }
+    // the power table the plan folds against IS 10^k mod 97
+    graft.text.PiiQueries.Pow97.zipWithIndex.foreach { case (p, k) =>
+      assert(java.math.BigInteger.TEN.modPow(
+        java.math.BigInteger.valueOf(k), java.math.BigInteger.valueOf(97))
+        .intValueExact() == p, s"Pow97($k)")
+    }
+    val ibans = Seq(
+      "GB82WEST12345698765432",  // canonical valid example
+      "DE89370400440532013000",  // canonical valid example
+      "GB82WEST12345698765433",  // one digit off: invalid
+      "MT84MALT011000012345MTLCAST001S", // 31-char, letters in tail
+      "NO9386011117947",          // 15-char minimum length
+      "GB82WEST123")              // too short: candidate gate must drop
+    val rows = ibans.map(i => s"acct $i listed").toDF("text")
+      .select(col("text"),
+        expr("size(" + graft.text.PiiQueries.ibanVerdictsForTest + ")").as("n"),
+        expr("size(filter(" + graft.text.PiiQueries.ibanVerdictsForTest + ", v -> v))").as("v"))
+      .collect()
+    ibans.zip(rows).foreach { case (i, r) =>
+      val inGate = i.length >= 15 && i.length <= 34
+      assert(r.getInt(1) == (if (inGate) 1 else 0), s"$i candidate gate")
+      assert(r.getInt(2) == (if (inGate && ibanRef(i)) 1 else 0),
+        s"$i: plan verdict != reference mod-97")
+    }
+    // the registered fixture behaves: valid streams flag, invalid stream not
+    val q = PiiQueries.piiIban(spark, Sf0001)
+    val bad = q.filter(col("doc_id") % 41 === 0 &&
+      col("doc_id") % 31 =!= 0 && col("doc_id") % 37 =!= 0)
+      .agg(max(col("n_iban")), max(col("n_iban_valid"))).head()
+    assert(bad.getLong(0) >= 1L && bad.getLong(1) == 0L,
+      "invalid-twin stream must detect candidates but validate none")
+    val good = q.filter(col("doc_id") % 31 === 0)
+      .agg(min(col("n_iban_valid"))).head().getLong(0)
+    assert(good == 1L)
+  }
+
   test("pii_audit reconciles with pii_scan totals") {
     val audit = PiiQueries.piiAudit(spark, Sf0001)
       .agg(sum("docs_with_pii"), sum("n_email"), sum("n_id")).head()

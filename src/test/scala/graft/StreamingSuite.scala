@@ -1384,6 +1384,51 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless scrub twins: streaming output equals the batch queries row-for-row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ts = new java.sql.Timestamp(0L)
+    // each twin is fed the SAME fixture text its batch query scans, split
+    // across two micro-batches; being stateless maps, the union of batch
+    // outputs must equal the batch query exactly (no watermark, no state)
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      ("pii", graft.streaming.StreamingCorpus.piiRedact _,
+        graft.text.PiiQueries.withPiiFixture(Tables.documents(spark, Sf0001)),
+        graft.text.PiiQueries.piiRedact(spark, Sf0001)),
+      ("mojibake", graft.streaming.StreamingCorpus.mojibakeScore _,
+        graft.text.EncodingRepair.withMojibake(Tables.documents(spark, Sf0001)),
+        graft.text.EncodingRepair.mojibakeScore(spark, Sf0001)),
+      ("html", graft.streaming.StreamingCorpus.htmlExtract _,
+        graft.text.HtmlQueries.withHtmlFixture(Tables.documents(spark, Sf0001))
+          .select($"doc_id", $"html".as("text")),
+        graft.text.HtmlQueries.htmlExtract(spark, Sf0001)),
+      ("code", graft.streaming.StreamingCorpus.codeDetect _,
+        graft.text.CodeDetect.withCodeFixture(Tables.documents(spark, Sf0001)),
+        graft.text.CodeDetect.codeDetect(spark, Sf0001)))
+    cases.foreach { case (name, twin, fixtureDf, batchDf) =>
+      val rows = fixtureDf.select($"doc_id", $"text").as[(Long, String)].collect()
+        .map { case (id, text) => StreamingSuite.Doc(id, text, ts) }
+      val input = MemoryStream[StreamingSuite.Doc]
+      val q = twin(input.toDF().drop("ingest_ts"))
+        .writeStream.format("memory").queryName(s"scrub_$name")
+        .outputMode("append").start()
+      try {
+        val (a, b) = rows.splitAt(rows.length / 2)
+        input.addData(a: _*)
+        q.processAllAvailable()
+        input.addData(b: _*)
+        q.processAllAvailable()
+        val streamed = spark.table(s"scrub_$name").collect()
+          .map(_.toSeq).toSet
+        val batch = batchDf.collect().map(_.toSeq).toSet
+        assert(streamed == batch, s"$name stream/batch divergence " +
+          s"(${streamed.size} vs ${batch.size} distinct rows)")
+        assert(streamed.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
   test("batch sessionize agrees with EventQueries.sessions on driver data shape") {
     import spark.implicits._
     // same gap logic, computed by the batch window-function path

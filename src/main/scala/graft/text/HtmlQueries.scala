@@ -218,6 +218,90 @@ object HtmlQueries {
         expr("cast(n_exact as decimal(38,0)) * 1000000 div n_docs"))
   }
 
+  /** href-capturing anchor pattern (case-insensitive, double-quoted
+    * attributes — the grammar the fixture emits; real crawls normalize
+    * quoting upstream). Group 1 is the target. */
+  val AnchorPat = "(?i)<a\\s[^>]*href=\"([^\"]*)\""
+
+  /** Outlink targets for the link fixture: a small canonical space
+    * (3 hosts × 10 paths) reached through noisy spellings, so the
+    * in-degree rollup MUST canonicalize to read right. DuckDB spelling;
+    * the Spark side uses element_at over the same host slice. */
+  private def linkHostSql(idExpr: String): String =
+    s"(${UrlQueries.Hosts.take(3).map(h => s"'$h'").mkString("[", ", ", "]")})[($idExpr % 3)::INT + 1]"
+
+  /** Deterministic anchor injection: every doc links one canonical-space
+    * target; the 4-stream adds a NOISY second anchor (uppercase host +
+    * tracking param) at a neighboring target; the 9-stream adds a
+    * RELATIVE link the extractor must drop (absolute-only contract —
+    * real pipelines resolve relatives against a base URL this corpus
+    * doesn't carry; dropping, not mangling, is the honest behavior). */
+  def withLinkFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val host = element_at(lit(UrlQueries.Hosts.take(3).toArray), (id % 3).cast("int") + 1)
+    docs.withColumn("html", concat(
+      lit("<html><body><p>"), col("text"), lit("</p>"),
+      lit("<a href=\"https://"), host, lit("/t/"), (id % 10).cast("string"),
+      lit("\">ref</a>"),
+      when(id % 4 === 0, concat(
+        lit("<A HREF=\"https://"), upper(host), lit("/t/"),
+        ((id + 1) % 10).cast("string"), lit("?utm_source=feed\">noisy</A>")))
+        .otherwise(lit("")),
+      when(id % 9 === 0, lit("<a href=\"/local/nav\">rel</a>")).otherwise(lit("")),
+      lit("</body></html>")))
+  }
+
+  def linkFixtureSql: String =
+    // NOTE: no line here may START with '|' — consumer SQL builders run
+    // stripMargin AFTER interpolating this block.
+    s"""SELECT doc_id, source, text,
+       |  '<html><body><p>' || text || '</p>' ||
+       |  '<a href="https://' || ${linkHostSql("doc_id")} ||
+       |  '/t/' || (doc_id % 10) || '">ref</a>' ||
+       |  CASE WHEN doc_id % 4 = 0
+       |       THEN '<A HREF="https://' || upper(${linkHostSql("doc_id")}) ||
+       |            '/t/' || ((doc_id + 1) % 10) || '?utm_source=feed">noisy</A>' ELSE '' END ||
+       |  CASE WHEN doc_id % 9 = 0 THEN '<a href="/local/nav">rel</a>' ELSE '' END ||
+       |  '</body></html>' AS html
+       |FROM documents""".stripMargin
+
+  /** Per-document outlink extraction: absolute http(s) anchor targets,
+    * exploded one row per link, each with its canonical form
+    * ([[UrlQueries.canonicalColumn]] — the link-graph key). Per-row
+    * narrow + explode; zero shuffles. */
+  def htmlLinks(spark: SparkSession, dir: String): DataFrame =
+    withLinkFixture(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(filter(
+          regexp_extract_all(col("html"), lit(AnchorPat), lit(1)),
+          x => x.rlike("^https?://"))).as("link"))
+      .withColumn("canonical_link", UrlQueries.canonicalColumn("link"))
+
+  def htmlLinksSql: String =
+    s"""SELECT doc_id, link,
+       |  ${UrlQueries.canonicalSqlExprFor("link").replace("\n", "\n  ")} AS canonical_link
+       |FROM (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_extract_all(html, '$AnchorPat', 1),
+       |    x -> regexp_matches(x, '^https?://'))) AS link
+       |  FROM (${linkFixtureSql.replace("\n", "\n  ")}) f) u""".stripMargin
+
+  /** The link-graph in-degree rollup keyed by CANONICAL target — what a
+    * crawl scheduler or PageRank seed pass consumes. One partial-agg
+    * exchange; the noisy variants collapse onto their target or the
+    * in-degree double-counts campaign spellings. */
+  def linkIndegree(spark: SparkSession, dir: String): DataFrame =
+    htmlLinks(spark, dir)
+      .groupBy(col("canonical_link"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
+  def linkIndegreeSql: String =
+    s"""SELECT canonical_link, count(*) AS n_refs,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM (${htmlLinksSql.replace("\n", "\n  ")}) l
+       |GROUP BY canonical_link""".stripMargin
+
   def htmlEvalSql: String = {
     val expected = normalizeSql(
       s"('Doc ' || doc_id || ' ' || text || CASE WHEN doc_id % 11 = 0 " +

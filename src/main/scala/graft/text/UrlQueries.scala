@@ -166,6 +166,126 @@ object UrlQueries {
        |  (n_docs * 1000000 // sum(n_docs) OVER ())::BIGINT AS doc_share_ppm
        |FROM per_domain""".stripMargin
 
+  /** Tracking parameters stripped during canonicalization (the
+    * RefinedWeb/CCNet step before URL-level dedup: the same page arrives
+    * once per campaign variant unless utm-prefixed and click-id params
+    * are dropped). */
+  val TrackingParamPat = "^(utm_[a-z]+|gclid|fbclid|ref)="
+
+  /** Canonical form of a URL, as ONE generated expression (engine
+    * spellings differ only in the list-function names): lowercase host,
+    * default port dropped (443/https, 80/http), userinfo and fragment
+    * dropped (the parse pattern already stops at '#'), tracking params
+    * removed and the REMAINING params sorted — so param-order noise and
+    * campaign decorations collapse to one key. Higher-order array
+    * functions end to end, no UDF. */
+  private def canonicalExpr(url: String, spark: Boolean): String = {
+    // Spark's SQL parser processes backslash escapes inside string
+    // literals ('\?' collapses to '?'); DuckDB's does not — per-engine
+    // spelling of the same pattern (the luhnVerdicts precedent)
+    val pat = if (spark) UrlPat.replace("\\", "\\\\") else UrlPat
+    def g(i: Int) = s"regexp_extract($url, '$pat', $i)"
+    val kept =
+      if (spark)
+        s"array_join(array_sort(filter(split(${g(6)}, '&'), " +
+          s"p -> p != '' AND NOT (p rlike '$TrackingParamPat'))), '&')"
+      else
+        s"coalesce(array_to_string(list_sort(list_filter(string_split(${g(6)}, '&'), " +
+          s"p -> p != '' AND NOT regexp_matches(p, '$TrackingParamPat'))), '&'), '')"
+    s"""${g(1)} || '://' || lower(${g(3)}) ||
+       |    CASE WHEN ${g(4)} = '' OR (${g(1)} = 'https' AND ${g(4)} = '443')
+       |              OR (${g(1)} = 'http' AND ${g(4)} = '80')
+       |         THEN '' ELSE ':' || ${g(4)} END ||
+       |    ${g(5)} ||
+       |    CASE WHEN $kept = '' THEN '' ELSE '?' || $kept END""".stripMargin
+  }
+
+  /** Noisy-variant fixture for the canonicalization family: every doc
+    * gets an https URL whose CANONICAL key space is deliberately small
+    * (3 hosts × 20 paths × 4 real param values), while the raw strings
+    * differ per doc — campaign params out of order on the 2-stream,
+    * per-doc gclid on the 7-stream, fragments on the 3-stream, uppercase
+    * hosts on the 11-stream, explicit default port on the 13-stream —
+    * so canonicalization MUST collapse variants for the dedup-rate row
+    * to read right. */
+  def withUrlNoiseFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val host = element_at(lit(Hosts.take(3).toArray), (id % 3).cast("int") + 1)
+    docs.withColumn("url", concat(
+      lit("https://"),
+      when(id % 11 === 0, upper(host)).otherwise(host),
+      when(id % 13 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (id % 20).cast("string"),
+      when(id % 2 === 0,
+        concat(lit("?utm_source=rss&s="), (id % 4).cast("string"), lit("&utm_medium=feed")))
+        .otherwise(concat(lit("?s="), (id % 4).cast("string"))),
+      when(id % 7 === 0, concat(lit("&gclid="), id.cast("string"))).otherwise(lit("")),
+      when(id % 3 === 0, concat(lit("#sec"), id.cast("string"))).otherwise(lit(""))))
+  }
+
+  def noiseFixtureSql: String = {
+    val hostList = Hosts.take(3).map(h => s"'$h'").mkString("[", ", ", "]")
+    // NOTE: no line here may START with '|' — consumer SQL builders run
+    // stripMargin AFTER interpolating this block.
+    s"""SELECT doc_id, source, text,
+       |  'https://' ||
+       |  CASE WHEN doc_id % 11 = 0 THEN upper($hostList[(doc_id % 3)::INT + 1])
+       |       ELSE $hostList[(doc_id % 3)::INT + 1] END ||
+       |  CASE WHEN doc_id % 13 = 0 THEN ':443' ELSE '' END ||
+       |  '/p/' || (doc_id % 20) ||
+       |  CASE WHEN doc_id % 2 = 0
+       |       THEN '?utm_source=rss&s=' || (doc_id % 4) || '&utm_medium=feed'
+       |       ELSE '?s=' || (doc_id % 4) END ||
+       |  CASE WHEN doc_id % 7 = 0 THEN '&gclid=' || doc_id ELSE '' END ||
+       |  CASE WHEN doc_id % 3 = 0 THEN '#sec' || doc_id ELSE '' END
+       |  AS url
+       |FROM documents""".stripMargin
+  }
+
+  /** The canonicalization operator over a url column NAME — public so
+    * callers (and the suite) can canonicalize any frame, not just the
+    * fixture. */
+  def canonicalColumn(urlColName: String): Column =
+    expr(canonicalExpr(urlColName, spark = true))
+
+  /** DuckDB spelling of the same, for consumer oracle builders
+    * ([[HtmlQueries.htmlLinksSql]]). */
+  def canonicalSqlExprFor(inner: String): String = canonicalExpr(inner, spark = false)
+
+  /** Per-document canonicalization twin. Per-row narrow, zero shuffles. */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame =
+    withUrlNoiseFixture(Tables.documents(spark, dir)).select(
+      col("doc_id"), col("url"),
+      canonicalColumn("url").as("canonical_url"))
+
+  def urlCanonicalSql: String =
+    s"""SELECT doc_id, url,
+       |  ${canonicalExpr("url", spark = false).replace("\n", "\n  ")} AS canonical_url
+       |FROM (${noiseFixtureSql.replace("\n", "\n  ")}) f""".stripMargin
+
+  /** The URL-dedup governance row: how many raw URL strings the corpus
+    * carries vs how many canonical keys they collapse to, with the
+    * collapse rate in exact ppm — the number that justifies running
+    * canonicalization before URL-level dedup at all. One scan + the
+    * two-distinct aggregate. */
+  def urlDedupRate(spark: SparkSession, dir: String): DataFrame =
+    urlCanonical(spark, dir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_urls"),
+        countDistinct(col("canonical_url")).as("n_canonical"))
+      // corpus-sized counts: DECIMAL(38,0) ceiling policy, div → bigint
+      .withColumn("collapse_ppm",
+        expr("cast(n_urls - n_canonical as decimal(38,0)) * 1000000 div n_urls"))
+
+  def urlDedupRateSql: String =
+    s"""SELECT count(*) AS n_docs,
+       |  count(DISTINCT url) AS n_urls,
+       |  count(DISTINCT canonical_url) AS n_canonical,
+       |  ((count(DISTINCT url) - count(DISTINCT canonical_url)) * 1000000
+       |     // count(DISTINCT url))::BIGINT AS collapse_ppm
+       |FROM (${urlCanonicalSql.replace("\n", "\n  ")}) c""".stripMargin
+
   /** The curated blocklist (registered domains). Tiny by nature — a
     * BROADCAST side, never shuffled against the corpus. */
   val Blocklist = Seq("example.co.uk", "xn--bcher-kva.de")

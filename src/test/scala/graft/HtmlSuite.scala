@@ -81,6 +81,30 @@ class HtmlSuite extends SparkSpec {
     assert(ev.getAs[Long]("exact_ppm") == 1000000L)
   }
 
+  test("link extraction: absolute hrefs only, canonical in-degree collapses noise") {
+    val links = HtmlQueries.htmlLinks(spark, Sf0001).collect()
+    assert(links.nonEmpty)
+    links.foreach { r =>
+      assert(r.getAs[String]("link").matches("^https?://.*"),
+        s"relative link leaked: ${r.getAs[String]("link")}")
+      val c = r.getAs[String]("canonical_link")
+      assert(!c.contains("utm_"), s"tracking survived canonicalization: $c")
+      val host = c.stripPrefix("https://").takeWhile(_ != '/')
+      assert(host == host.toLowerCase, s"host case survived: $c")
+    }
+    // the 9-stream's relative link must be dropped, not mangled: total
+    // links = one per doc + one per 4-stream doc, nothing else
+    val nDocs = Tables.documents(spark, Sf0001).count()
+    val n4 = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") % 4 === 0).count()
+    assert(links.length == (nDocs + n4),
+      s"${links.length} links for $nDocs docs + $n4 noisy anchors")
+    // canonical target space is the designed 3 hosts × 10 paths bound
+    val deg = HtmlQueries.linkIndegree(spark, Sf0001).collect()
+    assert(deg.length <= 30, s"${deg.length} canonical targets")
+    assert(deg.map(_.getAs[Long]("n_refs")).sum == links.length)
+  }
+
   test("boilerplate_ppm is exact length arithmetic and bounded") {
     val rows = HtmlQueries.boilerplateRate(spark, Sf0001).collect()
     assert(rows.nonEmpty)

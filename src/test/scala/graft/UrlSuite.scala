@@ -77,6 +77,39 @@ class UrlSuite extends SparkSpec {
     assert(audit.count(_.getAs[Boolean]("blocked")) == UrlQueries.Blocklist.size)
   }
 
+  test("canonicalization: case/port/fragment/tracking/param-order noise collapses") {
+    // four noisy spellings of ONE page must share a canonical key — and a
+    // genuinely different page must not
+    val variants = Seq(
+      "https://WWW.Example.com:443/p/1?utm_source=rss&s=2&utm_medium=feed",
+      "https://www.example.com/p/1?s=2&gclid=12345",
+      "https://www.example.com/p/1?s=2#frag",
+      "https://www.example.com/p/1?s=2",
+      "https://www.example.com/p/1?s=3", // different real param
+      "http://www.example.com:8080/p/1?s=2") // non-default port kept
+    val canon = variants.toDF("url")
+      .select(UrlQueries.canonicalColumn("url").as("c"))
+      .as[String].collect().toSeq
+    assert(canon.take(4).toSet == Set("https://www.example.com/p/1?s=2"))
+    assert(canon(4) == "https://www.example.com/p/1?s=3")
+    assert(canon(5) == "http://www.example.com:8080/p/1?s=2")
+    // registered query properties + the dedup-rate row
+    UrlQueries.urlCanonical(spark, Sf0001).collect().foreach { r =>
+      val c = r.getAs[String]("canonical_url")
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains("gclid"),
+        s"noise survived: $c")
+      assert(!c.contains(":443"), s"default port survived: $c")
+      val host = c.stripPrefix("https://").takeWhile(_ != '/')
+      assert(host == host.toLowerCase, s"host case survived: $c")
+    }
+    // canonical key count is the designed 3 hosts × 20 paths × 4 params
+    // bound; raw URL strings must exceed it for the rate to mean anything
+    val stats = UrlQueries.urlDedupRate(spark, Sf0001).head()
+    assert(stats.getAs[Long]("n_canonical") <= 240L)
+    assert(stats.getAs[Long]("n_urls") > stats.getAs[Long]("n_canonical"))
+    assert(stats.getAs[Long]("collapse_ppm") > 0L)
+  }
+
   test("the blocklist join is a broadcast join, corpus side never shuffled against it") {
     val plan = UrlQueries.domainBlocklist(spark, Sf0001)
       .queryExecution.executedPlan.toString

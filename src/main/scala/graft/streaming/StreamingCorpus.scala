@@ -375,4 +375,21 @@ object StreamingCorpus {
       graft.text.CodeDetect.signalColumns(col("text")): _*)
       .withColumn("score_ppm", graft.text.CodeDetect.scoreColumn)
       .withColumn("is_code", col("score_ppm") >= graft.text.CodeDetect.ThresholdPpm)
+
+  /** Streaming twin of [[graft.text.UrlQueries.urlCanonical]] — input
+    * carries a `url` column (crawl frontier stream). */
+  def urlCanonical(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("url"),
+      graft.text.UrlQueries.canonicalColumn("url").as("canonical_url"))
+
+  /** Streaming twin of [[graft.text.HtmlQueries.htmlLinks]]: `text` is
+    * the raw markup; explode is stateless under Structured Streaming, so
+    * this stays a per-row map (one input row → N link rows in the same
+    * micro-batch). */
+  def htmlLinks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(filter(
+        regexp_extract_all(col("text"), lit(graft.text.HtmlQueries.AnchorPat), lit(1)),
+        x => x.rlike("^https?://"))).as("link"))
+      .withColumn("canonical_link", graft.text.UrlQueries.canonicalColumn("link"))
 }

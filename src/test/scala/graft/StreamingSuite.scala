@@ -1405,7 +1405,16 @@ class StreamingSuite extends SparkSpec {
         graft.text.HtmlQueries.htmlExtract(spark, Sf0001)),
       ("code", graft.streaming.StreamingCorpus.codeDetect _,
         graft.text.CodeDetect.withCodeFixture(Tables.documents(spark, Sf0001)),
-        graft.text.CodeDetect.codeDetect(spark, Sf0001)))
+        graft.text.CodeDetect.codeDetect(spark, Sf0001)),
+      ("url", in => graft.streaming.StreamingCorpus.urlCanonical(
+        in.withColumnRenamed("text", "url")),
+        graft.text.UrlQueries.withUrlNoiseFixture(Tables.documents(spark, Sf0001))
+          .select($"doc_id", $"url".as("text")),
+        graft.text.UrlQueries.urlCanonical(spark, Sf0001)),
+      ("links", graft.streaming.StreamingCorpus.htmlLinks _,
+        graft.text.HtmlQueries.withLinkFixture(Tables.documents(spark, Sf0001))
+          .select($"doc_id", $"html".as("text")),
+        graft.text.HtmlQueries.htmlLinks(spark, Sf0001)))
     cases.foreach { case (name, twin, fixtureDf, batchDf) =>
       val rows = fixtureDf.select($"doc_id", $"text").as[(Long, String)].collect()
         .map { case (id, text) => StreamingSuite.Doc(id, text, ts) }

@@ -122,4 +122,51 @@ object Plans {
   Memo.onEvict { spark =>
     decisionCache.keySet.removeIf(_._1 eq spark)
   }
+
+  /** Conf key disabling [[fanOut]] (diagnostics / A-B plan comparison). */
+  val FanOutKey = "spark.graft.fanout.enabled"
+
+  /** Scale-adaptive fan-out for HEAVY per-row compute sitting directly on a
+    * scan: when the source provides fewer splits than the cluster has cores
+    * (the classic unsplittable-input shape — a single parquet row group, one
+    * gzip shard), hash-redistribute the narrow input rows across
+    * `defaultParallelism` partitions on `key` BEFORE the expensive
+    * projection, so tokenize/shingle/minhash/regex work uses every core
+    * instead of one. Guide §2.5's "repartition immediately after the read"
+    * for input skew, made conditional:
+    *
+    *   - the gate compares the PLANNED scan partition count against
+    *     `defaultParallelism` — at deployment scale a 100 TB source yields
+    *     thousands of splits, the gate never fires, and the plan (and the
+    *     "raw text never shuffles" property) is byte-identical to before;
+    *   - hash partitioning on the row's unique id is deterministic (safe
+    *     under task retry — no round-robin, no sort-before-repartition) and
+    *     skew-free for a key that is unique per row;
+    *   - the explicit partition count (not `repartition(key)` alone) keeps
+    *     AQE from coalescing the tiny-by-bytes exchange back to one
+    *     partition, which would undo the fan-out exactly when it matters
+    *     (compute-bound, not byte-bound, stages).
+    *
+    * Only correct above deterministic row sets (every registered query —
+    * results are value-keyed aggregations/joins, never input-order-
+    * dependent). The planned-partition probe costs one driver-side physical
+    * plan of the (narrow) subtree; `cacheKey` memoizes the DECISION per
+    * (session, key) exactly like [[broadcastIfSmallStats]]. */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column,
+      cacheKey: String = null): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.get(FanOutKey, "true").toBoolean) df
+    else {
+      val target = spark.sparkContext.defaultParallelism
+      def needsSpread: Boolean = df.rdd.getNumPartitions < target
+      val spread =
+        if (cacheKey == null) needsSpread
+        else {
+          decisionCache.keySet.removeIf(_._1.sparkContext.isStopped)
+          decisionCache.computeIfAbsent((spark, s"fanout/$cacheKey/$target"),
+            _ => java.lang.Boolean.valueOf(needsSpread)).booleanValue()
+        }
+      if (spread) df.repartition(target, key) else df
+    }
+  }
 }

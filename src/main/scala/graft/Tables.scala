@@ -152,5 +152,16 @@ object Tables {
     case _                => df
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  /** [[documents]] with the unsplittable-input fan-out applied
+    * ([[graft.Plans.fanOut]] on doc_id): the loader for operators whose
+    * per-row compute (tokenize/shingle/fingerprint/regex) dominates the
+    * scan. When the source already yields ≥ cores splits — any real
+    * deployment — this IS [[documents]], plan-identical; on a
+    * single-row-group test file it redistributes rows once so the narrow
+    * compute uses every core instead of one (guide §2.5, unsplittable
+    * inputs). Decision memoized per (session, dir). */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    graft.Plans.fanOut(documents(spark, dir), col("doc_id"),
+      cacheKey = s"documents/$dir")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

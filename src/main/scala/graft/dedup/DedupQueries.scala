@@ -83,7 +83,12 @@ object DedupQueries {
   /** [[dedupNear]] over an arbitrary `(doc_id, text)` frame — lets a
     * pipeline run the expensive shingling stage on an already-thinned
     * corpus (e.g. exact-dedup keepers first). */
-  private[graft] def dedupNearOn(docs: DataFrame): DataFrame = {
+  private[graft] def dedupNearOn(docsIn: DataFrame): DataFrame = {
+    // unsplittable-input fan-out (Plans.fanOut): the signature pass is
+    // compute-bound per row, and a single-row-group source hands the scan
+    // ONE split — gate-redistributed here so minhash/shingle work uses
+    // every core; a many-split deployment source leaves the plan unchanged
+    val docs = graft.Plans.fanOut(docsIn, col("doc_id"))
     val sig = docs
       .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(size(col("sig")) > 0)
@@ -239,7 +244,10 @@ object DedupQueries {
   /** [[jaccardPairsAtLeast]] over an arbitrary `(doc_id, text)` frame —
     * the property-test surface for the threshold generalization. */
   private[graft] def jaccardPairsAtLeastOn(
-      docs: DataFrame, num: Int, den: Int): DataFrame = {
+      docsIn: DataFrame, num: Int, den: Int): DataFrame = {
+    // same unsplittable-input fan-out as dedupNearOn: shingling is the
+    // compute-bound stage and must not be serialized by a 1-split scan
+    val docs = graft.Plans.fanOut(docsIn, col("doc_id"))
     val toks = docs.select(col("doc_id"),
       explode(expr("transform(shingle_set(text), s -> xxhash64(s))")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
@@ -357,7 +365,11 @@ object DedupQueries {
     * [[dedupJaccard]]'s prefix math. Recall: identical 6e-15 band-miss
     * bound as [[dedupNear]], so the output equals the brute-force oracle. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // fan-out once at the top: both the banded-signature pass and the
+    // verification shingling downstream inherit the spread partitioning
+    val docs = graft.Plans.fanOut(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"), cacheKey = s"documents/$dir")
     val cut = docs.agg(((max(col("doc_id")) + 1) * 4).as("cut4"))
     val tagged = docs.crossJoin(broadcast(cut))
       .withColumn("is_new", col("doc_id") * 5 >= col("cut4"))
@@ -871,15 +883,24 @@ object DedupQueries {
   def docPagerank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val pairs = nearPairsMemo(spark, dir)
+    // near-dup graph size gate (the er_golden_records note): a duplicate
+    // graph small enough to broadcast iterates on ONE partition — every
+    // round's join/agg runs exchange-free — while a corpus whose pair set
+    // outgrows the limit keeps the full-width rounds.
+    val nPairs = graft.Memo.countOf(spark, s"neardup-pairs/$dir", pairs)
+    val collapse = 2 * nPairs <= graft.Plans.broadcastRowLimit(pairs)
     // strict doc_a < doc_b in the pair set → the two directions are disjoint
-    val edges = truncate(
-      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
+    val edgesRaw = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
+    val edges = truncate(if (collapse) edgesRaw.repartition(1) else edgesRaw)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = docs.count()
-    var rank = truncate(
-      docs.join(deg, docs("doc_id") === deg("src"), "left")
-        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
-          lit(PrScale / n).as("rank")))
+    // the rank table collapses with the edges: a 1-partition iterate makes
+    // every round's join + partial agg exchange-free (SinglePartition
+    // satisfies all their clusterings)
+    val rank0 = docs.join(deg, docs("doc_id") === deg("src"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        lit(PrScale / n).as("rank"))
+    var rank = truncate(if (collapse) rank0.repartition(1) else rank0)
     for (_ <- 1 to PrIters) {
       // dangling mass as a broadcast one-row aggregate folded into the plan
       // (the q15_top_supplier scalar pattern) — NOT a driver-side .head:
@@ -1232,9 +1253,19 @@ object DedupQueries {
   def erGoldenRecords(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.Caches.persisted(
       erCandidates(spark, dir).select(col("part_a"), col("part_b")))
+    // match-graph size gate (exact count of the persisted pairs, memoized):
+    // under the broadcast row limit the whole label iteration collapses to
+    // ONE partition — the sourceClusters lesson: iterating a match graph
+    // this small across 32-way stages costs pure task scheduling (each
+    // round's join/agg then runs exchange-free, SinglePartition satisfies
+    // every clustering) — while a catalog whose match set outgrows the
+    // limit keeps the full 32-way rounds unchanged.
+    val nPairs = graft.Memo.countOf(spark, s"er-pairs/$dir", pairs)
+    val collapse = 2 * nPairs <= graft.Plans.broadcastRowLimit(pairs)
+    val adjRaw = pairs.select(col("part_a").as("v"), col("part_b").as("n"))
+      .unionByName(pairs.select(col("part_b").as("v"), col("part_a").as("n")))
     val adj = graft.Caches.persisted(
-      pairs.select(col("part_a").as("v"), col("part_b").as("n"))
-        .unionByName(pairs.select(col("part_b").as("v"), col("part_a").as("n"))))
+      if (collapse) adjRaw.repartition(1) else adjRaw)
     // truncate (not persist) each round: lbl feeds BOTH the self-union and
     // the neighbor join, so a lazy persist leaves a logical plan that
     // doubles per round — 2⁴ subtrees by round 4, and the optimizer pays

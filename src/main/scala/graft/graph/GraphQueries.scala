@@ -521,7 +521,7 @@ object GraphQueries {
     * `max(struct(cnt, -label))`: no per-node sort, just a partial-agg
     * max. */
   def copurchaseCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val e = copurchaseEdgesCounted(spark, dir)._1
+    val (e, nEdges) = copurchaseEdgesCounted(spark, dir)
     val adj = graft.Caches.persisted(
       e.select(col("u").as("v"), col("v").as("n"))
         .unionByName(e.select(col("v").as("v"), col("u").as("n"))))
@@ -534,8 +534,15 @@ object GraphQueries {
     var labels = adj.select(col("v")).distinct()
       .withColumn("label", col("v"))
     for (_ <- 1 to LpaRounds) {
+      // label table is |V|-sized (≤ 2|E| by the memo count) but aggregate-
+      // derived — no stats, so Catalyst would plan the round join as a
+      // sort-merge and shuffle the cached EDGE set every round. Under the
+      // gate the labels broadcast (adj never moves; the only exchange per
+      // round is the |V|-sized partial-agg output) and degrade to
+      // shuffled-hash on a graph whose vertex set outgrows the threshold.
       labels = adj
-        .join(labels.select(col("v").as("n"), col("label")), "n")
+        .join(graft.Plans.broadcastIfSmall(
+          labels.select(col("v").as("n"), col("label")), 2 * nEdges), "n")
         .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("v"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
@@ -564,7 +571,7 @@ object GraphQueries {
     * (the distance set is at most |V|; nothing is driver-side). The hub
     * selection is a |V|-sized agg + TakeOrdered(1). */
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
-    val e = copurchaseEdgesCounted(spark, dir)._1
+    val (e, nEdges) = copurchaseEdgesCounted(spark, dir)
     val adj = graft.Caches.persisted(
       e.select(col("u").as("v"), col("v").as("n"))
         .unionByName(e.select(col("v").as("v"), col("u").as("n"))))
@@ -580,9 +587,15 @@ object GraphQueries {
     // measured ~5.1 s → ~3.6 s steady-state at sf0.1)
     var dist = graft.dedup.DedupQueries.truncate(src.withColumn("h", lit(0L)))
     for (_ <- 1 to BfsRounds) {
+      // the distance table is |V|-sized but checkpoint-truncated (no
+      // stats): ungated, the relaxation join sort-merges and re-shuffles
+      // the cached EDGE set every round. Gate-broadcast the distances
+      // (≤ 2|E| rows by the memo count) so adj never moves; past the
+      // threshold the same join degrades to shuffled-hash.
       dist = graft.dedup.DedupQueries.truncate(dist
         .unionByName(
-          adj.join(dist.select(col("v").as("n"), col("h")), "n")
+          adj.join(graft.Plans.broadcastIfSmall(
+              dist.select(col("v").as("n"), col("h")), 2 * nEdges), "n")
             .select(col("v"), (col("h") + 1).as("h")))
         .groupBy(col("v")).agg(min(col("h")).as("h")))
     }
@@ -737,6 +750,7 @@ object GraphQueries {
     * weighted adjacency adds one (u,v)-keyed count agg over the same
     * grouped pair expansion [[copurchaseEdges]] uses. */
   def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val nEdges = copurchaseEdgesCounted(spark, dir)._2
     // persisted: the symmetrizing union below consumes `pairs` twice —
     // left lazy, the pair-expansion aggregate evaluates once per side
     // while the adjacency cache materializes
@@ -752,9 +766,13 @@ object GraphQueries {
     val src = deg.orderBy(col("d").desc, col("v").asc).limit(1).select(col("v"))
     var dist = graft.dedup.DedupQueries.truncate(src.withColumn("h", lit(0L)))
     for (_ <- 1 to SsspRounds) {
+      // gate-broadcast the |V|-sized distance table (the bfsHops note):
+      // ungated, the stats-less checkpointed side forces a sort-merge
+      // that re-shuffles the cached weighted adjacency every round
       dist = graft.dedup.DedupQueries.truncate(dist
         .unionByName(
-          adj.join(dist.select(col("v").as("n"), col("h")), "n")
+          adj.join(graft.Plans.broadcastIfSmall(
+              dist.select(col("v").as("n"), col("h")), 2 * nEdges), "n")
             .select(col("v"), (col("h") + col("w")).as("h")))
         .groupBy(col("v")).agg(min(col("h")).as("h")))
     }
@@ -819,17 +837,25 @@ object GraphQueries {
     val e = graft.Caches.persisted(
       custBaskets(spark, dir)
         .select(col("c"), explode(col("ps")).as("p")))
+    // score tables are catalog-/customer-sized; bounded by parquet METADATA
+    // row counts (footer-only jobs, memoized) so the gates cost nothing —
+    // ungated, the stats-less score aggregates force sort-merge joins that
+    // re-shuffle the cached bipartite edge set every half-step
+    val nParts = graft.Memo.countOf(spark, s"n-parts/$dir", Tables.part(spark, dir))
+    val nCusts = graft.Memo.countOf(spark, s"n-customers/$dir", Tables.customer(spark, dir))
     var auth = e.select(col("p")).distinct().withColumn("a", lit(1000000L))
     for (_ <- 1 to HitsRounds) {
       // each half-step's raw sums feed BOTH the max scalar and the rescale:
       // persisted, or the e⋈scores join evaluates twice inside one action
       // (the same both-consumers lesson as the bfs/sssp truncation)
       val hRaw = graft.Caches.persisted(
-        e.join(auth, "p").groupBy(col("c")).agg(sum(col("a")).as("hr")))
+        e.join(graft.Plans.broadcastIfSmall(auth, nParts), "p")
+          .groupBy(col("c")).agg(sum(col("a")).as("hr")))
       val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("hr")).as("hm"))))
         .select(col("c"), expr("hr * 1000000L div hm").as("h"))
       val aRaw = graft.Caches.persisted(
-        e.join(hub, "c").groupBy(col("p")).agg(sum(col("h")).as("ar")))
+        e.join(graft.Plans.broadcastIfSmall(hub, nCusts), "c")
+          .groupBy(col("p")).agg(sum(col("h")).as("ar")))
       auth = graft.dedup.DedupQueries.truncate(
         aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
           .select(col("p"), expr("ar * 1000000L div am").as("a")))

@@ -45,7 +45,7 @@ object BpeTrainer {
 
   /** Corpus word-frequency table: the only corpus-sized pass. */
   private def wordFreqs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))

@@ -587,7 +587,7 @@ object DataSelection {
     * pruning is ≪ corpus — else a linear keyed shuffle). The corpus side
     * is a narrow explode + one per-doc group-by. */
   def ngramPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+    val base = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"), toks(col("text")).as("toks"))
     val bi = base
       .select(col("doc_id"), col("source"), explode(grams(2)).as("g"))
@@ -664,7 +664,7 @@ object DataSelection {
     * (doc, bucket) group-by (≤ 1024 rows per doc into the shuffle), then a
     * per-doc sum. All-integer output columns. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val tb = Tables.documents(spark, dir)
+    val tb = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"), toks(col("text")).as("toks"))
       .select(col("doc_id"), col("source"), explode(grams(2)).as("g"))
       .select(col("doc_id"), col("source"),
@@ -905,7 +905,7 @@ object DataSelection {
     * partial-aggregated (doc, gram) group-bys, rejoined on doc_id. No
     * cross-document state at all. */
   def ngramRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+    val base = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("toks"))
     def gramCounts(n: Int) = base
       .select(col("doc_id"), explode(grams(n)).as("g"))
@@ -969,18 +969,29 @@ object DataSelection {
   def coverageSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = graft.Caches.persisted(
-      Tables.documents(spark, dir)
+      Tables.documentsSpread(spark, dir)
         .select(col("doc_id"),
           explode(TrainingPrep.ngrams(col("text"), TrainingPrep.NGram)).as("gram")))
     var selected = graft.dedup.DedupQueries.truncate(
       Seq.empty[(Long, Long, Long)].toDF("round", "doc_id", "gain"))
     for (r <- 1 to CovK) {
-      val covered = base
-        .join(selected.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        .select(col("gram")).distinct()
+      // both prune sides are broadcast so the persisted corpus-gram table
+      // never re-shuffles inside a round: `selected` is ≤ CovK rows BY
+      // CONSTRUCTION (unconditional broadcast, like the scalar aggs);
+      // `covered` is ≤ r docs' worth of grams — persisted, its exact count
+      // (one cheap memoized job) feeds the size gate, so a round whose
+      // picks cover more grams than the broadcast limit degrades to a
+      // shuffled-hash anti-join instead of an OOM. Ungated, both
+      // stats-less checkpoint/aggregate sides forced sort-merges that
+      // shuffled the corpus gram set twice per greedy round.
+      val selIds = broadcast(selected.select(col("doc_id")))
+      val covered = graft.Caches.persisted(
+        base.join(selIds, Seq("doc_id"), "left_semi")
+          .select(col("gram")).distinct())
+      val nCovered = graft.Memo.countOf(spark, s"coverage-covered/$dir/$r", covered)
       val winner = base
-        .join(selected.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .join(covered, Seq("gram"), "left_anti")
+        .join(selIds, Seq("doc_id"), "left_anti")
+        .join(graft.Plans.broadcastIfSmall(covered, nCovered), Seq("gram"), "left_anti")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
         .select(lit(r.toLong).as("round"), col("doc_id"), col("gain"))
@@ -1190,7 +1201,7 @@ object DataSelection {
     * then top-k by TakeOrderedAndProject, never a global sort. Ordering is
     * total (df, tf, gram), so the cut is deterministic. */
   def hotNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(spark, dir)
+    val perDoc = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .select(col("doc_id"), explode(grams(HotN)).as("ngram"))
       .groupBy(col("doc_id"), col("ngram"))

@@ -83,6 +83,7 @@ object TrainingPrep {
     // decontamination variants share one copy and one gate count.
     val (bench, nBench) = benchmarkGramsCounted(spark, dir)
     docs.filter(col("source") =!= BenchmarkSource)
+      .transform(d => graft.Plans.fanOut(d, col("doc_id"), cacheKey = s"documents/$dir"))
       .select(col("doc_id"), explode(ngrams(col("text"), NGram)).as("gram"))
       .join(graft.Plans.broadcastIfSmall(bench, nBench), "gram")
       .groupBy(col("doc_id"))
@@ -98,7 +99,7 @@ object TrainingPrep {
     * distinct gram set. Also the static side of the streaming variant
     * ([[graft.streaming.StreamingCorpus.decontaminate]]). */
   private[graft] def benchmarkGrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .filter(col("source") === BenchmarkSource)
       .select(explode(ngrams(col("text"), NGram)).as("gram"))
       .distinct()
@@ -135,7 +136,7 @@ object TrainingPrep {
     val bloom = bench
       .agg(expr("bloom_agg(xxhash64(gram), 1000000L, 8388608L)").as("bf"))
       .scalar()
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     docs.filter(col("source") =!= BenchmarkSource)
       .select(col("doc_id"), explode(ngrams(col("text"), NGram)).as("gram"))
       .filter(call_function("bloom_might_contain", bloom, xxhash64(col("gram"))))
@@ -626,7 +627,7 @@ object TrainingPrep {
     * (vocabulary-scale — broadcast here, shuffled-hash on `gram` past the
     * gate); the report is a 2-row rollup. */
   def splitGramLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    val grams = Tables.documentsSpread(spark, dir)
       .select(splitCol(col("doc_id")).as("split"),
         explode(ngrams(col("text"), NGram)).as("gram"))
     val train = graft.Caches.persisted(
@@ -733,7 +734,7 @@ object TrainingPrep {
     * the driver merges 50 × partitions rows; no global sort ever
     * materializes (same pattern as `lineitem_topk`). */
   def bigramTopk(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(explode(ngrams(col("text"), 2, distinct = false)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
@@ -788,7 +789,7 @@ object TrainingPrep {
     val weights = spark.range(QcBuckets.toLong)
       .select(col("id").as("bucket"),
         (expr("((id * 1103515245 + 12345) >> 16) % 256") - 128L).as("w"))
-    val perBucket = Tables.documents(spark, dir)
+    val perBucket = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("doc_id"),

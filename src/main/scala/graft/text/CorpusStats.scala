@@ -49,7 +49,7 @@ object CorpusStats {
   /** (doc_id, gram-key) pairs, DISTINCT per document: each document's set
     * of [[GramN]]-token shingle fingerprints (16 hex chars = 64 bits). */
   private def docGrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       // size guard, not greatest(): Spark's sequence(1, 0) DESCENDS
       .filter(size(col("toks")) >= GramN)
@@ -82,7 +82,8 @@ object CorpusStats {
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.agg(count(lit(1)).as("n_docs_total"))
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .crossJoin(broadcast(n))
       .select(col("term"), expr("doc_id * 10 div n_docs_total").as("bucket"))
     val tokensPerBucket = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
@@ -236,7 +237,8 @@ object CorpusStats {
   def oovRate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.agg(count(lit(1)).as("n_docs_total"))
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .crossJoin(broadcast(n))
       .select(col("term"), expr("doc_id * 2 div n_docs_total").as("half"))
     // per-term counts in each half: ONE vocabulary-sized aggregate feeds
@@ -459,7 +461,7 @@ object CorpusStats {
   /** The tagged 1/2/3-gram rows both diversity variants aggregate: ONE
     * narrow explode per document emitting (source, n, gram). */
   private def gramRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("source"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
       .select(col("source"), explode(expr(

@@ -25,9 +25,17 @@ object LangQueries {
   /** N-gram/stopword language-ID heuristic: per-language hit counts over the
     * document's tokens, winner-takes-first-max, 'und' (undetermined) when no
     * profile matches. Includes agreement with the labeled `lang` column. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOn(Tables.documents(spark, dir))
+
+  /** [[langId]] over an arbitrary documents frame: the registered query is
+    * a pure per-row projection (no fan-out — an added exchange would be
+    * dead weight under a count/limit consumer), while aggregating
+    * consumers ([[langIdConfusion]]) pass the spread loader so the
+    * profile-scoring work parallelizes on an unsplittable test scan. */
+  private def langIdOn(docs: DataFrame): DataFrame = {
     val toks = TextQueries.tokens(col("text"))
-    val scored = Tables.documents(spark, dir)
+    val scored = docs
       .withColumn("toks", toks)
       .select(col("doc_id") +: col("lang") +: Profiles.map { case (l, ws) =>
         val arr = array(ws.map(lit): _*)
@@ -75,7 +83,7 @@ object LangQueries {
     * (never a second corpus pass) and attach by broadcast. */
   def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
     val cells = graft.Caches.persisted(
-      langId(spark, dir)
+      langIdOn(Tables.documentsSpread(spark, dir))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n_docs")))
     val totals = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_true"))

@@ -418,7 +418,7 @@ object TextQueries {
     * occurrence count for matching docs. */
   def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
     val terms = Phrase
-    val postings = Tables.documents(spark, dir)
+    val postings = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
       .filter(col("word").isin(terms: _*))
       .groupBy(col("doc_id"), col("word"))
@@ -474,7 +474,7 @@ object TextQueries {
     * the pruned scan. */
   def trigramSearch(spark: SparkSession, dir: String): DataFrame = {
     val grams = TgPattern.sliding(3).toSeq.distinct
-    val postings = Tables.documents(spark, dir)
+    val postings = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(array_distinct(filter(
         expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"),
         g => g.isin(grams: _*)))).as("gram"))
@@ -524,7 +524,7 @@ object TextQueries {
     * is one edge⋈rank join + partial-agg sum, checkpoint-truncated; the
     * final top-k is TakeOrderedAndProject. */
   def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.documents(spark, dir)
+    val pairs = Tables.documentsSpread(spark, dir)
       .select(tokens(col("text")).as("t"))
       .select(explode(expr(
         """filter(transform(slice(t, 1, size(t) - 1),

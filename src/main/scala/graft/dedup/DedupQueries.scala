@@ -252,6 +252,10 @@ object DedupQueries {
       explode(expr("transform(shingle_set(text), s -> xxhash64(s))")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     val wDoc = Window.partitionBy(col("doc_id"))
+    // deliberately UNHINTED frequency attach (r15 adjudication): AQE
+    // rewrites the stats-less sort-merge to a runtime broadcast over the
+    // already-shuffled frequency table; a shuffle_hash hint blocks that
+    // conversion and measured ~1.2 s slower end-to-end
     val prefixes = toks.join(freq, "tok")
       .withColumn("sz", count(lit(1)).over(wDoc))
       .withColumn("rk", row_number().over(wDoc.orderBy(col("freq"), col("tok"))))

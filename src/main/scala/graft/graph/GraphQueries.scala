@@ -125,11 +125,25 @@ object GraphQueries {
   }
 
   /** The bounded C(k,2) in-basket pair expansion shared by every consumer
-    * of a basket table (see [[copurchaseEdges]]' design note). */
+    * of a basket table (see [[copurchaseEdges]]' design note).
+    *
+    * Pairs are emitted PACKED into one int64 (`u·2³² + v` — exact and
+    * order-isomorphic to the (u, v) pair for part ids < 2³¹, the same
+    * packing [[copurchaseTriangles]]' orientation key uses): the expansion
+    * is the hottest codegen span in the family (C(k,2) elements per basket,
+    * ~13 M at sf0.1 for the customer baskets), and a packed long avoids a
+    * struct allocation per pair AND halves the grouping key the downstream
+    * partial aggregations hash on. Consumers unpack with a shift/mask after
+    * the aggregate, so row values are unchanged. */
   private val PairExpandSql =
     """flatten(transform(ps, (u, i) ->
-      |  transform(slice(ps, i + 2, size(ps)), v -> struct(u AS u, v AS v))))"""
+      |  transform(slice(ps, i + 2, size(ps)), v -> u * 4294967296L + v)))"""
       .stripMargin
+
+  /** Unpack the [[PairExpandSql]] key: (p >> 32, p & (2³²−1)). */
+  private def unpackU(p: org.apache.spark.sql.Column) = shiftright(p, 32)
+  private def unpackV(p: org.apache.spark.sql.Column) =
+    p.bitwiseAND(lit(4294967295L))
 
   /** The co-purchase edge list: distinct undirected part pairs that appear
     * in the same order, emitted once with `u < v`. Per-order line counts
@@ -145,8 +159,8 @@ object GraphQueries {
     // in any basket data), so the nested transform is O(k²) per order.
     orderBaskets(spark, dir)
       .select(explode(expr(PairExpandSql)).as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"))
-      .distinct()
+      .distinct() // on the packed key — half the dedup key width
+      .select(unpackU(col("p")).as("u"), unpackV(col("p")).as("v"))
   }
 
   /** Per-part triangle participation counts in the co-purchase graph — the
@@ -395,9 +409,9 @@ object GraphQueries {
     val baskets = orderBaskets(spark, dir)
     val support = baskets
       .select(explode(expr(PairExpandSql)).as("p"))
-      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-      .agg(count(lit(1)).as("support"))
+      .groupBy(col("p")).agg(count(lit(1)).as("support"))
       .filter(col("support") >= MinSupport)
+      .select(unpackU(col("p")).as("u"), unpackV(col("p")).as("v"), col("support"))
     val itemCnt = baskets.select(explode(col("ps")).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("cnt"))
     val n = baskets.agg(count(lit(1)).as("n_baskets"))
@@ -467,7 +481,7 @@ object GraphQueries {
     val pairsPerOrder = graft.Caches.persisted(
       baskets
         .select(col("l_orderkey"), explode(expr(PairExpandSql)).as("p"))
-        .select(col("l_orderkey"), col("p.u").as("u"), col("p.v").as("v")))
+        .select(col("l_orderkey"), unpackU(col("p")).as("u"), unpackV(col("p")).as("v")))
     val f2 = graft.Caches.persisted(
       pairsPerOrder.groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("s")).filter(col("s") >= MinSupport)
@@ -756,9 +770,9 @@ object GraphQueries {
     // while the adjacency cache materializes
     val pairs = graft.Caches.persisted(orderBaskets(spark, dir)
       .select(explode(expr(PairExpandSql)).as("p"))
-      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("u"), col("v"), expr("1000000L div cnt").as("w")))
+      .groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+      .select(unpackU(col("p")).as("u"), unpackV(col("p")).as("v"),
+        expr("1000000L div cnt").as("w")))
     val adj = graft.Caches.persisted(
       pairs.select(col("u").as("v"), col("v").as("n"), col("w"))
         .unionByName(pairs.select(col("v").as("v"), col("u").as("n"), col("w"))))
@@ -947,9 +961,9 @@ object GraphQueries {
     // the whole pair-expansion aggregate evaluates once per side.
     val co = graft.Caches.persisted(baskets
       .select(explode(expr(PairExpandSql)).as("pr"))
-      .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
-      .agg(count(lit(1)).as("co"))
-      .filter(col("co") >= CfMinCo))
+      .groupBy(col("pr")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= CfMinCo)
+      .select(unpackU(col("pr")).as("u"), unpackV(col("pr")).as("v"), col("co")))
     val sym = co.select(col("u").as("item"), col("v").as("other"), col("co"))
       .unionByName(co.select(col("v").as("item"), col("u").as("other"), col("co")))
     val scored = sym
@@ -1016,6 +1030,13 @@ object GraphQueries {
       val keep = graft.Caches.persisted(
         edges.groupBy(col("v")).agg(count(lit(1)).as("d"))
           .filter(col("d") >= KcoreK).select(col("v")))
+      // deliberately UNHINTED prunes (r15 adjudication): the statically
+      // planned sort-merge is rewritten by AQE at runtime to a broadcast
+      // probe built from the already-shuffled map output (local reads).
+      // Both a static broadcast gate (+0.9 s min-wall: splits each peel
+      // into cache-populate + broadcast-build + probe jobs) and a
+      // shuffle_hash hint (+3 s: hints exclude the join from AQE's
+      // runtime broadcast conversion) measured strictly worse here.
       edges = graft.dedup.DedupQueries.truncate(
         edges.join(keep, Seq("v"), "left_semi")
           .join(keep.select(col("v").as("n")), Seq("n"), "left_semi"))

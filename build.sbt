@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNWRAPPED. sbt's default logged
+// output strategy prefixes every line with "[info] ", so the bench
+// contract's "ONE JSON line on stdout" never actually started with '{'
+// — the driver's parser recorded parsed:null in every round (r01–r15).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -78,6 +78,11 @@ object Bench {
   private def fmt(d: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
 
+  /** Numeric scale factor from the data dir name ("…/sf0.1" → "0.1");
+    * "-1" when the dir does not encode one (a custom path). */
+  private def sfNum(dir: String): String =
+    "sf([0-9]*\\.?[0-9]+)$".r.findFirstMatchIn(dir).map(_.group(1)).getOrElse("-1")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -180,7 +185,10 @@ object Bench {
           (if (rest.nonEmpty) Seq("_more" -> rest.size.toString) else Nil)))
       } else Nil) ++
       (if (managed) Seq("mode" -> "\"managed\"") else Nil) ++
-      Seq("sf" -> ("\"" + sfDir + "\""))
+      // "sf" is NUMERIC per the driver contract ({"sf": 0.1, ...}); the
+      // r01–r15 lines carried the data dir string here, which a schema-
+      // checking parser would reject. The dir moves to "sf_dir".
+      Seq("sf" -> sfNum(sfDir), "sf_dir" -> ("\"" + sfDir + "\""))
     // Slowest first (failed queries sort as slowest: they must never fall
     // into the bucket); ties broken by name for a stable line.
     val byWallDesc = medians.sortBy { case (n, (w, _)) => (if (w < 0) -1e18 else -w, n) }
@@ -235,9 +243,15 @@ object Bench {
       "errors" -> obj(failures.toSeq.sortBy(_._1).map { case (n, c) => n -> c.toString })))
     // managed runs get their own artifact: the raw BENCH_FULL.json is the
     // driver's diff baseline and must never be clobbered by a posture run
+    // …and a per-core-count snapshot next to it: the driver runs the bench
+    // at TWO core counts in one round, and r15's 8-core run clobbered the
+    // 32-core full artifact (the r15 32c per-query mins are gone). The
+    // unsuffixed name stays the diff baseline; the suffixed one survives.
     val fullPath = if (managed) "BENCH_FULL_MANAGED.json" else "BENCH_FULL.json"
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] $fullPath write failed: ${e.getMessage}") }
+    for (p <- Seq(fullPath, fullPath.stripSuffix(".json") + s"_c$cpus.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] $p write failed: ${e.getMessage}") }
+    }
     println(line)
     spark.stop()
   }

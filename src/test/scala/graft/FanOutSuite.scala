@@ -27,8 +27,11 @@ class FanOutSuite extends SparkSpec {
       "fixture assumption: the test scan must be unsplittable (single row group)")
     val spread = Plans.fanOut(docs, col("doc_id"))
     assert(spread.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // FormattedMode prints the node header ("Exchange (2)") and its
+    // arguments ("Arguments: hashpartitioning(doc_id…, REPARTITION_BY_NUM…)")
+    // on separate lines — assert the pieces, not a simple-mode substring.
     val p = spread.queryExecution.explainString(FormattedMode)
-    assert(p.contains("Exchange hashpartitioning(doc_id"),
+    assert(p.contains("hashpartitioning(doc_id") && p.contains("REPARTITION_BY_NUM"),
       s"fan-out must hash-partition on the caller's key (deterministic under retry):\n$p")
     spark.conf.set(Plans.FanOutKey, "false")
     try assert(Plans.fanOut(docs, col("doc_id")).rdd.getNumPartitions ==

@@ -123,6 +123,28 @@ object Plans {
     decisionCache.keySet.removeIf(_._1 eq spark)
   }
 
+  /** Conf key for [[sizeWidth]]'s rows-per-partition target. */
+  val RowsPerPartitionKey = "spark.graft.rowsPerPartition"
+
+  /** Default rows per partition for narrow (two-or-three int64 column)
+    * iterate tables: 4M such rows ≈ 64 MB — the guide's §2.2 partition
+    * sizing, expressed in rows because every gated frame here is narrow
+    * and its exact row count is already in hand (memoized count). */
+  val DefaultRowsPerPartition: Long = 4L * 1000 * 1000
+
+  /** Data-proportional partition width for an iterate table whose exact
+    * row count is known: ⌈rows / rowsPerPartition⌉, minimum 1. Guide §2
+    * "make partitioning scale-adaptive — derive from input size rather
+    * than a constant tuned for local mode or the cluster": a test-scale
+    * graph (2.4M edge rows) iterates at width 1 instead of paying
+    * cores-many per-task constants per round per stage, while a 10⁹-edge
+    * deployment graph gets hundreds of partitions from the same formula. */
+  def sizeWidth(spark: org.apache.spark.sql.SparkSession, rows: Long): Int = {
+    val per = spark.conf
+      .get(RowsPerPartitionKey, DefaultRowsPerPartition.toString).toLong.max(1L)
+    ((rows + per - 1) / per).max(1L).min(Int.MaxValue.toLong).toInt
+  }
+
   /** Conf key disabling [[fanOut]] (diagnostics / A-B plan comparison). */
   val FanOutKey = "spark.graft.fanout.enabled"
 
@@ -151,7 +173,16 @@ object Plans {
     * results are value-keyed aggregations/joins, never input-order-
     * dependent). The planned-partition probe costs one driver-side physical
     * plan of the (narrow) subtree; `cacheKey` memoizes the DECISION per
-    * (session, key) exactly like [[broadcastIfSmallStats]]. */
+    * (session, key) exactly like [[broadcastIfSmallStats]].
+    *
+    * CONTRACT: `df` must be SCAN-ROOTED — a projection/filter straight over
+    * a file scan, no shuffle anywhere in its plan. The probe
+    * (`df.rdd.getNumPartitions`) finalizes the physical plan, and under AQE
+    * a plan containing an Exchange would materialize its upstream query
+    * stages eagerly AT DECISION TIME — running real jobs before (and in
+    * addition to) the action. Every call site passes
+    * `Tables.documents(...)` + narrow select (verified r16); keep it that
+    * way or derive the split count from the scan's planned partitions. */
   def fanOut(df: DataFrame, key: org.apache.spark.sql.Column,
       cacheKey: String = null): DataFrame = {
     val spark = df.sparkSession

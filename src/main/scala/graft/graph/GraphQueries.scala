@@ -79,7 +79,21 @@ object GraphQueries {
   private def memoBasket(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame = {
     basketMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    basketMemo.computeIfAbsent((spark, dir, kind), _ => build.persist())
+    basketMemo.computeIfAbsent((spark, dir, kind), { _ =>
+      val b = build.persist()
+      // ONE-TIME packed-key guard for every PairExpandSql consumer (this
+      // is their shared choke point): the u·2³²+v packing wraps silently
+      // (non-ANSI multiply) for ids ≥ 2³¹ and would collide distinct
+      // pairs. `ps` is sorted ascending, so max(last element) is the max
+      // id in the table; the check is one tiny agg job per session per
+      // basket kind — NOT a per-element branch in the expansion's codegen
+      // span (measured +1.4 s on item_cf_recs when inlined there).
+      val r = b.agg(max(element_at(col("ps"), -1))).head()
+      val mx = if (r.isNullAt(0)) 0L else r.getLong(0)
+      require(mx < (1L << 31),
+        s"graft: max part id $mx >= 2^31 — packed pair key would wrap; use struct pair keys")
+      b
+    })
   }
 
   /** (l_orderkey, ps): sorted distinct parts per order. */
@@ -136,6 +150,11 @@ object GraphQueries {
     * partial aggregations hash on. Consumers unpack with a shift/mask after
     * the aggregate, so row values are unchanged. */
   private val PairExpandSql =
+    // enforced, not assumed: `ps` is sorted ascending, so ONE compare per
+    // basket on its max element guards every u and v in the expansion — a
+    // catalog whose ids reach 2³¹ fails loudly (the non-ANSI multiply
+    // would otherwise wrap silently and collide distinct pairs) instead
+    // of producing wrong co-purchase edges/support/CF rows.
     """flatten(transform(ps, (u, i) ->
       |  transform(slice(ps, i + 2, size(ps)), v -> u * 4294967296L + v)))"""
       .stripMargin
@@ -195,6 +214,10 @@ object GraphQueries {
     // packed into ONE long (d ≤ |E| < 2³¹, id < 2³¹ ⇒ d·2³² + id is exact
     // and order-isomorphic to the (d, id) pair) — primitive comparisons,
     // no struct allocation on the hot path
+    // the packed (degree, id) key needs d < 2³¹; d ≤ |E| and the exact
+    // edge count is already in hand — enforce rather than assume
+    require(nEdges < (1L << 31),
+      s"graft: $nEdges co-purchase edges — packed degree-orientation key would wrap")
     val uKey = col("du") * lit(4294967296L) + col("u")
     val vKey = col("dv") * lit(4294967296L) + col("v")
     // degree table is |V|-sized (≤ 2|E| rows, exact bound from the memo
@@ -536,9 +559,15 @@ object GraphQueries {
     * max. */
   def copurchaseCommunities(spark: SparkSession, dir: String): DataFrame = {
     val (e, nEdges) = copurchaseEdgesCounted(spark, dir)
+    // adjacency cached at DATA-proportional width, keyed on the node id
+    // (Plans.sizeWidth): every round scans |E|-proportional tasks instead
+    // of cores-many, and HashPartitioning(v) satisfies the round's
+    // (v, label) and (v) aggregate clusterings — the per-round aggs run
+    // exchange-free over the cache
     val adj = graft.Caches.persisted(
       e.select(col("u").as("v"), col("v").as("n"))
-        .unionByName(e.select(col("v").as("v"), col("u").as("n"))))
+        .unionByName(e.select(col("v").as("v"), col("u").as("n")))
+        .repartition(graft.Plans.sizeWidth(spark, 2 * nEdges), col("v")))
     // Fixed LpaRounds = 3 ⇒ the lineage is 3 joins deep and each round's
     // output feeds exactly ONE consumer, so the whole chain evaluates
     // lazily in a single job over the cached adjacency — measured ~2×
@@ -586,9 +615,12 @@ object GraphQueries {
     * selection is a |V|-sized agg + TakeOrdered(1). */
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
     val (e, nEdges) = copurchaseEdgesCounted(spark, dir)
+    // data-proportional cache width, keyed v (the copurchaseCommunities
+    // note): round scans are |E|-proportional, not cores-many
     val adj = graft.Caches.persisted(
       e.select(col("u").as("v"), col("v").as("n"))
-        .unionByName(e.select(col("v").as("v"), col("u").as("n"))))
+        .unionByName(e.select(col("v").as("v"), col("u").as("n")))
+        .repartition(graft.Plans.sizeWidth(spark, 2 * nEdges), col("v")))
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
     val src = deg.orderBy(col("d").desc, col("v").asc).limit(1).select(col("v"))
     // unlike the LPA loop (labels consumed ONCE per round), each relaxation
@@ -775,7 +807,10 @@ object GraphQueries {
         expr("1000000L div cnt").as("w")))
     val adj = graft.Caches.persisted(
       pairs.select(col("u").as("v"), col("v").as("n"), col("w"))
-        .unionByName(pairs.select(col("v").as("v"), col("u").as("n"), col("w"))))
+        .unionByName(pairs.select(col("v").as("v"), col("u").as("n"), col("w")))
+        // data-proportional cache width, keyed v (the copurchaseCommunities
+        // note): round scans are |E|-proportional, not cores-many
+        .repartition(graft.Plans.sizeWidth(spark, 2 * nEdges), col("v")))
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
     val src = deg.orderBy(col("d").desc, col("v").asc).limit(1).select(col("v"))
     var dist = graft.dedup.DedupQueries.truncate(src.withColumn("h", lit(0L)))
@@ -848,9 +883,17 @@ object GraphQueries {
     // bipartite (customer, part) edges by narrow explode of the memoized
     // customer baskets — the collect_set already deduped, so this replaces
     // the per-query fact join + distinct with a cached-array projection
+    // cached at data-proportional width keyed on the customer id: the
+    // hub half-step's groupBy(c) then runs exchange-free over the cache
+    // and every half-step scan is |E|-proportional, not cores-many. The
+    // edge count is bounded by Σ|basket| — estimated from the lineitem
+    // row count (footer metadata, memoized), an over-count (duplicates
+    // collapse), which only ever widens, never starves, the layout.
+    val nBip = graft.Memo.countOf(spark, s"n-lineitem/$dir", Tables.lineitem(spark, dir))
     val e = graft.Caches.persisted(
       custBaskets(spark, dir)
-        .select(col("c"), explode(col("ps")).as("p")))
+        .select(col("c"), explode(col("ps")).as("p"))
+        .repartition(graft.Plans.sizeWidth(spark, nBip), col("c")))
     // score tables are catalog-/customer-sized; bounded by parquet METADATA
     // row counts (footer-only jobs, memoized) so the gates cost nothing —
     // ungated, the stats-less score aggregates force sort-merge joins that
@@ -1019,27 +1062,38 @@ object GraphQueries {
     * each round's edges feed both the degree count and the next filter.
     * No driver round-trips. */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
-    val und = copurchaseEdgesCounted(spark, dir)._1
-    var edges = graft.dedup.DedupQueries.truncate(
+    val (und, nEdges) = copurchaseEdgesCounted(spark, dir)
+    // peel table at DATA-proportional width keyed on v (Plans.sizeWidth):
+    // HashPartitioning(v) satisfies every round's degree-agg clustering
+    // (exchange-free over the checkpoint — checkpoint preserves
+    // partitioning) and each round's two full-table scans run
+    // |E|-proportional tasks instead of cores-many per stage
+    // K_r nesting (K_{r+1} ⊆ K_r: a round-r survivor needs ≥ k edges among
+    // round-(r-1) survivors) means edges_r = edges_0 restricted to
+    // K_r-endpoints — so the peel keeps the EDGE table LAZY over the
+    // once-persisted base and materializes only the tiny survivor sets:
+    // each round is one |E|-proportional scan plus 2r broadcast probes,
+    // instead of re-checkpointing 2|E| object rows every round (the r15
+    // shape paid a ~22 MB shuffle write + a ~200 MB deserialized cache
+    // store per peel at sf0.1; the per-round broadcast that lost THERE
+    // lost against AQE's local-read conversion — here there is no edge
+    // exchange left to convert).
+    val e0 = graft.Caches.persisted(
       und.select(col("u").as("v"), col("v").as("n"))
-        .unionByName(und.select(col("v").as("v"), col("u").as("n"))))
+        .unionByName(und.select(col("v").as("v"), col("u").as("n")))
+        .repartition(graft.Plans.sizeWidth(spark, 2 * nEdges), col("v")))
+    var edges = e0
     for (_ <- 1 to KcorePeels) {
-      // persisted: the survivor set prunes BOTH endpoints — two semi
-      // joins share it, and left lazy the degree aggregate evaluates
-      // once per endpoint inside the round's materializing job
-      val keep = graft.Caches.persisted(
+      // truncate: the survivor set is |V|-sized and feeds both prunes —
+      // checkpointing it keeps the lazy edge plan O(rounds) deep, not 2^r
+      val keep = graft.dedup.DedupQueries.truncate(
         edges.groupBy(col("v")).agg(count(lit(1)).as("d"))
           .filter(col("d") >= KcoreK).select(col("v")))
-      // deliberately UNHINTED prunes (r15 adjudication): the statically
-      // planned sort-merge is rewritten by AQE at runtime to a broadcast
-      // probe built from the already-shuffled map output (local reads).
-      // Both a static broadcast gate (+0.9 s min-wall: splits each peel
-      // into cache-populate + broadcast-build + probe jobs) and a
-      // shuffle_hash hint (+3 s: hints exclude the join from AQE's
-      // runtime broadcast conversion) measured strictly worse here.
-      edges = graft.dedup.DedupQueries.truncate(
-        edges.join(keep, Seq("v"), "left_semi")
-          .join(keep.select(col("v").as("n")), Seq("n"), "left_semi"))
+      // gate-broadcast: ≤ |V| ≤ 2|E| rows by the memo count; past the
+      // limit the probes degrade to shuffled-hash, same semantics
+      val keepB = graft.Plans.broadcastIfSmall(keep, 2 * nEdges)
+      edges = edges.join(keepB, Seq("v"), "left_semi")
+        .join(keepB.select(col("v").as("n")), Seq("n"), "left_semi")
     }
     edges.groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
       .select(col("v").as("part_id"), col("core_deg"))

@@ -974,6 +974,7 @@ object DataSelection {
           explode(TrainingPrep.ngrams(col("text"), TrainingPrep.NGram)).as("gram")))
     var selected = graft.dedup.DedupQueries.truncate(
       Seq.empty[(Long, Long, Long)].toDF("round", "doc_id", "gain"))
+    var prevCovered: DataFrame = null
     for (r <- 1 to CovK) {
       // both prune sides are broadcast so the persisted corpus-gram table
       // never re-shuffles inside a round: `selected` is ≤ CovK rows BY
@@ -996,6 +997,11 @@ object DataSelection {
         .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
         .select(lit(r.toLong).as("round"), col("doc_id"), col("gain"))
       selected = graft.dedup.DedupQueries.truncate(selected.unionByName(winner))
+      // truncate() is an eager checkpoint, so this round's jobs have run:
+      // the PREVIOUS round's covered-gram cache is dead — release it now
+      // instead of letting CovK copies accumulate until Caches.drain()
+      if (prevCovered != null) prevCovered.unpersist(blocking = false)
+      prevCovered = covered
     }
     selected
   }

@@ -897,7 +897,10 @@ object DedupQueries {
     val edgesRaw = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
     val edges = truncate(if (collapse) edgesRaw.repartition(1) else edgesRaw)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val n = docs.count()
+    // |documents| via the memoized footer count (the n-parts/n-customers
+    // pattern): the count is a model CONSTANT of the fixed-point formula,
+    // and an un-memoized count() re-ran a scan job on every invocation
+    val n = graft.Memo.countOf(spark, s"n-documents/$dir", docs)
     // the rank table collapses with the edges: a 1-partition iterate makes
     // every round's join + partial agg exchange-free (SinglePartition
     // satisfies all their clusterings)

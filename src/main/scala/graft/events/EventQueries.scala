@@ -16,6 +16,21 @@ import graft.Tables
   */
 object EventQueries {
 
+  /** [[Tables.events]] hash-partitioned on `user_id` at DATA-proportional
+    * width ([[graft.Plans.sizeWidth]] over the memoized row count): the
+    * loader for the ~dozen per-user window/sessionization operators. The
+    * explicit keyed repartition replaces — not adds to — the user-keyed
+    * exchange every such window forces anyway (HashPartitioning(user_id)
+    * satisfies the window's and the per-user aggregates' clustering), so
+    * the per-round stages run |events|-proportional tasks instead of
+    * cores-many. A deployment-sized events table gets its width from the
+    * same formula; nothing here is local-mode-specific. */
+  private def eventsByUser(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val n = graft.Memo.countOf(spark, s"n-events/$dir", ev)
+    ev.repartition(graft.Plans.sizeWidth(spark, n), col("user_id"))
+  }
+
   /** Tumbling 1-hour window per event type — Spark's `window()` operator;
     * the bucket is emitted as epoch seconds so it is engine-portable. */
   def hourly(spark: SparkSession, dir: String): DataFrame =
@@ -1983,7 +1998,7 @@ object EventQueries {
     * sort, bucketed by day. */
   def sessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
-    val sess = Tables.events(spark, dir)
+    val sess = eventsByUser(spark, dir)
       .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
       .withColumn("new_session",
         when(col("sec") - lag(col("sec"), 1).over(byUser) > SessionGapSec, 1)
@@ -2561,7 +2576,7 @@ object EventQueries {
     // persisted: the sessionized frame feeds purchases AND touches in both
     // the credited and the 'direct' branch — four consumers; unpersisted,
     // each re-runs the sessionization window from the raw scan
-    val evts = graft.Caches.persisted(Tables.events(spark, dir)
+    val evts = graft.Caches.persisted(eventsByUser(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         unix_timestamp(col("ts")).as("sec"),
         expr("unix_micros(ts)").as("us"),

@@ -501,30 +501,36 @@ object GraphQueries {
     * partition-invariance pin run where the witness is non-trivial. */
   def frequentTriples(spark: SparkSession, dir: String): DataFrame = {
     val baskets = orderBaskets(spark, dir)
+    // the pair key stays PACKED end to end (the PairExpandSql note): the
+    // frequent-pair aggregate hashes one int64 instead of two, the cached
+    // per-order pair table carries 2 columns instead of 3, and the (b,c) /
+    // (a,c) prune probes derive from the packed key by bit arithmetic —
+    // pack(v,w) = (p & 2³²−1)·2³² + w, pack(u,w) = (p & ¬(2³²−1)) + w —
+    // so nothing unpacks until the output projection.
     val pairsPerOrder = graft.Caches.persisted(
-      baskets
-        .select(col("l_orderkey"), explode(expr(PairExpandSql)).as("p"))
-        .select(col("l_orderkey"), unpackU(col("p")).as("u"), unpackV(col("p")).as("v")))
+      baskets.select(col("l_orderkey"), explode(expr(PairExpandSql)).as("p")))
     val f2 = graft.Caches.persisted(
-      pairsPerOrder.groupBy(col("u"), col("v"))
+      pairsPerOrder.groupBy(col("p"))
         .agg(count(lit(1)).as("s")).filter(col("s") >= MinSupport)
-        .select(col("u"), col("v")))
+        .select(col("p")))
     // the frequent-pair set is small by construction (the Apriori premise)
     // but still data-derived — its exact count is one cheap job on the
     // persisted frame, and past the gate the three prune joins degrade to
     // shuffled-hash with the same anti-monotone semantics
     val nF2 = graft.Memo.countOf(spark, s"frequent-pairs/$dir", f2)
     pairsPerOrder
-      .join(graft.Plans.broadcastIfSmall(f2, nF2), Seq("u", "v")) // (a,b) frequent
+      .join(graft.Plans.broadcastIfSmall(f2, nF2), Seq("p")) // (a,b) frequent
       .join(baskets.select(col("l_orderkey"), explode(col("ps")).as("w")), "l_orderkey")
-      .filter(col("w") > col("v"))
-      .join(graft.Plans.broadcastIfSmall(
-        f2.select(col("u").as("v"), col("v").as("w")), nF2), Seq("v", "w")) // (b,c)
-      .join(graft.Plans.broadcastIfSmall(
-        f2.select(col("u"), col("v").as("w")), nF2), Seq("u", "w")) // (a,c)
-      .groupBy(col("u").as("part_a"), col("v").as("part_b"), col("w").as("part_c"))
+      .filter(col("w") > unpackV(col("p")))
+      .join(graft.Plans.broadcastIfSmall(f2.select(col("p").as("pvw")), nF2),
+        expr("(p & 4294967295L) * 4294967296L + w") === col("pvw")) // (b,c)
+      .join(graft.Plans.broadcastIfSmall(f2.select(col("p").as("puw")), nF2),
+        expr("(p & -4294967296L) + w") === col("puw")) // (a,c)
+      .groupBy(col("p"), col("w"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= MinSupport)
+      .select(unpackU(col("p")).as("part_a"), unpackV(col("p")).as("part_b"),
+        col("w").as("part_c"), col("support"))
   }
 
   /** Oracle: the brute-force 3-way join — identical output by Apriori
@@ -694,11 +700,18 @@ object GraphQueries {
   def raLinkPrediction(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (e, nEdges) = copurchaseEdgesCounted(spark, dir)
+    // data-proportional cache width keyed v (the copurchaseCommunities
+    // note): the degree agg runs exchange-free over the cache and each of
+    // the three adjacency passes (degree, seed frontier, wedge extension)
+    // scans |E|-proportional tasks instead of cores-many
     val adj = graft.Caches.persisted(
       e.select(col("u").as("v"), col("v").as("n"))
-        .unionByName(e.select(col("v").as("v"), col("u").as("n"))))
+        .unionByName(e.select(col("v").as("v"), col("u").as("n")))
+        .repartition(graft.Plans.sizeWidth(spark, 2 * nEdges), col("v")))
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val seeds = adj.select(col("v")).distinct().orderBy(col("v")).limit(RaSeeds)
+    // the seed set is the 10 smallest vertex ids — deg already holds every
+    // distinct v, so rank it instead of re-scanning adj through a distinct
+    val seeds = deg.select(col("v")).orderBy(col("v")).limit(RaSeeds)
     // seed adjacency: ≤ seeds × max-degree rows; bounded by a constant
     // seed count but degree-proportional, so its exact count (one cheap
     // job on the persisted frontier) feeds the gate — a hub seed with 10⁸

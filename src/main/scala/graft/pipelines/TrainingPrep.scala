@@ -1166,9 +1166,12 @@ object TrainingPrep {
     val scores = qualityClassifier(spark, dir).select(col("doc_id"), col("raw_score"))
     val labels = Tables.documents(spark, dir)
       .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("lbl"))
-    val hist = scores.join(labels, "doc_id")
+    // persisted: the distinct-score histogram seeds the block table AND
+    // re-attaches the final fit — left lazy, the scores⋈labels join (a
+    // documents scan) evaluates once per consumer
+    val hist = graft.Caches.persisted(scores.join(labels, "doc_id")
       .groupBy(col("raw_score"))
-      .agg(sum(col("lbl")).as("p"), count(lit(1)).as("n"))
+      .agg(sum(col("lbl")).as("p"), count(lit(1)).as("n")))
     // The PAV iterate is the BLOCK table over the distinct-score
     // histogram (~2k rows at 8× corpus, saturating: 419 → 2088 measured
     // at 1×→8×, since scores quantize) — collapsed to ONE partition

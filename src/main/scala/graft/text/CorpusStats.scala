@@ -185,13 +185,25 @@ object CorpusStats {
     * as the scale path. The final matrix assembly is a broadcast cross of
     * the |sources|-row size table. */
   def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: consumed three times (both self-join sides + sizes)
-    val sg = graft.Caches.persisted(
-      docGrams(spark, dir).select(col("source"), col("gk")).distinct())
-    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = sg.as("a").join(sg.as("b").hint("shuffle_hash"), Seq("gk"))
-      .filter(col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    // ONE gk-keyed shuffle (map-side set union): collect_set(source) per
+    // gram IS the distinct (source, gk) relation — the former shape paid
+    // a (source, gk)-keyed distinct exchange AND a gk-keyed self-join
+    // (both sides re-shuffled) for the same intersections. Sizes and the
+    // pairwise counts both derive from the persisted gram→sources table;
+    // pairs expand inside each gram row (≤ C(|sources|, 2), the
+    // dedupNear grouped-expansion shape), never a self-join product.
+    val bySrc = graft.Caches.persisted(
+      docGrams(spark, dir)
+        .groupBy(col("gk"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs")))
+    val sizes = bySrc.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = bySrc.filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |            b -> struct(a AS sa, b AS sb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("n_inter"))
     val allPairs = broadcast(sizes.as("x")).crossJoin(broadcast(sizes.as("y")))
       .filter(col("x.source") < col("y.source"))

@@ -20,6 +20,9 @@ object TimeMany {
       n -> SparkEntry.queries.getOrElse(n, sys.error(s"unknown query: $n")))
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev A/B knob: SPARK_GRAFT_CONF="k=v;k=v" applied to the session
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     // warmup: one run of each so janino/JIT and session memos are out of rep 1
     fns.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case e: Throwable => System.err.println(e.getMessage) }
